@@ -1,0 +1,45 @@
+"""CSV → Markdown table kernel (reference parity: internal/converters/csv.go).
+
+Go ``encoding/csv.ReadAll`` semantics preserved (csv.go:37-51):
+
+- RFC-4180 quoting: quoted fields, ``""`` escapes, embedded commas/newlines;
+- blank lines are skipped (not empty records);
+- **uniform field count enforced** — a record whose field count differs from
+  the first record's is an error (csv_test.go:159-186), unlike Python's
+  lenient ``csv.reader``;
+- leading/trailing ``\\r`` of CRLF line endings handled.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+
+from .base import ConvertError, Segment, md
+from .mdtable import to_markdown_table
+
+
+def parse_csv(text: str) -> list[list[str]]:
+    """Parse with Go encoding/csv strictness. csv.go:44-46."""
+    try:
+        records = [r for r in csv.reader(io.StringIO(text, newline="")) if r]
+    except csv.Error as exc:
+        raise ConvertError(f"unable to parse CSV: {exc}") from exc
+
+    if not records:
+        return []
+
+    width = len(records[0])
+    for i, rec in enumerate(records):
+        if len(rec) != width:
+            # Go: "record on line N: wrong number of fields"
+            raise ConvertError(
+                f"record on line {i + 1}: wrong number of fields "
+                f"(got {len(rec)}, want {width})"
+            )
+    return records
+
+
+def convert_csv(text: str) -> list[Segment]:
+    """csv.go:28-34 — parse then render via the uniform table renderer."""
+    return [md(to_markdown_table(parse_csv(text)))]

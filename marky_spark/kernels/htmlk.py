@@ -1,0 +1,441 @@
+r"""HTML → Markdown kernel, built from scratch on ``html.parser``.
+
+Replaces the reference's html-to-markdown v2 dependency (html.go:26-38) with
+a three-stage stdlib pipeline, per the north rule ("tokenize HTML
+byte-streams, strip boilerplate via DOM-tree heuristics"):
+
+1. **Tokenize → DOM**: tolerant ``html.parser.HTMLParser`` subclass builds a
+   lightweight element tree (malformed HTML never errors —
+   html_test.go:260-286 contract).
+2. **Boilerplate strip**: hard tag blacklist (script/style/head/nav/footer/
+   aside/form/svg/…) plus link-density pruning of container blocks
+   (Kohlschütter et al., WSDM 2010 shallow-text-features lineage): a
+   container whose linked-text ratio ≥ 0.66 with ≥ 2 links and ≤ 40% of the
+   document text is chrome, not content. If pruning would leave no text the
+   original tree is kept (small-fixture safety).
+3. **Markdown emit** matching the reference test contract (html_test.go):
+   ``hN→#×N`` (:91-93), ``em→*…*`` (:94-96), ``strong→**…**``,
+   ``a→[t](u)`` (:97-99), ``code→\`…\``` + ``pre→fence`` (:220-226), entity
+   decode (:188-195), pipe tables (:159-165), ``ul/ol→*/N.``,
+   ``blockquote→>``, Unicode preserved (:288-322). Images become standalone
+   ``kind='image'`` segments carrying ``media_ref=src`` (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .base import IMAGE, MARKDOWN, Segment, image, md, merge_markdown
+
+# ---------------------------------------------------------------------------
+# Stage 1 — tolerant DOM builder
+# ---------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# start of tag X implicitly closes an open tag Y (simplified HTML5 rules)
+_IMPLIED_CLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+    "option": {"option"},
+}
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        closes = _IMPLIED_CLOSE.get(tag)
+        if closes and self.stack[-1].tag in closes:
+            self.stack.pop()
+        el = Element(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+        if tag not in _VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        el = Element(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        # close the nearest matching open element; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(text: str) -> Element:
+    builder = _DomBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — boilerplate strip
+# ---------------------------------------------------------------------------
+
+_DROP_TAGS = frozenset(
+    (
+        "script style noscript template head title meta link base nav footer "
+        "aside form button svg iframe object embed canvas select input "
+        "textarea audio video dialog"
+    ).split()
+)
+
+_PRUNE_CANDIDATES = frozenset("div section header ul ol table menu".split())
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _text_stats(node: Element | str, in_link: bool = False) -> tuple[int, int, int]:
+    """(total_text_chars, linked_text_chars, n_links) of a subtree."""
+    if isinstance(node, str):
+        n = len(_WS_RE.sub(" ", node).strip())
+        return n, n if in_link else 0, 0
+    if node.tag in _DROP_TAGS:
+        return 0, 0, 0
+    total = linked = links = 0
+    is_link = in_link or node.tag == "a"
+    if node.tag == "a":
+        links += 1
+    for child in node.children:
+        t, l, k = _text_stats(child, is_link)
+        total += t
+        linked += l
+        links += k
+    return total, linked, links
+
+
+def strip_boilerplate(root: Element) -> Element:
+    doc_text, _, _ = _text_stats(root)
+
+    def prune(node: Element) -> Element | None:
+        if node.tag in _DROP_TAGS:
+            return None
+        if node.tag in _PRUNE_CANDIDATES and doc_text > 0:
+            total, linked, links = _text_stats(node)
+            if (
+                total > 0
+                and links >= 2
+                and linked / total >= 0.66
+                and total <= 0.4 * doc_text
+            ):
+                return None
+        node.children = [
+            c for c in (prune(ch) if isinstance(ch, Element) else ch for ch in node.children)
+            if c is not None
+        ]
+        return node
+
+    pruned = prune(root)
+    if pruned is None or (doc_text > 0 and _text_stats(pruned)[0] == 0):
+        return root  # pruning nuked everything — keep original (safety net)
+    return pruned
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — Markdown emitter
+# ---------------------------------------------------------------------------
+
+# parts: str = markdown text, tuple = ('img', alt, src)
+_Part = str | tuple[str, str, str]
+
+_BLOCK_TAGS = frozenset(
+    (
+        "p h1 h2 h3 h4 h5 h6 ul ol table pre blockquote hr div section "
+        "article main body html figure figcaption address details summary "
+        "center dl dd dt li tr"
+    ).split()
+)
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def _collapse(text: str) -> str:
+    return _WS_RE.sub(" ", text)
+
+
+def _raw_text(node: Element | str) -> str:
+    """Verbatim text content (for <pre>/<code>)."""
+    if isinstance(node, str):
+        return node
+    return "".join(_raw_text(c) for c in node.children)
+
+
+class _Emitter:
+    def __init__(self) -> None:
+        self.blocks: list[list[_Part]] = []
+
+    # -- inline ------------------------------------------------------------
+
+    def inline(self, node: Element | str) -> list[_Part]:
+        if isinstance(node, str):
+            return [_collapse(node)]
+        tag = node.tag
+        if tag == "br":
+            return ["\n"]
+        if tag == "img":
+            alt = _collapse(node.attrs.get("alt", "")).strip()
+            src = node.attrs.get("src", "")
+            return [("img", alt, src)]
+        if tag in ("em", "i"):
+            return self._wrap(node, "*")
+        if tag in ("strong", "b"):
+            return self._wrap(node, "**")
+        if tag in ("del", "s", "strike"):
+            return self._wrap(node, "~~")
+        if tag == "code":
+            return [f"`{_raw_text(node)}`"]
+        if tag == "a":
+            parts = self._children_inline(node)
+            text = _parts_strip(parts)
+            href = node.attrs.get("href", "")
+            if not _parts_text(text).strip() and not href:
+                return []
+            if href:
+                return ["["] + text + [f"]({href})"]
+            return text
+        return self._children_inline(node)
+
+    def _wrap(self, node: Element, marker: str) -> list[_Part]:
+        parts = _parts_strip(self._children_inline(node))
+        if not _parts_text(parts):
+            return []
+        return [marker] + parts + [marker]
+
+    def _children_inline(self, node: Element) -> list[_Part]:
+        out: list[_Part] = []
+        for child in node.children:
+            out.extend(self.inline(child))
+        return out
+
+    # -- blocks ------------------------------------------------------------
+
+    def block(self, node: Element | str) -> None:
+        if isinstance(node, str):
+            if node.strip():
+                self._add([_collapse(node)])
+            return
+        tag = node.tag
+        if tag in _HEADINGS:
+            parts = _parts_strip(self._children_inline(node))
+            if parts:
+                self._add(["#" * _HEADINGS[tag] + " "] + parts)
+            return
+        if tag == "p":
+            parts = _parts_strip(self._children_inline(node))
+            if parts:
+                self._add(parts)
+            return
+        if tag == "hr":
+            self._add(["---"])
+            return
+        if tag == "pre":
+            body = _raw_text(node).strip("\n")
+            self._add([f"```\n{body}\n```"])
+            return
+        if tag in ("ul", "ol"):
+            parts = self._list(node, depth=0)
+            if parts:
+                self._add(parts)
+            return
+        if tag == "table":
+            self._table(node)
+            return
+        if tag == "blockquote":
+            sub = _Emitter()
+            for child in node.children:
+                sub.dispatch(child)
+            parts = _blocks_join(sub.blocks)
+            if parts:
+                self._add(_quote(parts))
+            return
+        # generic containers: recurse block-wise, flushing inline runs
+        self._container(node)
+
+    def _container(self, node: Element) -> None:
+        run: list[_Part] = []
+
+        def flush() -> None:
+            nonlocal run
+            parts = _parts_strip(run)
+            if parts:
+                self._add(parts)
+            run = []
+
+        for child in node.children:
+            if isinstance(child, Element) and (
+                child.tag in _BLOCK_TAGS or child.tag in ("#root",)
+            ):
+                flush()
+                self.dispatch(child)
+            else:
+                run.extend(self.inline(child))
+        flush()
+
+    def dispatch(self, node: Element | str) -> None:
+        if isinstance(node, str):
+            if node.strip():
+                self._add([_collapse(node).strip()])
+            return
+        self.block(node)
+
+    # -- list / table helpers ------------------------------------------------
+
+    def _list(self, node: Element, depth: int) -> list[_Part]:
+        ordered = node.tag == "ol"
+        out: list[_Part] = []
+        counter = 0
+        for child in node.children:
+            if not (isinstance(child, Element) and child.tag == "li"):
+                continue
+            counter += 1
+            marker = f"{counter}. " if ordered else "* "
+            item: list[_Part] = []
+            nested: list[_Part] = []
+            for sub in child.children:
+                if isinstance(sub, Element) and sub.tag in ("ul", "ol"):
+                    nested.extend(self._list(sub, depth + 1))
+                else:
+                    item.extend(self.inline(sub))
+            line = _parts_strip(item)
+            if out:
+                out.append("\n")
+            out.append("  " * depth + marker)
+            out.extend(line)
+            if nested:
+                out.append("\n")
+                out.extend(nested)
+        return out
+
+    def _table(self, node: Element) -> None:
+        from .mdtable import to_markdown_table
+
+        rows: list[list[str]] = []
+
+        def walk_rows(el: Element) -> None:
+            for child in el.children:
+                if not isinstance(child, Element):
+                    continue
+                if child.tag == "tr":
+                    cells = [
+                        _parts_text(self._children_inline(c)).strip()
+                        for c in child.children
+                        if isinstance(c, Element) and c.tag in ("td", "th")
+                    ]
+                    if cells:
+                        rows.append(cells)
+                elif child.tag in ("thead", "tbody", "tfoot"):
+                    walk_rows(child)
+
+        walk_rows(node)
+        table = to_markdown_table(rows).rstrip("\n")
+        if table:
+            self._add([table])
+
+    def _add(self, parts: list[_Part]) -> None:
+        if parts:
+            self.blocks.append(parts)
+
+
+def _parts_text(parts: list[_Part]) -> str:
+    return "".join(
+        p if isinstance(p, str) else f"![{p[1]}]({p[2]})" for p in parts
+    )
+
+
+def _parts_strip(parts: list[_Part]) -> list[_Part]:
+    """Trim leading/trailing whitespace across part boundaries; drop empties."""
+    out = [p for p in parts if not (isinstance(p, str) and p == "")]
+    while out and isinstance(out[0], str) and not out[0].strip():
+        out.pop(0)
+    while out and isinstance(out[-1], str) and not out[-1].strip():
+        out.pop()
+    if out and isinstance(out[0], str):
+        out[0] = out[0].lstrip()
+    if out and isinstance(out[-1], str):
+        out[-1] = out[-1].rstrip()
+    # merge adjacent string parts created by tag boundaries
+    merged: list[_Part] = []
+    for p in out:
+        if isinstance(p, str) and merged and isinstance(merged[-1], str):
+            merged[-1] += p
+        else:
+            merged.append(p)
+    return merged
+
+
+def _blocks_join(blocks: list[list[_Part]]) -> list[_Part]:
+    out: list[_Part] = []
+    for i, b in enumerate(blocks):
+        if i:
+            out.append("\n\n")
+        out.extend(b)
+    return out
+
+
+def _quote(parts: list[_Part]) -> list[_Part]:
+    """Prefix every line with '> ' (images kept inline on their line)."""
+    out: list[_Part] = ["> "]
+    for p in parts:
+        if isinstance(p, str):
+            out.append(p.replace("\n", "\n> ").replace("> \n", ">\n"))
+        else:
+            out.append(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def convert_html(text: str, strip: bool = True) -> list[Segment]:
+    """Full HTML→Markdown conversion to ordered segments."""
+    root = parse_html(text)
+    if strip:
+        root = strip_boilerplate(root)
+    emitter = _Emitter()
+    emitter.dispatch(root)
+    parts = _blocks_join(emitter.blocks)
+
+    segments: list[Segment] = []
+    for p in parts:
+        if isinstance(p, str):
+            segments.append(md(p))
+        else:
+            _, alt, src = p
+            segments.append(image(f"![{alt}]({src})", src))
+    return merge_markdown(segments)
+
+
+def html_to_markdown(text: str, strip: bool = True) -> str:
+    from .base import segments_text
+
+    return segments_text(convert_html(text, strip=strip))

@@ -1,0 +1,72 @@
+"""Ported contracts: /root/reference/internal/converters/csv_test.go."""
+
+import pytest
+
+from marky_spark.kernels.base import ConvertError, segments_text
+from marky_spark.kernels.csvk import convert_csv, parse_csv
+
+
+def md_of(text: str) -> str:
+    return segments_text(convert_csv(text))
+
+
+def test_basic_csv():
+    # csv_test.go:46
+    got = md_of("Name,Age,City\nJohn,30,New York\nJane,25,Los Angeles")
+    assert got == (
+        "| Name | Age | City |\n| --- | --- | --- |\n"
+        "| John | 30 | New York |\n| Jane | 25 | Los Angeles |\n"
+    )
+
+
+def test_header_only():
+    # csv_test.go:92
+    assert md_of("Name,Age,City") == "| Name | Age | City |\n| --- | --- | --- |\n"
+
+
+def test_empty_csv():
+    # csv_test.go:52-72 — empty file converts to empty string
+    assert md_of("") == ""
+
+
+def test_quoted_fields():
+    # csv_test.go:98-128 — quotes, embedded commas, "" escapes
+    got = md_of(
+        'Name,Quote\n"Smith, John","He said ""hi"""\n'
+    )
+    assert got == (
+        "| Name | Quote |\n| --- | --- |\n"
+        '| Smith, John | He said "hi" |\n'
+    )
+
+
+def test_pipe_escape():
+    # csv_test.go:130-157
+    got = md_of("Name,Val\nJohn,a|b")
+    assert got == "| Name | Val |\n| --- | --- |\n| John | a\\|b |\n"
+
+
+def test_unicode_with_trailing_empty_column():
+    # test_files/test.csv style: Japanese CSV with trailing comma column
+    got = md_of("名前,年齢,\n田中,30,\n")
+    assert got == "| 名前 | 年齢 |  |\n| --- | --- | --- |\n| 田中 | 30 |  |\n"
+
+
+def test_uneven_rows_error():
+    # csv_test.go:159-186 — Go csv errors on inconsistent field counts
+    with pytest.raises(ConvertError):
+        convert_csv("a,b,c\nd,e\n")
+
+
+def test_blank_lines_skipped():
+    # Go encoding/csv skips empty lines rather than producing empty records
+    got = md_of("a,b\n\nc,d\n")
+    assert got == "| a | b |\n| --- | --- |\n| c | d |\n"
+
+
+def test_crlf():
+    assert parse_csv("a,b\r\nc,d\r\n") == [["a", "b"], ["c", "d"]]
+
+
+def test_embedded_newline_in_quotes():
+    assert parse_csv('a,b\n"x\ny",z\n') == [["a", "b"], ["x\ny", "z"]]

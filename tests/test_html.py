@@ -1,0 +1,146 @@
+"""HTML kernel contract, ported from html_test.go plus FIXTURES.md §3.
+
+The reference delegates to html-to-markdown v2 (html.go:32); its tests are
+substring/property assertions, which we port, plus exact-string goldens we
+pin ourselves (we own the fixtures — SURVEY.md §2.3).
+"""
+
+from marky_spark.kernels.base import IMAGE, segments_text
+from marky_spark.kernels.htmlk import convert_html, html_to_markdown
+
+
+def test_simple_html():
+    # html_test.go:91-99
+    got = html_to_markdown(
+        '<h2>Title</h2>\n<p>Simple paragraph with <em>emphasis</em>.</p>\n'
+        '<a href="https://example.com">Link</a>'
+    )
+    assert got == "## Title\n\nSimple paragraph with *emphasis*.\n\n[Link](https://example.com)"
+
+
+def test_headings_all_levels():
+    got = html_to_markdown("<h1>a</h1><h3>b</h3><h6>c</h6>")
+    assert got == "# a\n\n### b\n\n###### c"
+
+
+def test_strong_and_nested_inline():
+    got = html_to_markdown("<p>This is a <strong>test</strong> paragraph.</p>")
+    assert got == "This is a **test** paragraph."
+
+
+def test_lists():
+    # FIXTURES.md: ul→'* ', ol→'N. '
+    got = html_to_markdown("<ul><li>Item 1</li><li>Item 2</li></ul>")
+    assert got == "* Item 1\n* Item 2"
+    got = html_to_markdown("<ol><li>One</li><li>Two</li></ol>")
+    assert got == "1. One\n2. Two"
+
+
+def test_nested_list():
+    got = html_to_markdown(
+        "<ul><li>a<ul><li>b</li></ul></li><li>c</li></ul>"
+    )
+    assert got == "* a\n  * b\n* c"
+
+
+def test_table():
+    # html_test.go:124-166 — thead/tbody table content preserved as pipe table
+    got = html_to_markdown(
+        "<table><thead><tr><th>Name</th><th>Age</th></tr></thead>"
+        "<tbody><tr><td>John</td><td>30</td></tr></tbody></table>"
+    )
+    assert got == "| Name | Age |\n| --- | --- |\n| John | 30 |"
+
+
+def test_entities_decoded():
+    # html_test.go:168-195
+    got = html_to_markdown("<p>&lt;tag&gt; &amp; &quot;quoted&quot;</p>")
+    assert got == '<tag> & "quoted"'
+
+
+def test_inline_code_and_pre():
+    # html_test.go:197-227
+    got = html_to_markdown("<p>Use <code>x = 1</code> here.</p>")
+    assert got == "Use `x = 1` here."
+    got = html_to_markdown("<pre><code>line1\nline2</code></pre>")
+    assert got == "```\nline1\nline2\n```"
+
+
+def test_blockquote():
+    got = html_to_markdown("<blockquote><p>quoted text</p></blockquote>")
+    assert got == "> quoted text"
+
+
+def test_hr_and_br():
+    assert html_to_markdown("<p>a<br>b</p><hr>") == "a\nb\n\n---"
+
+
+def test_malformed_html_tolerated():
+    # html_test.go:260-286 — unclosed tags never error
+    got = html_to_markdown("<p>Unclosed <b>bold <p>next para")
+    assert "Unclosed" in got and "next para" in got
+
+
+def test_unicode_preserved():
+    # html_test.go:288-322
+    got = html_to_markdown("<p>中文 emoji 😀 العربية</p>")
+    assert got == "中文 emoji 😀 العربية"
+
+
+def test_image_becomes_media_span():
+    # FIXTURES.md §3: <img> → kind='image' span with media_ref=src
+    segs = convert_html('<p>before <img alt="a" src="x.png"> after</p>')
+    kinds = [s[0] for s in segs]
+    assert IMAGE in kinds
+    img = next(s for s in segs if s[0] == IMAGE)
+    assert img == ("image", "![a](x.png)", "x.png")
+    assert segments_text(segs) == "before ![a](x.png) after"
+
+
+def test_boilerplate_stripped_docusaurus_style():
+    # test_files/test.html motivating case: nav/footer/aside chrome dropped
+    page = """
+    <html><head><title>t</title><script>var x=1;</script>
+    <style>.a{color:red}</style></head>
+    <body>
+    <nav><a href="/">Home</a><a href="/blog">Blog</a><a href="/docs">Docs</a></nav>
+    <div class="sidebar"><a href="/p1">Post 1</a> <a href="/p2">Post 2</a> <a href="/p3">Post 3</a></div>
+    <article>
+      <h1>Real Article</h1>
+      <p>This is the actual content of the page, long enough to dominate the
+      text mass of the document and therefore survive density pruning.</p>
+      <p>Second paragraph with a <a href="https://example.com">real link</a>
+      inside flowing prose that keeps the link density low.</p>
+    </article>
+    <footer><a href="/tos">Terms</a><a href="/privacy">Privacy</a></footer>
+    </body></html>
+    """
+    got = html_to_markdown(page)
+    assert "# Real Article" in got
+    assert "actual content" in got
+    assert "Home" not in got          # nav dropped
+    assert "Post 1" not in got        # link-dense sidebar pruned
+    assert "Terms" not in got         # footer dropped
+    assert "var x=1" not in got       # script dropped
+    assert "color:red" not in got     # style dropped
+
+
+def test_small_fixture_survives_pruning():
+    # a standalone link must NOT be treated as boilerplate
+    got = html_to_markdown('<a href="https://example.com">Link</a>')
+    assert got == "[Link](https://example.com)"
+
+
+def test_empty_html():
+    # html_test.go:103-124 — empty input → minimal output
+    assert html_to_markdown("") == ""
+
+
+def test_div_soup_paragraphs():
+    got = html_to_markdown("<div><div>first</div><div>second</div></div>")
+    assert got == "first\n\nsecond"
+
+
+def test_whitespace_collapsed():
+    got = html_to_markdown("<p>a\n   b\t c</p>")
+    assert got == "a b c"
