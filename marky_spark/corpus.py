@@ -1,0 +1,342 @@
+"""Deterministic synthetic corpus: golden fixture slice + scaled generator.
+
+Two layers (FIXTURES.md §4):
+
+- ``GOLDEN_CASES`` — the exact-string fixture slice ported from the reference
+  test suite; pytest checks span-sequence equality ``(kind, text, media_ref,
+  order)`` per doc (the BASELINE.json correctness invariant).
+- ``synth_batch`` / ``spark_corpus`` — seed-fixed parameterized templates of
+  the same kinds for correctness/bench corpora, generated *distributed*
+  (``spark.range → mapInPandas``) so corpus creation itself scales; includes
+  a skew tail of mega-documents to exercise salted repartitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import INPUT_SCHEMA
+
+Span = tuple[str, str, str, int]
+
+
+def _spans(*items: tuple[str, str, str]) -> list[Span]:
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(items)]
+
+
+def _text_span(kind: str, text: str) -> list[Span]:
+    return [(kind, text, "", 0)]
+
+
+# ---------------------------------------------------------------------------
+# Golden fixture slice (reference test ports; SURVEY.md §5.1)
+# ---------------------------------------------------------------------------
+
+_CSV_BASIC = "Name,Age,City\nJohn,30,New York\nJane,25,Los Angeles"
+_CSV_BASIC_MD = (
+    "| Name | Age | City |\n| --- | --- | --- |\n"
+    "| John | 30 | New York |\n| Jane | 25 | Los Angeles |\n"
+)
+
+GOLDEN_CASES: list[dict[str, Any]] = [
+    # --- CSV (csv_test.go) ---
+    {
+        "doc_id": "csv-basic",
+        "spans": _text_span("csv", _CSV_BASIC),
+        "expected": [("markdown", _CSV_BASIC_MD, "")],
+    },
+    {
+        "doc_id": "csv-header-only",
+        "spans": _text_span("csv", "Name,Age,City"),
+        "expected": [("markdown", "| Name | Age | City |\n| --- | --- | --- |\n", "")],
+    },
+    {
+        "doc_id": "csv-empty",
+        "spans": _text_span("csv", ""),
+        "expected": [],
+    },
+    {
+        "doc_id": "csv-quotes",
+        "spans": _text_span("csv", 'Name,Quote\n"Smith, John","He said ""hi"""'),
+        "expected": [
+            ("markdown",
+             '| Name | Quote |\n| --- | --- |\n| Smith, John | He said "hi" |\n',
+             "")
+        ],
+    },
+    {
+        "doc_id": "csv-pipes",
+        "spans": _text_span("csv", "Name,Val\nJohn,a|b"),
+        "expected": [
+            ("markdown", "| Name | Val |\n| --- | --- |\n| John | a\\|b |\n", "")
+        ],
+    },
+    {
+        "doc_id": "csv-unicode",
+        "spans": _text_span("csv", "名前,年齢,\n田中,30,"),
+        "expected": [
+            ("markdown",
+             "| 名前 | 年齢 |  |\n| --- | --- | --- |\n| 田中 | 30 |  |\n",
+             "")
+        ],
+    },
+    {
+        "doc_id": "csv-uneven-error",
+        "spans": _text_span("csv", "a,b,c\nd,e"),
+        "expected_status": "error",
+    },
+    # --- HTML (html_test.go) ---
+    {
+        "doc_id": "html-simple",
+        "spans": _text_span(
+            "html",
+            '<h2>Title</h2>\n<p>Simple paragraph with <em>emphasis</em>.</p>\n'
+            '<a href="https://example.com">Link</a>',
+        ),
+        "expected": [
+            ("markdown",
+             "## Title\n\nSimple paragraph with *emphasis*.\n\n"
+             "[Link](https://example.com)",
+             "")
+        ],
+    },
+    {
+        "doc_id": "html-table",
+        "spans": _text_span(
+            "html",
+            "<table><thead><tr><th>Name</th><th>Age</th></tr></thead>"
+            "<tbody><tr><td>John</td><td>30</td></tr></tbody></table>",
+        ),
+        "expected": [
+            ("markdown", "| Name | Age |\n| --- | --- |\n| John | 30 |", "")
+        ],
+    },
+    {
+        "doc_id": "html-entities",
+        "spans": _text_span("html", "<p>&lt;tag&gt; &amp; &quot;quoted&quot;</p>"),
+        "expected": [("markdown", '<tag> & "quoted"', "")],
+    },
+    {
+        "doc_id": "html-code",
+        "spans": _text_span(
+            "html", "<p>Use <code>x = 1</code> here.</p><pre><code>line1\nline2</code></pre>"
+        ),
+        "expected": [
+            ("markdown", "Use `x = 1` here.\n\n```\nline1\nline2\n```", "")
+        ],
+    },
+    {
+        "doc_id": "html-unicode",
+        "spans": _text_span("html", "<p>中文 emoji 😀 العربية</p>"),
+        "expected": [("markdown", "中文 emoji 😀 العربية", "")],
+    },
+    {
+        "doc_id": "html-image-interleave",
+        "spans": _text_span(
+            "html", '<p>before <img alt="a" src="x.png"> after</p>'
+        ),
+        "expected": [
+            ("markdown", "before ", ""),
+            ("image", "![a](x.png)", "x.png"),
+            ("markdown", " after", ""),
+        ],
+    },
+    {
+        "doc_id": "html-lists",
+        "spans": _text_span(
+            "html", "<ul><li>Item 1</li><li>Item 2</li></ul><ol><li>One</li><li>Two</li></ol>"
+        ),
+        "expected": [
+            ("markdown", "* Item 1\n* Item 2\n\n1. One\n2. Two", "")
+        ],
+    },
+    # --- ipynb (ipynb_test.go) ---
+    {
+        "doc_id": "ipynb-basic",
+        "spans": _text_span(
+            "ipynb",
+            json.dumps(
+                {
+                    "nbformat": 4,
+                    "cells": [
+                        {"cell_type": "markdown",
+                         "source": ["# My Notebook\n", "\n", "Intro."]},
+                        {"cell_type": "code", "source": ["print('hi')"]},
+                    ],
+                    "metadata": {},
+                }
+            ),
+        ),
+        "expected": [
+            ("markdown",
+             "# My Notebook\n\nIntro.\n\n```python\nprint('hi')\n```", "")
+        ],
+    },
+    {
+        "doc_id": "ipynb-meta-title",
+        "spans": _text_span(
+            "ipynb",
+            json.dumps(
+                {
+                    "nbformat": 4,
+                    "cells": [{"cell_type": "code", "source": ["1+1"]}],
+                    "metadata": {"title": "Meta Title"},
+                }
+            ),
+        ),
+        "expected": [
+            ("markdown", "# Meta Title\n\n```python\n1+1\n```", "")
+        ],
+    },
+    {
+        "doc_id": "ipynb-invalid-error",
+        "spans": _text_span("ipynb", "{not json"),
+        "expected_status": "error",
+    },
+    # --- plain text + media interleaving (FIXTURES.md §1) ---
+    {
+        "doc_id": "text-media-interleave",
+        "spans": _spans(
+            ("text", "intro paragraph", ""),
+            ("image", "", "media://img-0001"),
+            ("text", "outro paragraph", ""),
+        ),
+        "expected": [
+            ("markdown", "intro paragraph", ""),
+            ("image", "![](media://img-0001)", "media://img-0001"),
+            ("markdown", "outro paragraph", ""),
+        ],
+        "expected_markdown": "intro paragraph\n\n![](media://img-0001)\n\noutro paragraph",
+    },
+    {
+        "doc_id": "media-only",
+        "spans": _spans(("image", "", "media://solo")),
+        "expected": [("image", "![](media://solo)", "media://solo")],
+    },
+    # --- dispatch & isolation (marky.go:41) ---
+    {
+        "doc_id": "unknown-kind",
+        "spans": _text_span("wat", "payload"),
+        "expected_status": "unsupported",
+    },
+]
+
+
+def golden_input_rows() -> list[dict[str, Any]]:
+    """Golden slice in INPUT_SCHEMA shape."""
+    return [
+        {
+            "doc_id": c["doc_id"],
+            "spans": [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in c["spans"]
+            ],
+        }
+        for c in GOLDEN_CASES
+    ]
+
+
+def golden_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(golden_input_rows(), schema=INPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scaled deterministic generator
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "spark data query scan join filter group sort merge shuffle batch stream "
+    "table row column value key hash range window partition skew salt vector "
+    "token text span media image corpus golden fixture markdown"
+).split()
+
+# (kind, weight) — media-interleaved docs exercise the placeholder path
+_KIND_WEIGHTS = (
+    ("html", 35),
+    ("csv", 20),
+    ("ipynb", 15),
+    ("text", 20),
+    ("interleaved", 10),
+)
+_KIND_CUM = []
+_acc = 0
+for _k, _w in _KIND_WEIGHTS:
+    _acc += _w
+    _KIND_CUM.append((_acc, _k))
+
+MEGA_DOC_EVERY = 5000   # skew tail: one mega-doc per 5k docs
+MEGA_FACTOR = 400       # ~400× the median body size
+
+
+def _pick_kind(i: int) -> str:
+    h = (i * 2654435761) % 100
+    for cum, kind in _KIND_CUM:
+        if h < cum:
+            return kind
+    return "text"
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def make_synth_doc(i: int) -> dict[str, Any]:
+    """Deterministic doc #i (same output for the same i, everywhere)."""
+    rng = random.Random(0xC0FFEE + i)
+    kind = _pick_kind(i)
+    scale = MEGA_FACTOR if (i > 0 and i % MEGA_DOC_EVERY == 0) else 1
+    spans: list[dict[str, Any]]
+
+    if kind == "csv":
+        rows = ["col_a,col_b,col_c"]
+        for r in range(3 * scale):
+            rows.append(f"{_sentence(rng, 2)},{rng.randint(0, 999)},row {r}")
+        spans = [{"kind": "csv", "text": "\n".join(rows), "media_ref": "", "offset": 0}]
+    elif kind == "html":
+        blocks = [f"<h1>Doc {i}</h1>"]
+        for p in range(4 * scale):
+            blocks.append(f"<p>{_sentence(rng, 12)} <em>{rng.choice(_WORDS)}</em>.</p>")
+        blocks.append('<ul>' + ''.join(f'<li>{_sentence(rng, 3)}</li>' for _ in range(3)) + '</ul>')
+        spans = [{"kind": "html", "text": "".join(blocks), "media_ref": "", "offset": 0}]
+    elif kind == "ipynb":
+        cells = [{"cell_type": "markdown", "source": [f"# Notebook {i}\n", _sentence(rng, 10)]}]
+        for c in range(2 * scale):
+            cells.append({"cell_type": "code", "source": [f"x_{c} = {rng.randint(0, 99)}\n", "print(x_%d)" % c]})
+        spans = [{"kind": "ipynb",
+                  "text": json.dumps({"nbformat": 4, "cells": cells, "metadata": {}}),
+                  "media_ref": "", "offset": 0}]
+    elif kind == "interleaved":
+        spans = []
+        off = 0
+        for seg in range(3):
+            spans.append({"kind": "text", "text": _sentence(rng, 15 * scale),
+                          "media_ref": "", "offset": off})
+            off += 1
+            spans.append({"kind": "image", "text": "",
+                          "media_ref": f"media://doc{i}/img{seg}", "offset": off})
+            off += 1
+    else:  # text
+        spans = [{"kind": "text", "text": _sentence(rng, 40 * scale),
+                  "media_ref": "", "offset": 0}]
+
+    return {"doc_id": f"doc-{i:010d}", "spans": spans}
+
+
+def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [make_synth_doc(int(i)) for i in pdf["id"]]
+        yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+
+def spark_corpus(spark: SparkSession, n_docs: int,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus of ``n_docs`` documents."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    rng_df = spark.range(0, n_docs, numPartitions=parts)
+    return rng_df.mapInPandas(_gen_batches, schema=INPUT_SCHEMA)

@@ -1,0 +1,100 @@
+"""Converter kernel registry.
+
+Mirrors the reference's ordered converter registry (lib.go:9-24, registration
+order CSV, DOCX, EPUB, XLSX, HTML, ipynb, PDF, PPTX; first match wins —
+marky.go:35-39). Here dispatch is by the explicit ``kind`` column of the span
+table, so the registry is an ordered dict: key order preserves the
+reference's precedence for documentation/extension parity, and
+``RegisterConverter`` (marky.go:21-23) maps to plain dict assignment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from .base import (
+    IMAGE,
+    MARKDOWN,
+    ConvertError,
+    Segment,
+    image,
+    md,
+    merge_markdown,
+    segments_text,
+)
+from .csvk import convert_csv
+from .htmlk import convert_html
+from .ipynbk import convert_ipynb
+
+Kernel = Callable[[str], list[Segment]]
+
+
+def _convert_text(text: str) -> list[Segment]:
+    """Plain-text / pre-converted markdown passthrough."""
+    return [md(text)]
+
+
+# Ordered to mirror lib.go:14-21 (csv, docx, epub, xlsx, html, ipynb, pdf,
+# pptx); binary kinds are appended by their modules on import below.
+REGISTRY: dict[str, Kernel] = {
+    "csv": convert_csv,
+    "html": convert_html,
+    "ipynb": convert_ipynb,
+    "text": _convert_text,
+    "markdown": _convert_text,
+}
+
+# Media span kinds that pass through conversion unchanged (FIXTURES.md §1).
+MEDIA_KINDS = frozenset({"image", "media", "audio", "video"})
+
+
+def register(kind: str, kernel: Kernel) -> None:
+    """Extension point — reference parity: Marky.RegisterConverter (marky.go:21-23)."""
+    REGISTRY[kind] = kernel
+
+
+def _late_bind() -> None:
+    """Bind binary-format kernels; kept separate so pure-text use never pays
+    their import cost and a broken optional kernel can't kill the registry."""
+    from .docxk import convert_docx
+    from .epubk import convert_epub
+    from .pdfk import convert_pdf
+    from .pptxk import convert_pptx
+    from .xlsxk import convert_xlsx
+
+    # insertion order rebuilt to mirror lib.go precedence
+    ordered = {
+        "csv": REGISTRY["csv"],
+        "docx": convert_docx,
+        "epub": convert_epub,
+        "xlsx": convert_xlsx,
+        "html": REGISTRY["html"],
+        "ipynb": REGISTRY["ipynb"],
+        "pdf": convert_pdf,
+        "pptx": convert_pptx,
+        "text": _convert_text,
+        "markdown": _convert_text,
+    }
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+try:  # binary kernels land incrementally during the build
+    _late_bind()
+except ImportError:  # pragma: no cover
+    pass
+
+__all__ = [
+    "REGISTRY",
+    "MEDIA_KINDS",
+    "Kernel",
+    "register",
+    "ConvertError",
+    "Segment",
+    "IMAGE",
+    "MARKDOWN",
+    "image",
+    "md",
+    "merge_markdown",
+    "segments_text",
+]
