@@ -13,6 +13,7 @@ Two layers (FIXTURES.md §4):
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import random
 from collections.abc import Iterator
@@ -43,6 +44,160 @@ _CSV_BASIC_MD = (
     "| Name | Age | City |\n| --- | --- | --- |\n"
     "| John | 30 | New York |\n| Jane | 25 | Los Angeles |\n"
 )
+
+def _docx_golden_cases() -> list[dict[str, Any]]:
+    from . import fixtures as fx
+
+    styled = fx.b64(fx.docx_zip(
+        fx.docx_paragraph("Head", style="Heading2")
+        + fx.docx_paragraph("bold", bold=True)
+        + fx.docx_paragraph("a*b~c")
+        + fx.docx_hyperlink("Link", "rId1"),
+        rels={"rId1": "https://example.com"},
+    ))
+    listing = fx.b64(fx.docx_zip(
+        fx.docx_list_paragraph("First", ilvl=0)
+        + fx.docx_list_paragraph("Second", ilvl=0)
+        + fx.docx_list_paragraph("Bullet", ilvl=1),
+        numbering_xml=fx.NUMBERING_XML,
+    ))
+    table = fx.b64(fx.docx_zip(fx.docx_table_xml([["中文", "x"], ["ab", "y"]])))
+    img = fx.b64(fx.docx_zip(
+        fx.docx_image("rId2"),
+        rels={"rId2": "media/image1.png"},
+        media={"media/image1.png": b"PNGDATA"},
+    ))
+    return [
+        {
+            "doc_id": "docx-styled",
+            "spans": _text_span("docx", styled),
+            "expected": [("markdown",
+                          "## Head\n**bold**\na\\*b\\~c\n"
+                          "[Link](https://example.com)\n", "")],
+        },
+        {
+            "doc_id": "docx-lists",
+            "spans": _text_span("docx", listing),
+            "expected": [("markdown",
+                          "  1. First\n  2. Second\n    * Bullet\n", "")],
+        },
+        {
+            "doc_id": "docx-table-cjk",
+            "spans": _text_span("docx", table),
+            "expected": [("markdown",
+                          "|    | |\n|----|-|\n|中文|x|\n|ab  |y|\n\n", "")],
+        },
+        {
+            "doc_id": "docx-image",
+            "spans": _text_span("docx", img),
+            "expected": [
+                ("image", "![](data:image/png;base64,UE5HREFUQQ==)",
+                 "word/media/image1.png"),
+                ("markdown", "\n", ""),
+            ],
+        },
+        {
+            "doc_id": "docx-invalid-error",
+            "spans": _text_span("docx", "bm90IGEgemlw"),  # b64("not a zip")
+            "expected_status": "error",
+        },
+    ]
+
+
+def _xlsx_golden_cases() -> list[dict[str, Any]]:
+    from . import fixtures as fx
+
+    basic = fx.b64(fx.xlsx_zip(
+        [["Name", "Age", "City"], ["John", "30", "New York"],
+         ["Jane", "25", "Los Angeles"]],
+        extra_sheets=[("Other", [["IGNORED"]])],
+    ))
+    return [
+        {
+            "doc_id": "xlsx-basic-first-sheet-only",
+            "spans": _text_span("xlsx", basic),
+            "expected": [("markdown", _CSV_BASIC_MD, "")],
+        },
+        {
+            "doc_id": "xlsx-empty",
+            "spans": _text_span("xlsx", fx.b64(fx.xlsx_zip([]))),
+            "expected": [],
+        },
+    ]
+
+
+def _pptx_golden_cases() -> list[dict[str, Any]]:
+    from . import fixtures as fx
+
+    deck = fx.b64(fx.pptx_zip(
+        slides=[
+            fx.pptx_shape("Deck Title") + fx.pptx_shape("Body"),
+            fx.pptx_pic(name="Pic", descr="A nice pic")
+            + fx.pptx_table([["H1", "H2"], ["a&b", "c"]]),
+        ],
+        notes={1: "Remember this"},
+        media={"ppt/media/image1.png": b"IMG"},
+    ))
+    return [
+        {
+            "doc_id": "pptx-two-slides",
+            "spans": _text_span("pptx", deck),
+            "expected": [
+                ("markdown",
+                 "<!-- Slide number: 1 -->\n# Deck Title\nBody\n"
+                 "\n\n### Notes:\nRemember this"
+                 "\n\n<!-- Slide number: 2 -->\n\n", ""),
+                ("image", "![A nice pic](data:image/png;base64,SU1H)",
+                 "ppt/media/image1.png"),
+                ("markdown",
+                 "\n| H1 | H2 |\n|---|---|\n| a&amp;b | c |", ""),
+            ],
+        },
+    ]
+
+
+def _epub_golden_cases() -> list[dict[str, Any]]:
+    from . import fixtures as fx
+
+    book = fx.b64(fx.epub_zip(
+        chapters=[("ch1.xhtml", "<h1>Chapter One</h1><p>First text.</p>"),
+                  ("ch2.xhtml", "<p>Second text.</p>")],
+        title="My Book", creators=["A", "B"], language="en",
+        identifier="isbn-1",
+    ))
+    return [
+        {
+            "doc_id": "epub-book",
+            "spans": _text_span("epub", book),
+            "expected": [("markdown",
+                          "**Title:** My Book\n**Authors:** A, B\n"
+                          "**Language:** en\n**Identifier:** isbn-1"
+                          "\n\n# Chapter One\n\nFirst text."
+                          "\n\nSecond text.", "")],
+        },
+    ]
+
+
+def _pdf_golden_cases() -> list[dict[str, Any]]:
+    from . import fixtures as fx
+
+    ordered = fx.b64(fx.pdf_bytes([[
+        (300, 700, "world"), (72, 650, "below"), (72, 700, "hello "),
+    ], [(72, 720, "page two")]]))
+    return [
+        {
+            "doc_id": "pdf-reading-order",
+            "spans": _text_span("pdf", ordered),
+            "expected": [("markdown",
+                          "hello world\nbelow\n\npage two", "")],
+        },
+        {
+            "doc_id": "pdf-invalid-error",
+            "spans": _text_span("pdf", "cGxhaW4gdGV4dA=="),  # b64("plain text")
+            "expected_status": "error",
+        },
+    ]
+
 
 GOLDEN_CASES: list[dict[str, Any]] = [
     # --- CSV (csv_test.go) ---
@@ -219,6 +374,16 @@ GOLDEN_CASES: list[dict[str, Any]] = [
         "spans": _spans(("image", "", "media://solo")),
         "expected": [("image", "![](media://solo)", "media://solo")],
     },
+    # --- DOCX (docx.go; synthetic minimal OOXML zips) ---
+    *_docx_golden_cases(),
+    # --- XLSX (excel_test.go) ---
+    *_xlsx_golden_cases(),
+    # --- PPTX (pptx.go) ---
+    *_pptx_golden_cases(),
+    # --- EPUB (epub.go) ---
+    *_epub_golden_cases(),
+    # --- PDF (pdf.go; self-generated classic-xref fixtures) ---
+    *_pdf_golden_cases(),
     # --- dispatch & isolation (marky.go:41) ---
     {
         "doc_id": "unknown-kind",
@@ -258,11 +423,16 @@ _WORDS = (
 
 # (kind, weight) — media-interleaved docs exercise the placeholder path
 _KIND_WEIGHTS = (
-    ("html", 35),
-    ("csv", 20),
-    ("ipynb", 15),
-    ("text", 20),
+    ("html", 25),
+    ("csv", 14),
+    ("ipynb", 10),
+    ("text", 16),
     ("interleaved", 10),
+    ("docx", 8),
+    ("xlsx", 5),
+    ("pptx", 5),
+    ("epub", 4),
+    ("pdf", 3),
 )
 _KIND_CUM = []
 _acc = 0
@@ -272,6 +442,56 @@ for _k, _w in _KIND_WEIGHTS:
 
 MEGA_DOC_EVERY = 5000   # skew tail: one mega-doc per 5k docs
 MEGA_FACTOR = 400       # ~400× the median body size
+
+
+_N_VARIANTS = 8
+
+
+@_functools.lru_cache(maxsize=None)
+def _binary_variant(kind: str, variant: int) -> str:
+    """Cached deterministic base64 payload for a binary-format template.
+
+    A handful of variants per kind keeps generation fast at bench scale while
+    every document still pays the full parse cost in the kernel."""
+    from . import fixtures as fx
+
+    rng = random.Random(0xBEEF ^ (variant * 7919))
+    if kind == "docx":
+        body = fx.docx_paragraph(f"Doc variant {variant}", style="Heading1")
+        for p in range(6):
+            body += fx.docx_paragraph(_sentence(rng, 12), bold=(p % 3 == 0))
+        body += fx.docx_table_xml(
+            [[_sentence(rng, 1), str(rng.randint(0, 99))] for _ in range(4)]
+        )
+        return fx.b64(fx.docx_zip(body))
+    if kind == "xlsx":
+        rows = [["name", "value", "note"]] + [
+            [_sentence(rng, 1), str(rng.randint(0, 999)), _sentence(rng, 3)]
+            for _ in range(8)
+        ]
+        return fx.b64(fx.xlsx_zip(rows))
+    if kind == "pptx":
+        slides = [
+            fx.pptx_shape(f"Slide {n} v{variant}")
+            + fx.pptx_shape(_sentence(rng, 10))
+            for n in range(1, 4)
+        ]
+        return fx.b64(fx.pptx_zip(slides, notes={1: _sentence(rng, 6)}))
+    if kind == "epub":
+        chapters = [
+            (f"ch{n}.xhtml",
+             f"<h1>Chapter {n}</h1><p>{_sentence(rng, 30)}</p>")
+            for n in range(1, 4)
+        ]
+        return fx.b64(fx.epub_zip(chapters, title=f"Book v{variant}",
+                                  creators=["Gen"], language="en"))
+    if kind == "pdf":
+        pages = [
+            [(72, 720 - 14 * line, _sentence(rng, 8)) for line in range(10)]
+            for _ in range(2)
+        ]
+        return fx.b64(fx.pdf_bytes(pages))
+    raise ValueError(kind)
 
 
 def _pick_kind(i: int) -> str:
@@ -321,6 +541,9 @@ def make_synth_doc(i: int) -> dict[str, Any]:
             spans.append({"kind": "image", "text": "",
                           "media_ref": f"media://doc{i}/img{seg}", "offset": off})
             off += 1
+    elif kind in ("docx", "xlsx", "pptx", "epub", "pdf"):
+        payload = _binary_variant(kind, i % _N_VARIANTS)
+        spans = [{"kind": kind, "text": payload, "media_ref": "", "offset": 0}]
     else:  # text
         spans = [{"kind": "text", "text": _sentence(rng, 40 * scale),
                   "media_ref": "", "offset": 0}]

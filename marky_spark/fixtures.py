@@ -1,0 +1,415 @@
+"""Deterministic in-memory builders for binary-format fixtures.
+
+Used by the golden tests and by the scaled corpus generator: every builder is
+a pure function of its arguments (fixed zip timestamps, no compression
+nondeterminism), so the corpus is byte-stable across runs and machines.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import zipfile
+from xml.sax.saxutils import escape as _x
+
+_ZIP_TIME = (1980, 1, 1, 0, 0, 0)
+
+
+def _make_zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            info = zipfile.ZipInfo(name, date_time=_ZIP_TIME)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def b64(data: bytes) -> str:
+    return base64.b64encode(data).decode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+# ---------------------------------------------------------------------------
+
+_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_R = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+_A = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+
+def docx_zip(body_xml: str, rels: dict[str, str] | None = None,
+             numbering_xml: str | None = None,
+             media: dict[str, bytes] | None = None) -> bytes:
+    """Minimal OOXML zip. ``body_xml`` goes inside <w:body>; ``rels`` maps
+    rId → Target; ``media`` maps zip-member-relative target → bytes."""
+    members: dict[str, bytes] = {
+        "[Content_Types].xml": b"<Types/>",
+        "word/document.xml": (
+            f'<?xml version="1.0"?><w:document {_W} {_R} {_A}>'
+            f"<w:body>{body_xml}</w:body></w:document>"
+        ).encode(),
+    }
+    rel_items = "".join(
+        f'<Relationship Id="{rid}" Type="t" Target="{target}"/>'
+        for rid, target in (rels or {}).items()
+    )
+    members["word/_rels/document.xml.rels"] = (
+        '<?xml version="1.0"?><Relationships xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/relationships">'
+        f"{rel_items}</Relationships>"
+    ).encode()
+    if numbering_xml is not None:
+        members["word/numbering.xml"] = numbering_xml.encode()
+    for target, blob in (media or {}).items():
+        members[f"word/{target}"] = blob
+    return _make_zip(members)
+
+
+def docx_paragraph(text: str, bold: bool = False, italic: bool = False,
+                   strike: bool = False, style: str | None = None) -> str:
+    rpr = ""
+    if bold or italic or strike:
+        rpr = ("<w:rPr>" + ("<w:b/>" if bold else "")
+               + ("<w:i/>" if italic else "")
+               + ("<w:strike/>" if strike else "") + "</w:rPr>")
+    ppr = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+    return f"<w:p>{ppr}<w:r>{rpr}<w:t>{_x(text)}</w:t></w:r></w:p>"
+
+
+NUMBERING_XML = (
+    '<?xml version="1.0"?>'
+    f"<w:numbering {_W}>"
+    '<w:abstractNum w:abstractNumId="0">'
+    '<w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="decimal"/>'
+    '<w:pPr><w:ind w:left="360"/></w:pPr></w:lvl>'
+    '<w:lvl w:ilvl="1"><w:start w:val="1"/><w:numFmt w:val="bullet"/>'
+    '<w:pPr><w:ind w:left="720"/></w:pPr></w:lvl>'
+    "</w:abstractNum>"
+    '<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>'
+    "</w:numbering>"
+)
+
+
+def docx_list_paragraph(text: str, num_id: int = 1, ilvl: int = 0) -> str:
+    return (
+        "<w:p><w:pPr><w:numPr>"
+        f'<w:ilvl w:val="{ilvl}"/><w:numId w:val="{num_id}"/>'
+        f"</w:numPr></w:pPr><w:r><w:t>{_x(text)}</w:t></w:r></w:p>"
+    )
+
+
+def docx_table_xml(rows: list[list[str]]) -> str:
+    trs = "".join(
+        "<w:tr>" + "".join(
+            f"<w:tc><w:p><w:r><w:t>{_x(c)}</w:t></w:r></w:p></w:tc>" for c in row
+        ) + "</w:tr>"
+        for row in rows
+    )
+    return f"<w:tbl>{trs}</w:tbl>"
+
+
+def docx_hyperlink(text: str, rid: str) -> str:
+    return (
+        f'<w:p><w:hyperlink r:id="{rid}">'
+        f"<w:r><w:t>{_x(text)}</w:t></w:r></w:hyperlink></w:p>"
+    )
+
+
+def docx_image(rid: str) -> str:
+    return (
+        "<w:p><w:r><w:drawing><wp:inline "
+        'xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing">'
+        f'<a:blip r:embed="{rid}"/></wp:inline></w:drawing></w:r></w:p>'
+    )
+
+
+def docx_textbox(text: str) -> str:
+    return (
+        "<w:p><w:r><w:pict><v:shape "
+        'xmlns:v="urn:schemas-microsoft-com:vml"><v:textbox>'
+        f"<w:txbxContent><w:p><w:r><w:t>{_x(text)}</w:t></w:r></w:p></w:txbxContent>"
+        "</v:textbox></v:shape></w:pict></w:r></w:p>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLSX
+# ---------------------------------------------------------------------------
+
+
+def xlsx_zip(rows: list[list[str]], sheet_name: str = "Sheet1",
+             extra_sheets: list[tuple[str, list[list[str]]]] | None = None,
+             with_formula: tuple[str, str] | None = None) -> bytes:
+    """Minimal xlsx with sharedStrings; optional extra (ignored) sheets and a
+    formula cell (ref, cached_value) appended to row 1 of the first sheet."""
+    shared: list[str] = []
+
+    def cell_xml(ref: str, value: str) -> str:
+        if value not in shared:
+            shared.append(value)
+        return f'<c r="{ref}" t="s"><v>{shared.index(value)}</v></c>'
+
+    def sheet_xml(data: list[list[str]]) -> str:
+        row_parts = []
+        for ri, row in enumerate(data, start=1):
+            cells = "".join(
+                cell_xml(f"{chr(ord('A') + ci)}{ri}", v)
+                for ci, v in enumerate(row)
+            )
+            row_parts.append(f'<row r="{ri}">{cells}</row>')
+        return (
+            '<?xml version="1.0"?><worksheet xmlns='
+            '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(row_parts)}</sheetData></worksheet>"
+        )
+
+    sheets = [(sheet_name, rows)] + list(extra_sheets or [])
+    sheet_xmls = [sheet_xml(data) for _, data in sheets]
+
+    if with_formula:
+        ref, cached = with_formula
+        extra = f'<c r="{ref}" t="str"><f>SUM(1,2)</f><v>{cached}</v></c>'
+        sheet_xmls[0] = sheet_xmls[0].replace("</row></sheetData>",
+                                              f"{extra}</row></sheetData>", 1)
+
+    sheet_entries = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_entries}</sheets></workbook>"
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="t" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    shared_xml = (
+        '<?xml version="1.0"?><sst xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{_x(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    members = {
+        "[Content_Types].xml": b"<Types/>",
+        "xl/workbook.xml": workbook.encode(),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0"?><Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            f"{rels}</Relationships>"
+        ).encode(),
+        "xl/sharedStrings.xml": shared_xml.encode(),
+    }
+    for i, sx in enumerate(sheet_xmls):
+        members[f"xl/worksheets/sheet{i + 1}.xml"] = sx.encode()
+    return _make_zip(members)
+
+
+# ---------------------------------------------------------------------------
+# PPTX
+# ---------------------------------------------------------------------------
+
+_P_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+
+def pptx_shape(*paragraphs: str) -> str:
+    paras = "".join(
+        f"<a:p><a:r><a:t>{_x(p)}</a:t></a:r></a:p>" for p in paragraphs
+    )
+    return f"<p:sp><p:txBody>{paras}</p:txBody></p:sp>"
+
+
+def pptx_pic(name: str, descr: str = "", embed: str = "rId2") -> str:
+    blip = f'<a:blip r:embed="{embed}"/>' if embed else "<a:blip/>"
+    return (
+        f'<p:pic><p:nvPicPr><p:cNvPr id="4" name="{name}" descr="{descr}"/>'
+        f"</p:nvPicPr><p:blipFill>{blip}</p:blipFill></p:pic>"
+    )
+
+
+def pptx_table(rows: list[list[str]]) -> str:
+    trs = "".join(
+        "<a:tr>" + "".join(
+            f"<a:tc><a:txBody><a:p><a:r><a:t>{_x(c)}</a:t></a:r></a:p></a:txBody></a:tc>"
+            for c in row
+        ) + "</a:tr>"
+        for row in rows
+    )
+    return (
+        "<p:graphicFrame><a:graphic><a:graphicData>"
+        f"<a:tbl>{trs}</a:tbl></a:graphicData></a:graphic></p:graphicFrame>"
+    )
+
+
+def pptx_group(*inner: str) -> str:
+    return f"<p:grpSp>{''.join(inner)}</p:grpSp>"
+
+
+def pptx_zip(slides: list[str], notes: dict[int, str] | None = None,
+             media: dict[str, bytes] | None = None) -> bytes:
+    """slides: spTree inner XML per slide; notes: slide index (1-based) →
+    notes body text; media: zip member name → bytes."""
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rId{i + 1}"/>'
+        for i in range(len(slides))
+    )
+    members: dict[str, bytes] = {
+        "[Content_Types].xml": b"<Types/>",
+        "ppt/presentation.xml": (
+            f'<?xml version="1.0"?><p:presentation {_P_NS}>'
+            f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+        ).encode(),
+    }
+    for i, tree in enumerate(slides, start=1):
+        members[f"ppt/slides/slide{i}.xml"] = (
+            f'<?xml version="1.0"?><p:sld {_P_NS}><p:cSld>'
+            f"<p:spTree>{tree}</p:spTree></p:cSld></p:sld>"
+        ).encode()
+    for i, text in (notes or {}).items():
+        members[f"ppt/notesSlides/notesSlide{i}.xml"] = (
+            f'<?xml version="1.0"?><p:notes {_P_NS}><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{_x(text)}</a:t></a:r></a:p>"
+            "</p:txBody></p:sp></p:spTree></p:cSld></p:notes>"
+        ).encode()
+    for name, blob in (media or {}).items():
+        members[name] = blob
+    return _make_zip(members)
+
+
+# ---------------------------------------------------------------------------
+# EPUB
+# ---------------------------------------------------------------------------
+
+
+def epub_zip(chapters: list[tuple[str, str]],
+             title: str = "", creators: list[str] | None = None,
+             language: str = "", publisher: str = "", date: str = "",
+             description: str = "", identifier: str = "",
+             missing_spine_ref: bool = False) -> bytes:
+    """chapters: (href, xhtml body) under OEBPS/."""
+    container = (
+        '<?xml version="1.0"?><container xmlns='
+        '"urn:oasis:names:tc:opendocument:xmlns:container" version="1.0">'
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" "
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    meta_parts = []
+    if title:
+        meta_parts.append(f"<dc:title>{_x(title)}</dc:title>")
+    for c in creators or []:
+        meta_parts.append(f"<dc:creator>{c}</dc:creator>")
+    if language:
+        meta_parts.append(f"<dc:language>{language}</dc:language>")
+    if publisher:
+        meta_parts.append(f"<dc:publisher>{publisher}</dc:publisher>")
+    if date:
+        meta_parts.append(f"<dc:date>{date}</dc:date>")
+    if description:
+        meta_parts.append(f"<dc:description>{description}</dc:description>")
+    if identifier:
+        meta_parts.append(f"<dc:identifier>{identifier}</dc:identifier>")
+
+    items = "".join(
+        f'<item id="ch{i}" href="{href}" media-type="application/xhtml+xml"/>'
+        for i, (href, _) in enumerate(chapters)
+    )
+    refs = "".join(f'<itemref idref="ch{i}"/>' for i in range(len(chapters)))
+    if missing_spine_ref:
+        refs += '<itemref idref="ghost"/>'
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0">'
+        f"<metadata>{''.join(meta_parts)}</metadata>"
+        f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
+    )
+    members: dict[str, bytes] = {
+        "mimetype": b"application/epub+zip",
+        "META-INF/container.xml": container.encode(),
+        "OEBPS/content.opf": opf.encode(),
+    }
+    for href, body in chapters:
+        members[f"OEBPS/{href}"] = (
+            f"<html><body>{body}</body></html>"
+        ).encode()
+    return _make_zip(members)
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def pdf_bytes(pages: list[list[tuple[float, float, str]]],
+              compress: bool = True, use_tj_array: bool = False) -> bytes:
+    """Classic-xref PDF. pages: list of [(x, y, text), ...] show operations."""
+    import zlib as _zlib
+
+    objects: dict[int, bytes] = {}
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    for i, ops in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode()
+        parts = ["BT /F1 12 Tf"]
+        for x, y, text in ops:
+            if use_tj_array:
+                words = text.split(" ")
+                arr = " -240 ".join(f"({_pdf_escape(w)})" for w in words)
+                parts.append(f"1 0 0 1 {x:g} {y:g} Tm [{arr}] TJ")
+            else:
+                parts.append(f"1 0 0 1 {x:g} {y:g} Tm ({_pdf_escape(text)}) Tj")
+        parts.append("ET")
+        stream = " ".join(parts).encode("cp1252")
+        if compress:
+            stream = _zlib.compress(stream)
+            head = f"<< /Length {len(stream)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(stream)} >>"
+        objects[content_num] = (
+            head.encode() + b"\nstream\n" + stream + b"\nendstream"
+        )
+    objects[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    max_num = max(objects)
+    out += f"xref\n0 {max_num + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

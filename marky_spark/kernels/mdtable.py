@@ -46,10 +46,11 @@ def to_markdown_table(rows: list[list[str]]) -> str:
 
 
 def _escape(s: str, charset: str) -> str:
-    """Backslash-escape every character of ``charset``. docx.go:167-174."""
-    for ch in charset:
-        s = s.replace(ch, "\\" + ch)
-    return s
+    """Backslash-escape every character of ``charset`` in ONE pass
+    (Go strings.NewReplacer semantics — inserted backslashes are never
+    re-escaped). docx.go:167-174."""
+    cs = frozenset(charset)
+    return "".join("\\" + ch if ch in cs else ch for ch in s)
 
 
 def docx_table(rows: list[list[str]]) -> str:

@@ -1,0 +1,504 @@
+"""PDF → plain-text kernel (reference parity: internal/converters/pdf.go).
+
+Replaces ledongthuc/pdf ``GetPlainText`` (pdf.go:31-50) with a from-scratch
+structural parser (SURVEY.md §2.3): trailer/xref table (incl. /Prev chains,
+with a brute-force object scan fallback for damaged files), object graph,
+page tree walk, FlateDecode content streams, and the text-operator subset
+``BT/ET Tf Td TD Tm T* TL Tj TJ ' "``.
+
+Layout → reading order (north star: "PDF layout blocks into reading-order
+spans"): text runs carry their device-space (x, y); runs are grouped into
+lines by y proximity, lines ordered top-to-bottom (descending y), runs within
+a line left-to-right; pages joined by a blank line. Negative TJ kerning
+< -100/1000 em becomes a space.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .base import ConvertError, Segment, decode_binary_payload, md
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Minimal PDF object lexer/parser over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def parse_object(self):
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise ConvertError("unexpected end of PDF object stream")
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict()
+        if c == ord("<"):
+            return self._parse_hex_string()
+        if c == ord("("):
+            return self._parse_literal_string()
+        if c == ord("["):
+            return self._parse_array()
+        if c == ord("/"):
+            return self._parse_name()
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self):
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self._parse_name()
+            out[key] = self.parse_object()
+
+    def _parse_array(self):
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos < len(self.data) and self.data[self.pos] == ord("]"):
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_name(self) -> str:
+        if self.data[self.pos] != ord("/"):
+            raise ConvertError("expected PDF name")
+        self.pos += 1
+        start = self.pos
+        d = self.data
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx hex escapes in names
+        def _unhex(m: re.Match) -> bytes:
+            return bytes([int(m.group(1), 16)])
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})", _unhex, raw)
+        return "/" + raw.decode("latin-1")
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == ord("\\"):
+                self.pos += 1
+                if self.pos >= len(d):
+                    break
+                e = d[self.pos]
+                mapping = {ord("n"): 10, ord("r"): 13, ord("t"): 9,
+                           ord("b"): 8, ord("f"): 12, ord("("): 40,
+                           ord(")"): 41, ord("\\"): 92}
+                if e in mapping:
+                    out.append(mapping[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    while len(oct_digits) < 3 and self.pos < len(d) and 0x30 <= d[self.pos] <= 0x37:
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < len(d) and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == ord("("):
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == ord(")"):
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise ConvertError("unterminated hex string")
+        hexs = re.sub(rb"\s", b"", self.data[self.pos + 1:end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _parse_number_or_ref(self):
+        d = self.data
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        tok = d[start:self.pos]
+        # lookahead for "gen R" (indirect reference)
+        save = self.pos
+        try:
+            num = int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError as exc:
+                raise ConvertError(f"bad PDF token {tok!r}") from exc
+        self._skip_ws()
+        m = re.match(rb"(\d+)\s+R\b", d[self.pos:self.pos + 24])
+        if m:
+            self.pos += m.end()
+            return _Ref(num, int(m.group(1)))
+        self.pos = save
+        return num
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+
+class _Pdf:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._load_xref()
+
+    # -- xref ------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m:
+            try:
+                self._parse_xref_at(int(m.group(1)), set())
+            except (ConvertError, ValueError, IndexError):
+                self.offsets = {}
+        if not self.offsets:
+            self._brute_scan()
+        if not self.offsets:
+            raise ConvertError("no PDF objects found")
+        if "/Root" not in self.trailer:
+            self._find_root_by_scan()
+
+    def _parse_xref_at(self, off: int, seen: set[int]) -> None:
+        if off in seen or off >= len(self.data):
+            return
+        seen.add(off)
+        data = self.data
+        if not data.startswith(b"xref", off):
+            # xref *stream* (PDF 1.5+) — not produced by our writers; fall
+            # back to the brute object scan which handles them implicitly.
+            raise ConvertError("xref stream unsupported by table parser")
+        pos = off + 4
+        lex = _Lexer(data, pos)
+        while True:
+            lex._skip_ws()
+            if data.startswith(b"trailer", lex.pos):
+                lex.pos += 7
+                trailer = lex.parse_object()
+                if isinstance(trailer, dict):
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+                    prev = trailer.get("/Prev")
+                    if isinstance(prev, (int, float)):
+                        self._parse_xref_at(int(prev), seen)
+                return
+            m = re.match(rb"(\d+)\s+(\d+)", data[lex.pos:lex.pos + 40])
+            if not m:
+                return
+            first, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            lex._skip_ws()
+            for i in range(count):
+                entry = data[lex.pos:lex.pos + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", entry)
+                if not em:
+                    raise ConvertError("malformed xref entry")
+                if em.group(3) == b"n":
+                    self.offsets.setdefault(first + i, int(em.group(1)))
+                lex.pos += em.end()
+                lex._skip_ws()
+
+    def _brute_scan(self) -> None:
+        for m in _OBJ_RE.finditer(self.data):
+            # later definitions win (incremental update semantics)
+            self.offsets[int(m.group(1))] = m.start()
+
+    def _find_root_by_scan(self) -> None:
+        m = re.search(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.data)
+        if m:
+            self.trailer["/Root"] = _Ref(int(m.group(1)), int(m.group(2)))
+
+    # -- objects -----------------------------------------------------------
+
+    def resolve(self, obj):
+        while isinstance(obj, _Ref):
+            obj = self.get(obj.num)
+        return obj
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            return None
+        m = _OBJ_RE.match(self.data, off)
+        if not m:
+            # xref offset may be slightly off; rescan nearby
+            m = _OBJ_RE.search(self.data, max(0, off - 32), off + 64)
+            if not m:
+                return None
+        lex = _Lexer(self.data, m.end())
+        obj = lex.parse_object()
+        if isinstance(obj, dict):
+            lex._skip_ws()
+            if self.data.startswith(b"stream", lex.pos):
+                p = lex.pos + 6
+                if self.data.startswith(b"\r\n", p):
+                    p += 2
+                elif self.data.startswith(b"\n", p) or self.data.startswith(b"\r", p):
+                    p += 1
+                length = self.resolve(obj.get("/Length"))
+                if isinstance(length, (int, float)) and length >= 0:
+                    raw = self.data[p:p + int(length)]
+                else:
+                    end = self.data.find(b"endstream", p)
+                    raw = self.data[p:end if end >= 0 else len(self.data)]
+                obj = _Stream(obj, raw)
+        self._cache[num] = obj
+        return obj
+
+    # -- pages -------------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("/Root"))
+        out: list[dict] = []
+        if isinstance(root, dict):
+            tree = self.resolve(root.get("/Pages"))
+            self._walk_pages(tree, out, set())
+        if not out:
+            # damaged catalog: collect /Type /Page objects in object order
+            for num in sorted(self.offsets):
+                obj = self.resolve(self.get(num))
+                if isinstance(obj, dict) and obj.get("/Type") == "/Page":
+                    out.append(obj)
+        return out
+
+    def _walk_pages(self, node, out: list[dict], seen: set[int]) -> None:
+        node = self.resolve(node)
+        if not isinstance(node, dict) or id(node) in seen:
+            return
+        seen.add(id(node))
+        if node.get("/Type") == "/Page":
+            out.append(node)
+            return
+        for kid in self.resolve(node.get("/Kids")) or []:
+            self._walk_pages(kid, out, seen)
+
+    def content_bytes(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("/Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        chunks: list[bytes] = []
+        for s in streams:
+            s = self.resolve(s)
+            if isinstance(s, _Stream):
+                chunks.append(s.decoded())
+        return b"\n".join(chunks)
+
+
+class _Stream:
+    def __init__(self, info: dict, raw: bytes):
+        self.info = info
+        self.raw = raw
+
+    def decoded(self) -> bytes:
+        filt = self.info.get("/Filter")
+        filters = filt if isinstance(filt, list) else [filt] if filt else []
+        data = self.raw
+        for f in filters:
+            if f == "/FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as exc:
+                    raise ConvertError(f"FlateDecode failed: {exc}") from exc
+            elif f is None:
+                continue
+            else:
+                raise ConvertError(f"unsupported PDF filter {f}")
+        return data
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+# ---------------------------------------------------------------------------
+
+_LINE_TOL = 2.0
+_KERN_SPACE = -100  # TJ adjustment (1/1000 em) that reads as a word gap
+
+
+def _decode_pdf_text(raw: bytes) -> str:
+    """WinAnsi ≈ cp1252 for the fixture-scoped font set."""
+    try:
+        return raw.decode("cp1252")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
+    """Interpret text operators, yielding (x, y, text) runs."""
+    lex = _Lexer(content)
+    runs: list[tuple[float, float, str]] = []
+    stack: list = []
+    x = y = 0.0          # text-line matrix translation
+    lx = ly = 0.0        # line start (for T*/TD)
+    leading = 0.0
+    n = len(content)
+    while lex.pos < n:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c in b"/([<" or (0x30 <= c <= 0x39) or c in b"+-.":
+            try:
+                stack.append(lex.parse_object())
+            except ConvertError:
+                lex.pos += 1
+            continue
+        start = lex.pos
+        while lex.pos < n and content[lex.pos] not in _WS and content[lex.pos] not in _DELIM:
+            lex.pos += 1
+        op = content[start:lex.pos]
+        if lex.pos == start:
+            lex.pos += 1
+            continue
+        try:
+            if op == b"Td":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif op == b"TD":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                leading = -ty
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif op == b"Tm":
+                lx, ly = float(stack[-2]), float(stack[-1])
+                x, y = lx, ly
+            elif op == b"T*":
+                ly -= leading
+                x, y = lx, ly
+            elif op == b"TL":
+                leading = float(stack[-1])
+            elif op == b"Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+            elif op == b"'":
+                ly -= leading
+                x, y = lx, ly
+                if stack and isinstance(stack[-1], bytes):
+                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+            elif op == b'"':
+                ly -= leading
+                x, y = lx, ly
+                if stack and isinstance(stack[-1], bytes):
+                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    parts: list[str] = []
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            parts.append(_decode_pdf_text(item))
+                        elif isinstance(item, (int, float)) and item < _KERN_SPACE:
+                            parts.append(" ")
+                    runs.append((x, y, "".join(parts)))
+            elif op == b"BT":
+                x = y = lx = ly = 0.0
+                leading = 0.0
+        except (IndexError, ValueError, TypeError):
+            pass
+        stack.clear()  # operands always precede their operator
+    return runs
+
+
+def _page_text(runs: list[tuple[float, float, str]]) -> str:
+    """Group runs into lines by y, order top-down then left-right."""
+    if not runs:
+        return ""
+    lines: list[tuple[float, list[tuple[float, str]]]] = []
+    for x, y, text in runs:
+        for i, (line_y, items) in enumerate(lines):
+            if abs(line_y - y) <= _LINE_TOL:
+                items.append((x, text))
+                break
+        else:
+            lines.append((y, [(x, text)]))
+    lines.sort(key=lambda l: -l[0])
+    out_lines = []
+    for _, items in lines:
+        items.sort(key=lambda it: it[0])
+        out_lines.append("".join(t for _, t in items))
+    return "\n".join(out_lines)
+
+
+def extract_pdf_text(data: bytes) -> str:
+    if not data.startswith(b"%PDF-"):
+        raise ConvertError("not a PDF file (missing %PDF- header)")
+    pdf = _Pdf(data)
+    pages = pdf.pages()
+    if not pages:
+        raise ConvertError("no pages found in PDF")
+    page_texts = []
+    for page in pages:
+        runs = _extract_page_runs(pdf.content_bytes(page))
+        text = _page_text(runs)
+        if text:
+            page_texts.append(text)
+    return "\n\n".join(page_texts)
+
+
+def convert_pdf(text: str) -> list[Segment]:
+    return [md(extract_pdf_text(decode_binary_payload(text)))]
