@@ -147,6 +147,168 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features (shallow-text-feature scoring), basis points."""
+    from marky_spark.ops.textstats import quality_scores
+
+    return quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with per-language hit counts."""
+    from marky_spark.ops.textstats import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint."""
+    from marky_spark.ops.textstats import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (vectorized pandas path; rows-only check —
+    the bit-level contract is pinned by tests/test_ops.py against a pure-
+    Python reimplementation)."""
+    from marky_spark.ops.textstats import simhash64
+
+    return simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 hashes over word 3-shingles), flattened to
+    h0..h11 hex-string columns. Fully JVM-side."""
+    from marky_spark.ops.dedup import N_HASHES, minhash_signature
+
+    sigs = minhash_signature(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)]
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a deterministic pair set
+    (doc_id % 50 == 0 paired with doc_id + 1)."""
+    from marky_spark.ops.dedup import ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.where(F.pmod("doc_id", F.lit(50)) == 0).select(
+        F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, a["doc_a"] + 1 == b["doc_b"]).select("doc_a", "doc_b")
+    return ngram_jaccard(docs, pairs)
+
+
+def _q_minhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (bands -> candidates -> verify).
+    The synthetic corpus has no near-dupes, so the contract is the (empty)
+    result set matching the oracle's exact O(n^2) equivalent."""
+    from marky_spark.ops.dedup import minhash_dupes
+
+    return minhash_dupes(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.8)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (exact ANN
+    baseline); similarity in integer ppm."""
+    from marky_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = brute_force_topk(emb, list(q), k=10)
+    return top.select(
+        "vec_id",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cos_ppm"),
+    )
+
+
+def _q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.9, exact bounded variant on
+    vec_id < 300; the scale path LSH-buckets first)."""
+    from marky_spark.ops.dedup import embedding_dupes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dupes(emb, threshold=0.9, max_id=300)
+    return pairs.select(
+        "vec_a", "vec_b",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cos_ppm"),
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force is
+    pinned in tests/test_ops.py)."""
+    from marky_spark.ops.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_topk(emb, list(q), k=10, n_planes=4).select(
+        "vec_id",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cos_ppm"),
+    )
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> typed decode metadata
+    (deterministic digest-derived fake codec; real codec is a stub here)."""
+    from marky_spark.ops.multimodal import decode_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/png").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_media(media)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling fan-out (rows-only; stubbed codec —
+    deterministic byte-slice frames)."""
+    from marky_spark.ops.multimodal import frame_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("video/fake").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return frame_sample(media, n_frames=4).select(
+        "media_ref", "frame_idx", "frame_offset",
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
+def _q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational substrate: TPC-H Q1-style agg over lineitem (map-side
+    partial agg + single shuffle on the group keys)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational substrate: orders x customer broadcast join + agg."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_csv": _q_convert_csv,
@@ -159,6 +321,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "events_metrics": _q_events_metrics,
         "events_window": _q_events_window,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "minhash_signature": _q_minhash_signature,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dupes": _q_minhash_dupes,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_dupes": _q_embedding_dupes,
+        "ann_topk": _q_ann_topk,
+        "media_decode": _q_media_decode,
+        "frame_sample": _q_frame_sample,
+        "tpch_q1_style": _q_tpch_q1_style,
+        "orders_join": _q_orders_join,
     }
 
 
@@ -247,5 +423,120 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) WHERE rn <= 2
+        """,
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       length(text)::DOUBLE AS n_chars,
+                       len(string_split(text,' '))::DOUBLE AS n_words,
+                       len(list_filter(string_split(text,' '),
+                           w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::DOUBLE AS stop,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha
+                FROM documents)
+            SELECT doc_id,
+                   CAST(floor((n_chars - (n_words - 1)) / n_words * 10000) AS BIGINT) AS mean_word_len_bp,
+                   CAST(floor(stop / n_words * 10000) AS BIGINT) AS stopword_ratio_bp,
+                   CAST(floor(punct / n_chars * 10000) AS BIGINT) AS punct_ratio_bp,
+                   CAST(floor(alpha / n_chars * 10000) AS BIGINT) AS alpha_ratio_bp,
+                   CAST(floor(least(1.0, greatest(0.0,
+                        stop / n_words * 2.0 + alpha / n_chars - punct / n_chars * 5.0)) * 10000) AS BIGINT) AS quality_score_bp
+            FROM t
+        """,
+        "lang_id": """
+            WITH h AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::BIGINT AS hits_en,
+                       len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','que','y','en','los','se'], w)))::BIGINT AS hits_es,
+                       len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS hits_de
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(hits_en, hits_es, hits_de) <= 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
+                        WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
+                        ELSE 'de' END AS pred_lang,
+                   hits_en, hits_es, hits_de
+            FROM h
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "minhash_signature": """
+            WITH s AS (SELECT doc_id, list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), i -> array_to_string(array_slice(string_split(text,' '), i, i + 2), ' ')) AS sh FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(sh, x -> substr(md5('0:' || x), 1, 8))) AS h0, list_min(list_transform(sh, x -> substr(md5('1:' || x), 1, 8))) AS h1, list_min(list_transform(sh, x -> substr(md5('2:' || x), 1, 8))) AS h2, list_min(list_transform(sh, x -> substr(md5('3:' || x), 1, 8))) AS h3, list_min(list_transform(sh, x -> substr(md5('4:' || x), 1, 8))) AS h4, list_min(list_transform(sh, x -> substr(md5('5:' || x), 1, 8))) AS h5, list_min(list_transform(sh, x -> substr(md5('6:' || x), 1, 8))) AS h6, list_min(list_transform(sh, x -> substr(md5('7:' || x), 1, 8))) AS h7, list_min(list_transform(sh, x -> substr(md5('8:' || x), 1, 8))) AS h8, list_min(list_transform(sh, x -> substr(md5('9:' || x), 1, 8))) AS h9, list_min(list_transform(sh, x -> substr(md5('10:' || x), 1, 8))) AS h10, list_min(list_transform(sh, x -> substr(md5('11:' || x), 1, 8))) AS h11
+            FROM s
+        """,
+        "ngram_jaccard": """
+            WITH s AS (SELECT doc_id,
+                              list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), i -> array_to_string(array_slice(string_split(text,' '), i, i + 2), ' '))) AS sh
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                        * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM s a JOIN s b ON a.doc_id % 50 = 0 AND b.doc_id = a.doc_id + 1
+        """,
+        "minhash_dupes": """
+            WITH s AS (SELECT doc_id,
+                              list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), i -> array_to_string(array_slice(string_split(text,' '), i, i + 2), ' '))) AS sh
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                        * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(floor(list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                        * 1000000) AS BIGINT) AS cos_ppm
+            FROM e, q
+            ORDER BY list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_dupes": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings WHERE vec_id < 300),
+                 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                        * 1000000) AS BIGINT) AS cos_ppm
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
+        """,
+        "media_decode": """
+            SELECT 'm' || doc_id AS media_ref,
+                   'image/png' AS mime,
+                   CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT) AS width,
+                   CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT) AS height,
+                   CAST(1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 3 AS INT) AS channels,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   'ok' AS ok
+            FROM documents
+        """,
+        "tpch_q1_style": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
     }

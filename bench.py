@@ -1,0 +1,101 @@
+"""Headline benchmark. Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Env knobs:
+- ``SPARK_GRAFT_SF_DIR``   (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``     (default 32)
+- ``SPARK_GRAFT_BENCH_DOCS`` (default 50000) — synthetic span-corpus size
+
+The headline number is documents/sec through the full conversion pipeline
+(the BASELINE.json metric); per-query wall seconds are reported alongside.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``scripts/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from marky_spark.convert import convert
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.session import get_spark
+
+    spark = get_spark(
+        app="marky-spark-bench",
+        master=f"local[{cpus}]",
+        confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return dt
+
+    # warm the Python workers (excluded from measurement)
+    convert(spark_corpus(spark, 512)).count()
+
+    # headline: full conversion of the deterministic synthetic span corpus
+    corpus = spark_corpus(spark, n_docs).persist()
+    corpus.count()  # materialize generation outside the timed window
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    out = convert(corpus)
+    counts = {r["status"]: r["n"] for r in
+              out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    convert_sec = time.time() - t0
+    corpus.unpersist()
+    queries["convert_corpus"] = round(convert_sec, 3)
+    n_ok = counts.get("ok", 0)
+    docs_per_sec = n_ok / convert_sec if convert_sec > 0 else 0.0
+
+    # flagship conversion over the driver-provided documents table
+    from marky_spark.entry_helpers import converted
+
+    timed("convert_documents", lambda: converted(spark, sf_dir).count())
+
+    # substrate / training-data queries (same callables the driver verifies)
+    q = entry_mod.queries()
+    for name in ("dedup_exact", "token_stats", "events_window",
+                 "resume_anti_join", "convert_metrics"):
+        if name in q:
+            timed(name, lambda name=name: q[name](spark, sf_dir).count())
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "documents/sec converted to ordered Markdown spans "
+                  "(synthetic interleaved corpus, 10-kind mix, skew tail)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_ok": n_ok,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Deduplication operators for a training-data pipeline.
+
+Scale notes (the 100 TB design point):
+
+- **exact**: one hash-groupBy shuffle on a 32-hex key — the minimum possible.
+- **MinHash+LSH**: signatures are computed entirely JVM-side (whole-stage
+  codegen: split → shingle transform → md5 per seed → array_min); candidate
+  pairs come from a *band-bucket* shuffle (each doc explodes into
+  ``n_bands`` rows), so the join is O(docs × bands), never O(docs²).
+  Min-hash values are fixed-width lowercase hex strings — lexicographic min
+  == numeric min, which keeps the whole operator in string-land and makes it
+  reproducible in any ANSI engine (the DuckDB oracle runs the same formula).
+- **n-gram Jaccard verify**: exact similarity only on LSH candidates.
+- **SimHash**: near-dup by Hamming distance on the 64-bit signature
+  (textstats.simhash64), banded on 16-bit chunks for candidate generation.
+- **embedding near-dup**: cosine ≥ τ pairs, LSH-bucketed by sign hashes at
+  scale (similarity.py); the bounded exact variant here is the oracle path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 12
+BAND_SIZE = 2  # 6 bands × 2 rows
+
+
+def exact_dupes(df: DataFrame, col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: cluster key, size, keeper id."""
+    return df.groupBy(F.md5(col).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def _shingles_expr(col: str, k: int = 3) -> str:
+    """SQL expr: array of word k-shingles (space-joined)."""
+    return (
+        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({col}, ' '), i, {k})))"
+    )
+
+
+def minhash_signature(df: DataFrame, col: str = "text",
+                      n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = min over shingles of
+    substr(md5(i || ':' || shingle), 1, 8). Pure JVM expressions."""
+    sh = _shingles_expr(col)
+    sig = F.array(*[
+        F.expr(
+            f"array_min(transform({sh}, s -> substring(md5(concat('{i}:', s)), 1, 8)))"
+        )
+        for i in range(n_hashes)
+    ])
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def minhash_bands(df: DataFrame, col: str = "text",
+                  n_hashes: int = N_HASHES,
+                  band_size: int = BAND_SIZE) -> DataFrame:
+    """Explode signatures into (band_idx, band_key, doc_id) bucket rows."""
+    sigs = minhash_signature(df, col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.col("sig")[b * band_size + j]
+                               for j in range(band_size)]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        sigs.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_key")
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+
+    The self-join happens *within band buckets* (groupBy-style co-partition
+    on (band_idx, band_key)), so shuffle volume is docs × bands and the
+    quadratic blowup is confined to same-bucket collisions.
+    """
+    bands = minhash_bands(df, col)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame,
+                  col: str = "text", k: int = 3) -> DataFrame:
+    """Exact word-k-gram Jaccard for given (doc_a, doc_b) pairs."""
+    sh = F.array_distinct(F.expr(_shingles_expr(col, k)))
+    docs = df.select("doc_id", sh.alias("sh"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = (
+        pairs.join(a, pairs["doc_a"] == F.col("a.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    # parts-per-million via floor: integer output is bit-identical across
+    # engines (round() tie-breaking would diverge)
+    return joined.select(
+        "doc_a", "doc_b",
+        F.floor(inter / union * 1_000_000).cast("long").alias("jaccard_ppm"),
+    )
+
+
+def minhash_dupes(df: DataFrame, col: str = "text",
+                  threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: bands → candidates → exact
+    Jaccard verify → pairs ≥ threshold."""
+    pairs = minhash_candidate_pairs(df, col)
+    verified = ngram_jaccard(df, pairs, col)
+    return verified.where(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+
+
+def simhash_dupes(df: DataFrame, col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: band the 64-bit signature into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), bucket-join,
+    verify exact Hamming distance JVM-side (bit_count of xor)."""
+    from .textstats import simhash64
+
+    sigs = simhash64(df, col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("chunk_key"),
+        )
+        for c in range(4)
+    ])
+    banded = (
+        sigs.select("doc_id", "simhash", F.explode(chunks).alias("c"))
+        .select("doc_id", "simhash", "c.chunk_idx", "c.chunk_key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+               & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_dupes(emb: DataFrame, threshold: float = 0.95,
+                    max_id: int | None = None) -> DataFrame:
+    """Exact cosine near-dup pairs over an embedding table
+    (vec_id, embedding array<float>). ``max_id`` bounds the O(n²) exact
+    variant (the oracle path); the scale path buckets by hyperplane sign
+    hashes first (similarity.lsh_buckets)."""
+    e = emb
+    if max_id is not None:
+        e = e.where(F.col("vec_id") < max_id)
+    e = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` (whole-stage
+codegen; no Python) except ``simhash64``, which is an Arrow-vectorized pandas
+transform (bit-parallel numpy) — the documented slow path.
+
+Every operator is deterministic and (except simhash) mirrored 1:1 in ANSI SQL
+by the driver oracles in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword slices per language — deliberately tiny and fixed: the operator
+# contract is the *formula*, not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den"),
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish) tokens + char count."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.col(col), " ")).cast("long").alias("ws_tokens"),
+        # pattern as a literal Column — dodges SQL-string backslash escaping
+        F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+        .cast("long").alias("re_tokens"),
+        F.length(col).cast("long").alias("n_chars"),
+    )
+
+
+def _stopword_hits(col: str, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens that are in the stopword list (JVM-side
+    filter over the split array — no Python)."""
+    arr = ",".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split({col}, ' '), t -> array_contains(array({arr}), t)))"
+    ).cast("long")
+
+
+def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Shallow quality features (Kohlschütter-style shallow text features):
+    length, mean word length, stopword ratio, punctuation ratio, alpha ratio,
+    and a composite [0,1] score."""
+    n_chars = F.length(col).cast("double")
+    words = F.split(F.col(col), " ")
+    n_words = F.size(words).cast("double")
+    mean_wlen = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    stop = _stopword_hits(col, LANG_STOPWORDS["en"]).cast("double")
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+
+    stop_ratio = stop / n_words
+    punct_ratio = punct / n_chars
+    alpha_ratio = alpha / n_chars
+    # composite: reward stopword presence + alphabetic mass, punish
+    # punctuation soup; clamp to [0,1]
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            stop_ratio * 2.0 + alpha_ratio - punct_ratio * 5.0,
+        ),
+    )
+    # basis points via floor: integer outputs are bit-identical across
+    # engines (round() half-up vs half-even would diverge at boundaries)
+    def bp(col) -> Column:
+        return F.floor(col * 10000).cast("long")
+
+    return df.select(
+        "doc_id",
+        bp(mean_wlen).alias("mean_word_len_bp"),
+        bp(stop_ratio).alias("stopword_ratio_bp"),
+        bp(punct_ratio).alias("punct_ratio_bp"),
+        bp(alpha_ratio).alias("alpha_ratio_bp"),
+        bp(score).alias("quality_score_bp"),
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over the fixed language set; ties break by
+    language-key order (en < es < de by first-win)."""
+    scores = {lang: _stopword_hits(col, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select("doc_id", pred.alias("pred_lang"),
+                    *[scores[lang].alias(f"hits_{lang}") for lang in langs])
+    return out
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (content-defined identity for exact-ish dedup and lineage)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): per-token
+    64-bit hash (md5 low 8 bytes), bit-parallel vote, sign → bits.
+
+    Arrow-vectorized pandas path (numpy bit ops); no SQL oracle — verified by
+    pure-Python re-implementation in tests (rows-only driver check).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tokens = (text or "").split()
+                if not tokens:
+                    out.append((doc_id, 0))
+                    continue
+                hashes = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8]
+                             for t in tokens),
+                    dtype=">u8",
+                )
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1))
+                # signed: unsigned *2 - n would wrap below zero
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(tokens)
+                sig = int(
+                    ((votes > 0).astype(np.uint64)
+                     << np.arange(64, dtype=np.uint64)).sum()
+                )
+                out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return df.select("doc_id", col).mapInPandas(
+        batches, schema="doc_id long, simhash long"
+    )

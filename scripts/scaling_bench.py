@@ -1,0 +1,126 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+Runs the identical conversion job on the identical deterministic corpus at
+N and 4N cores (default N=2; pass N as the second argument). Each measurement runs in its own subprocess pinned with
+``taskset`` to exactly that many physical cores — without pinning, a
+``local[8]`` session still spreads its JVM/GC/Arrow/Python-worker threads
+over all 32 cores and the baseline is overstated. Reports docs/sec at both
+levels plus scaling efficiency ``(T_32/T_8)/4`` and writes
+``BENCH/BASELINE.md``.
+
+Usage: python scripts/scaling_bench.py [n_docs] [N]      (pair = N vs 4N)
+       python scripts/scaling_bench.py --worker CORES N_DOCS   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(cores: int, n_docs: int, repeats: int = 3) -> dict:
+    from marky_spark.convert import convert
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"scaling-bench-{cores}",
+        master=f"local[{cores}]",
+        confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            # shuffle partitions scaled with cores, as a real submit would
+            "spark.sql.shuffle.partitions": str(cores * 2),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # identical input across runs: fixed partition count (task granularity
+    # 8 tasks/core at the 4N level) so the only variable is core count
+    corpus = spark_corpus(spark, n_docs, partitions=256).persist()
+    corpus.count()
+    convert(corpus.limit(2048)).count()  # warm all Python workers
+
+    best = None
+    n_ok = 0
+    for _ in range(repeats):
+        t0 = time.time()
+        n_ok = convert(corpus).where("status = 'ok'").count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    corpus.unpersist()
+    spark.stop()
+    return {"cores": cores, "n_docs": n_docs, "n_ok": n_ok,
+            "seconds": round(best, 3),
+            "docs_per_sec": round(n_ok / best, 1)}
+
+
+def run_pinned(cores: int, n_docs: int) -> dict:
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+           os.path.abspath(__file__), "--worker", str(cores), str(n_docs)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"worker {cores} produced no result:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        print(json.dumps(worker(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    r8 = run_pinned(n, n_docs)
+    r32 = run_pinned(4 * n, n_docs)
+    efficiency = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    result = {f"local{n}": r8, f"local{4 * n}": r32,
+              "scaling_efficiency": round(efficiency, 3)}
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH baseline — two-parallelism scaling evidence
+
+Protocol (BASELINE.md / north rule): the same conversion job on the same
+deterministic synthetic corpus ({n_docs} interleaved documents, 10-kind mix
+incl. binary formats and a mega-doc skew tail, seed-fixed), run at two
+parallelism levels — N={n} and 4N={4 * n} cores. Each run is a separate process
+pinned with ``taskset -c`` to exactly its core budget (unpinned, a local[N]
+JVM still spreads GC/Arrow/Python-worker threads over all 32 cores and
+overstates the baseline). Best of 3 timed runs; Python workers pre-warmed;
+corpus materialized (persisted) outside the timed window; input fixed at 256
+partitions so task granularity is identical.
+
+| config | pinned cores | docs | wall sec | docs/sec |
+|---|---|---|---|---|
+| local[{n}]  (N)  | 0-{n - 1}  | {r8['n_ok']} | {r8['seconds']} | {r8['docs_per_sec']} |
+| local[{4 * n}] (4N) | 0-{4 * n - 1} | {r32['n_ok']} | {r32['seconds']} | {r32['docs_per_sec']} |
+
+**Scaling efficiency (N → 4N) = (throughput_32 / throughput_8) / 4 =
+{result['scaling_efficiency']}** (north-rule target: ≥ 0.8).
+
+The conversion job is an embarrassingly parallel Arrow-batched map with no
+shuffle in the hot path (the only exchanges are the fixed-width repartition
+before the kernel and the metrics aggregation), so throughput scales with
+cores until the corpus runs out of partitions; the same property is what
+holds the plan together at 1000 executors × 10^12 docs — see
+marky_spark/pipeline.py for the bucketed wave/commit design that bounds the
+blast radius of failures at that scale.
+
+Raw JSON: `{json.dumps(result)}`
+""")
+
+
+if __name__ == "__main__":
+    main()

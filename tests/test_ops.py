@@ -1,0 +1,253 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# --- textstats ------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    from marky_spark.ops.textstats import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "hello world, x2!")], "doc_id long, text string"
+    )
+    row = token_counts(df).collect()[0]
+    assert row["ws_tokens"] == 3
+    # BPE-ish: hello | world | , | x | 2 | !
+    assert row["re_tokens"] == 6
+    assert row["n_chars"] == 16
+
+
+def test_lang_id_votes(spark):
+    from marky_spark.ops.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of it"),
+            (2, "el perro y la casa de que"),
+            (3, "qqq zzz www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    from marky_spark.ops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_simhash_matches_pure_python_and_locality(spark):
+    from marky_spark.ops.textstats import simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert got[1] == got[2]  # identical text → identical signature
+
+    def ref_simhash(text):
+        votes = [0] * 64
+        for t in text.split():
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    assert got[1] == ref_simhash(base)
+
+    ham_near = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((got[1] ^ got[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # locality
+
+
+def test_quality_scores_ordering(spark):
+    from marky_spark.ops.textstats import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is fine"),
+         (2, "!!! ,,, ... ;;; :::")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_score_bp"]
+           for r in quality_scores(df).collect()}
+    assert got[1] > got[2]
+    assert got[2] == 0
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dupes(spark):
+    from marky_spark.ops.dedup import exact_dupes
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {r["text_hash"]: (r["n_dupes"], r["keeper_doc_id"])
+           for r in exact_dupes(df).collect()}
+    assert (2, 1) in got.values()
+    assert (1, 3) in got.values()
+
+
+def test_minhash_lsh_finds_near_dupes(spark):
+    from marky_spark.ops.dedup import minhash_dupes
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "sygma")  # ~2 shingles differ out of 18
+    rows = [(1, base), (2, near), (3, "totally unrelated words here"),
+            (4, "more disjoint content again entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+             for r in minhash_dupes(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 500_000
+    assert all(p == (1, 2) for p in pairs)  # no false positives
+
+
+def test_simhash_dupes(spark):
+    from marky_spark.ops.dedup import simhash_dupes
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(1, base), (2, base + "tail"), (3, "unrelated different corpus")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             simhash_dupes(df, max_hamming=8).collect()]
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dupes(spark, emb):
+    from marky_spark.ops.dedup import embedding_dupes
+
+    # plant an exact duplicate of vec 0 with a new id
+    dup = emb.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9999))
+    df = emb.unionByName(dup)
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_dupes(df, threshold=0.999).collect()}
+    assert pairs.get((0, 9999)) == pytest.approx(1.0, abs=1e-6)
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_brute_force_topk_self_first(spark, emb):
+    from marky_spark.ops.similarity import brute_force_topk
+
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_topk_recall(spark, emb):
+    from marky_spark.ops.similarity import ann_topk, brute_force_topk
+
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ann_topk(emb, q, k=10, n_planes=4).collect()}
+    recall = len(exact & approx) / 10
+    assert 0 in approx  # the query vector itself is always found
+    assert recall >= 0.3, f"recall {recall}"
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def _media_df(spark):
+    rows = [
+        ("m1", "image/png", bytearray(b"PNGBYTES-1")),
+        ("m2", "image/jpeg", bytearray(b"JPEGBYTES-22")),
+        ("m3", "video/mp4", bytearray(bytes(range(64)))),
+    ]
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_decode_media_fake_and_stub(spark):
+    from marky_spark.ops.multimodal import _real_decode, decode_media, fake_decode
+
+    media = _media_df(spark)
+    got = {r["media_ref"]: r for r in decode_media(media).collect()}
+    w, h, c = fake_decode(b"PNGBYTES-1", "image/png")
+    assert (got["m1"]["width"], got["m1"]["height"], got["m1"]["channels"]) == (w, h, c)
+    assert got["m1"]["ok"] == "ok"
+    assert got["m2"]["n_bytes"] == 12
+
+    # the real codec hook is an explicit stub in this sandbox
+    stubbed = {r["media_ref"]: r["ok"]
+               for r in decode_media(media, decoder=_real_decode).collect()}
+    assert set(stubbed.values()) == {"codec_unavailable"}
+
+
+def test_frame_sample_fanout(spark):
+    from marky_spark.ops.multimodal import frame_sample
+
+    got = frame_sample(_media_df(spark), n_frames=4).collect()
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref["m3"]) == 4
+    assert [r["frame_idx"] for r in sorted(by_ref["m3"],
+                                           key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert by_ref["m3"][0]["frame_bytes"] is not None
+
+
+def test_media_features_shape(spark):
+    from marky_spark.ops.multimodal import FEATURE_DIM, media_features
+
+    rows = media_features(_media_df(spark)).collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic
+    again = media_features(_media_df(spark)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_attach_media_join(spark):
+    from marky_spark.convert import convert
+    from marky_spark.ops.multimodal import attach_media
+    from marky_spark.schema import INPUT_SCHEMA
+
+    doc = [{"doc_id": "d1", "spans": [
+        {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "m1", "offset": 1},
+    ]}]
+    out = convert(spark.createDataFrame(doc, schema=INPUT_SCHEMA))
+    joined = attach_media(out, _media_df(spark)).collect()
+    assert len(joined) == 1
+    assert joined[0]["media_ref"] == "m1"
+    assert bytes(joined[0]["payload"]) == b"PNGBYTES-1"

@@ -1,0 +1,79 @@
+"""Resumable bucketed job: crash → restart → complete, no dupes, no loss."""
+
+import pytest
+
+from marky_spark.corpus import spark_corpus
+from marky_spark.pipeline import (
+    SnapshotStore,
+    read_output,
+    run_convert_job,
+    skew_balanced,
+)
+
+N_DOCS = 240
+
+
+def test_crash_resume_completes_without_dupes(spark, tmp_path):
+    out_dir = str(tmp_path / "job")
+    corpus = spark_corpus(spark, N_DOCS, partitions=4)
+
+    # first run crashes after 1 committed wave
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_convert_job(spark, corpus, out_dir, n_buckets=16, waves=4,
+                        partitions=4, fail_after_wave=1)
+    committed_1 = SnapshotStore(out_dir).committed_buckets()
+    assert 0 < len(committed_1) < 16
+    partial = read_output(spark, out_dir)
+    n_partial = partial.count()
+    assert 0 < n_partial < N_DOCS
+
+    # restart: only remaining buckets are processed
+    results = run_convert_job(spark, corpus, out_dir, n_buckets=16, waves=4,
+                              partitions=4)
+    done = sum(r.n_docs for r in results)
+    assert done == N_DOCS - n_partial  # no recomputation of committed work
+
+    final = read_output(spark, out_dir)
+    assert final.count() == N_DOCS
+    assert final.select("doc_id").distinct().count() == N_DOCS  # no dupes
+    assert SnapshotStore(out_dir).committed_buckets() == set(range(16))
+
+
+def test_rerun_on_complete_job_is_noop(spark, tmp_path):
+    out_dir = str(tmp_path / "job2")
+    corpus = spark_corpus(spark, 60, partitions=2)
+    run_convert_job(spark, corpus, out_dir, n_buckets=4, waves=2, partitions=2)
+    again = run_convert_job(spark, corpus, out_dir, n_buckets=4, waves=2,
+                            partitions=2)
+    assert again == []
+    assert read_output(spark, out_dir).count() == 60
+
+
+def test_lineage_and_metrics_written(spark, tmp_path):
+    out_dir = str(tmp_path / "job3")
+    corpus = spark_corpus(spark, 80, partitions=2)
+    run_convert_job(spark, corpus, out_dir, n_buckets=4, waves=1, partitions=2)
+
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    assert lineage.groupBy().sum("n_docs").collect()[0][0] == 80
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    rows = {(r["conv_kind"], r["status"]): r["n_docs"] for r in metrics.collect()}
+    assert sum(rows.values()) == 80
+    assert all(status == "ok" for (_, status) in rows)
+
+
+def test_skew_balanced_splits_mega_docs(spark):
+    from marky_spark.schema import INPUT_SCHEMA
+
+    rows = [
+        {"doc_id": f"s{i}",
+         "spans": [{"kind": "text", "text": "x" * 100, "media_ref": "",
+                    "offset": 0}]}
+        for i in range(200)
+    ]
+    rows.append({"doc_id": "mega",
+                 "spans": [{"kind": "text", "text": "y" * 2_000_000,
+                            "media_ref": "", "offset": 0}]})
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    balanced = skew_balanced(df, partitions=8, skew_factor=4.0)
+    assert balanced.count() == 201  # no loss through the split/union
