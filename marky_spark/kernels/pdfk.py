@@ -27,11 +27,16 @@ _DELIM = b"()<>[]{}/%"
 
 
 class _Lexer:
-    """Minimal PDF object lexer/parser over a bytes buffer."""
+    """Minimal PDF object lexer/parser over a bytes buffer.
 
-    def __init__(self, data: bytes, pos: int = 0):
+    ``refs=False`` disables the indirect-reference lookahead ("N G R") —
+    content streams cannot contain refs, and the per-number regex lookahead
+    was the content interpreter's hottest path."""
+
+    def __init__(self, data: bytes, pos: int = 0, refs: bool = True):
         self.data = data
         self.pos = pos
+        self.refs = refs
 
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
@@ -111,6 +116,13 @@ class _Lexer:
     def _parse_literal_string(self) -> bytes:
         d = self.data
         self.pos += 1
+        # fast path: no escape and no nested paren before the closing paren
+        end = d.find(b")", self.pos)
+        if end >= 0:
+            chunk = d[self.pos:end]
+            if b"\\" not in chunk and b"(" not in chunk:
+                self.pos = end + 1
+                return chunk
         out = bytearray()
         depth = 1
         while self.pos < len(d):
@@ -170,7 +182,6 @@ class _Lexer:
         while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
             self.pos += 1
         tok = d[start:self.pos]
-        # lookahead for "gen R" (indirect reference)
         save = self.pos
         try:
             num = int(tok)
@@ -179,6 +190,9 @@ class _Lexer:
                 return float(tok)
             except ValueError as exc:
                 raise ConvertError(f"bad PDF token {tok!r}") from exc
+        if not self.refs:
+            return num
+        # lookahead for "gen R" (indirect reference)
         self._skip_ws()
         m = re.match(rb"(\d+)\s+R\b", d[self.pos:self.pos + 24])
         if m:
@@ -390,7 +404,7 @@ def _decode_pdf_text(raw: bytes) -> str:
 
 def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
     """Interpret text operators, yielding (x, y, text) runs."""
-    lex = _Lexer(content)
+    lex = _Lexer(content, refs=False)
     runs: list[tuple[float, float, str]] = []
     stack: list = []
     x = y = 0.0          # text-line matrix translation

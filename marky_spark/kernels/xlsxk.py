@@ -25,6 +25,11 @@ def _local(tag: str) -> str:
 
 
 def _attr(el: ET.Element, name: str) -> str | None:
+    # spreadsheetML cell/row/sheet attributes are almost always unprefixed —
+    # direct dict hit first, namespaced fallback second
+    v = el.attrib.get(name)
+    if v is not None:
+        return v
     for k, v in el.attrib.items():
         if _local(k) == name:
             return v
