@@ -89,7 +89,8 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw per-run report; the curated evidence doc is BENCH/BASELINE.md
+    with open(os.path.join(REPO, "BENCH", "last_scaling_run.md"), "w") as f:
         f.write(f"""# BENCH baseline — two-parallelism scaling evidence
 
 Protocol (BASELINE.md / north rule): the same conversion job on the same

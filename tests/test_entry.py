@@ -2,13 +2,15 @@
 DuckDB oracle at sf0.001 (fast) — row count + sorted value comparison."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; CI-style full check: MARKY_TEST_SF_DIR=.../sf0.01
+SF_DIR = os.environ.get("MARKY_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
