@@ -309,6 +309,57 @@ def _q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch twin of the stateful streaming
+    operator (ops/sessionize.py; 30-min inactivity gap)."""
+    from marky_spark.ops.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(ev)
+    # epoch micros: integer timestamps are bit-identical across engines
+    # (string rendering differs on trailing fraction zeros)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        .alias("end_us"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def _q_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k (orders ⋈ customer ⋈ nation, broadcast
+    dims, sort/limit)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.desc("total_price"), F.asc("n_name"))
+        .limit(5)
+    )
+
+
+def _q_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range filter (pushed to the parquet scan) + agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where((F.col("l_shipdate") >= "1995-01-01")
+                 & (F.col("l_shipdate") < "1996-01-01"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.avg("l_discount"), 4).alias("avg_discount"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_csv": _q_convert_csv,
@@ -335,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "tpch_q1_style": _q_tpch_q1_style,
         "orders_join": _q_orders_join,
+        "sessionize": _q_sessionize,
+        "top_nations": _q_top_nations,
+        "ship_window": _q_ship_window,
     }
 
 
@@ -538,5 +592,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sid AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM sid GROUP BY user_id, session_id
+        """,
+        "top_nations": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY total_price DESC, n_name ASC
+            LIMIT 5
+        """,
+        "ship_window": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(avg(l_discount), 4) AS avg_discount
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+            GROUP BY l_returnflag
         """,
     }
