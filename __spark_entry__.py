@@ -360,6 +360,23 @@ def _q_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_convert_binary_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O10-O23: binary-format kernels (docx/xlsx/pptx/epub/pdf) over a
+    deterministic generated slice (rows-only: binary payloads are not
+    SQL-reconstructible; byte-level contracts live in the golden suite)."""
+    from marky_spark.convert import convert
+    from marky_spark.corpus import spark_corpus
+
+    corpus = spark_corpus(spark, 2000, partitions=8)
+    out = convert(corpus, kinds=["docx", "xlsx", "pptx", "epub", "pdf"])
+    return out.groupBy("conv_kind", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("md_chars").alias("total_md_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_csv": _q_convert_csv,
@@ -386,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "tpch_q1_style": _q_tpch_q1_style,
         "orders_join": _q_orders_join,
+        "convert_binary_kinds": _q_convert_binary_kinds,
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
         "ship_window": _q_ship_window,

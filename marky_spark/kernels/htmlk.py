@@ -36,6 +36,11 @@ _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# cap DOM depth (browsers cap around 512): deeper elements attach flat at
+# the cap, which bounds recursion in every downstream tree walk — without it
+# adversarial nesting ("<b>"*3000) exceeds Python's recursion limit
+_MAX_DEPTH = 240
+
 # start of tag X implicitly closes an open tag Y (simplified HTML5 rules)
 _IMPLIED_CLOSE = {
     "p": {"p"},
@@ -70,7 +75,7 @@ class _DomBuilder(HTMLParser):
             self.stack.pop()
         el = Element(tag, {k: (v or "") for k, v in attrs})
         self.stack[-1].children.append(el)
-        if tag not in _VOID_TAGS:
+        if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
@@ -89,11 +94,117 @@ class _DomBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(text: str) -> Element:
+def parse_html_stdlib(text: str) -> Element:
+    """Reference tokenizer: stdlib html.parser (kept as the differential
+    baseline for the fast tokenizer below; tests assert identical output on
+    goldens, real pages, and a tricky-snippet corpus)."""
     builder = _DomBuilder()
     builder.feed(text)
     builder.close()
     return builder.root
+
+
+# -- fast tokenizer ----------------------------------------------------------
+
+# one pass, one regex: comments / doctype-decls / end tags / start tags / text
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                 # comment (unterminated → to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"       # CDATA
+    r"|<![^>]*>?"                        # doctype / other declarations
+    r"|<\?[^>]*>?"                       # processing instruction
+    r"|</\s*([a-zA-Z][-a-zA-Z0-9:._]*)\s*>"      # end tag   (group 1)
+    r"|<([a-zA-Z][-a-zA-Z0-9:._]*)"              # start tag (group 2) …
+    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
+    r"\s*(/?)>?",                                 # self-closing flag (group 4)
+    re.DOTALL,
+)
+
+_ATTR_RE = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+
+# content of these runs verbatim until the matching close tag (HTML rawtext)
+_RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
+
+_AMP = "&"
+
+
+def _decode(text: str) -> str:
+    """Entity decode only when an ampersand is present (html.unescape is
+    surprisingly expensive on entity-free text)."""
+    if _AMP in text:
+        import html as _html_mod
+
+        return _html_mod.unescape(text)
+    return text
+
+
+def parse_html(text: str) -> Element:
+    """Fast tolerant tokenizer → same DOM as :func:`parse_html_stdlib`.
+
+    html.parser's pure-Python goahead() was ~45% of the HTML kernel; this
+    single-regex scanner produces the same Element tree for the tolerant
+    subset we emit from (verified differentially in tests/test_html.py)."""
+    root = Element("#root", {})
+    stack = [root]
+    pos = 0
+    n = len(text)
+
+    def flush(upto: int, start: int) -> None:
+        if start < upto:
+            chunk = text[start:upto]
+            stack[-1].children.append(_decode(chunk))
+
+    while pos < n:
+        m = _TOKEN_RE.search(text, pos)
+        if m is None:
+            flush(n, pos)
+            break
+        flush(m.start(), pos)
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        if start_tag is None:
+            continue  # comment / doctype / PI
+        tag = start_tag.lower()
+        attrs: dict[str, str] = {}
+        raw_attrs = m.group(3)
+        if raw_attrs:
+            for am in _ATTR_RE.finditer(raw_attrs):
+                name = am.group(1).lower()
+                value = am.group(2)
+                if value is None:
+                    attrs[name] = ""
+                elif value[:1] in "\"'" and value[:1] == value[-1:] and len(value) >= 2:
+                    attrs[name] = _decode(value[1:-1])
+                else:
+                    attrs[name] = _decode(value)
+        self_closing = m.group(4) == "/"
+
+        closes = _IMPLIED_CLOSE.get(tag)
+        if closes and stack[-1].tag in closes:
+            stack.pop()
+        el = Element(tag, attrs)
+        stack[-1].children.append(el)
+        if self_closing or tag in _VOID_TAGS or len(stack) >= _MAX_DEPTH:
+            continue
+        if tag in _RAWTEXT_TAGS:
+            close = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
+            cm = close.search(text, pos)
+            raw_end = cm.start() if cm else n
+            if raw_end > pos:
+                el.children.append(text[pos:raw_end])
+            pos = cm.end() if cm else n
+            continue
+        stack.append(el)
+
+    return root
 
 
 # ---------------------------------------------------------------------------
@@ -114,39 +225,42 @@ _WS_RE = re.compile(r"\s+")
 
 
 def _text_stats(node: Element | str, in_link: bool = False,
-                memo: dict[int, tuple[int, int, int]] | None = None
-                ) -> tuple[int, int, int]:
-    """(total_text_chars, linked_text_chars, n_links) of a subtree.
+                memo: dict[int, tuple[int, int, int, int]] | None = None
+                ) -> tuple[int, int, int, int]:
+    """(total_text_chars, linked_text_chars, n_links, n_elements) of a
+    subtree.
 
     One bottom-up pass with per-element memoization — strip_boilerplate
     queries stats for every candidate container, which without the memo is
     quadratic in tree depth (measured: ~40% of the whole HTML kernel)."""
     if isinstance(node, str):
         n = len(_WS_RE.sub(" ", node).strip())
-        return n, n if in_link else 0, 0
+        return n, n if in_link else 0, 0, 0
     if memo is not None and not in_link:
         cached = memo.get(id(node))
         if cached is not None:
             return cached
     if node.tag in _DROP_TAGS:
-        return 0, 0, 0
+        return 0, 0, 0, 1
     total = linked = links = 0
+    elements = 1
     is_link = in_link or node.tag == "a"
     if node.tag == "a":
         links += 1
     for child in node.children:
-        t, l, k = _text_stats(child, is_link, memo)
+        t, l, k, e = _text_stats(child, is_link, memo)
         total += t
         linked += l
         links += k
+        elements += e
     if memo is not None and not in_link:
-        memo[id(node)] = (total, linked, links)
-    return total, linked, links
+        memo[id(node)] = (total, linked, links, elements)
+    return total, linked, links, elements
 
 
 def strip_boilerplate(root: Element) -> Element:
-    memo: dict[int, tuple[int, int, int]] = {}
-    doc_text, _, _ = _text_stats(root, memo=memo)
+    memo: dict[int, tuple[int, int, int, int]] = {}
+    doc_text, _, _, _ = _text_stats(root, memo=memo)
 
     def prune(node: Element) -> Element | None:
         """Non-destructive rebuild: the original tree stays intact so the
@@ -154,12 +268,21 @@ def strip_boilerplate(root: Element) -> Element:
         if node.tag in _DROP_TAGS:
             return None
         if node.tag in _PRUNE_CANDIDATES and doc_text > 0:
-            total, linked, links = _text_stats(node, memo=memo)
+            total, linked, links, elements = _text_stats(node, memo=memo)
+            small_share = total <= 0.4 * doc_text
+            link_density = linked / total if total else 1.0
+            # shallow-text-feature scoring (Kohlschütter WSDM'10 lineage):
+            # (a) link-dominated block: most of its text is anchor text
+            if total > 0 and links >= 2 and link_density >= 0.66 and small_share:
+                return None
+            # (b) low text density + substantial link share: markup-heavy
+            # chrome (menus, tag clouds, pagination) — few chars per element
+            text_density = total / elements if elements else 0.0
             if (
-                total > 0
-                and links >= 2
-                and linked / total >= 0.66
-                and total <= 0.4 * doc_text
+                links >= 3
+                and link_density >= 0.5
+                and text_density < 12.0
+                and small_share
             ):
                 return None
         new = Element(node.tag, node.attrs)
