@@ -377,6 +377,21 @@ def _q_convert_binary_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (k-means coarse quantizer, nprobe cells, exact
+    re-rank; rows-only — recall vs brute force pinned in tests)."""
+    from marky_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(emb, list(q), k=10, n_cells=16, nprobe=4).select(
+        "vec_id",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cos_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_csv": _q_convert_csv,
@@ -399,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_dupes": _q_embedding_dupes,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
         "frame_sample": _q_frame_sample,
         "tpch_q1_style": _q_tpch_q1_style,

@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-from .base import IMAGE, MARKDOWN, Segment, image, md, merge_markdown
+from .base import Segment, image, md, merge_markdown
 
 # ---------------------------------------------------------------------------
 # Stage 1 — tolerant DOM builder

@@ -13,8 +13,6 @@ not be cross-contaminated (SURVEY.md §7.3):
 
 from __future__ import annotations
 
-import html as _html
-
 from .runewidth import string_width
 
 

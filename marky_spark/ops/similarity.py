@@ -96,3 +96,76 @@ def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         .drop("bucket")
     )
     return brute_force_topk(candidates, list(map(float, q)), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 0x1FF
+
+
+def train_ivf_centroids(emb: DataFrame, n_cells: int = 16,
+                        sample: int = 2048, iters: int = 10,
+                        dim: int = 64):
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids broadcast to executors; training data is a
+    bounded sample, never the full corpus)."""
+    import numpy as np
+
+    rows = emb.select("embedding").limit(sample).collect()
+    x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(IVF_SEED)
+    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)),
+                             replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one numpy matmul per
+    Arrow batch (||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cent ** 2).sum(axis=1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mat = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            cell = (cnorm[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "cell": cell.astype("int64")})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, cell long"
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             centroids=None) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells, exact cosine re-rank
+    inside the probed set. At corpus scale the assignment is precomputed and
+    the probed cells are partition-pruned (cell = Iceberg partition key)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells=n_cells)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d2.argsort()[:nprobe]]
+
+    assigned = ivf_assign(emb, centroids)
+    candidates = (
+        emb.join(assigned.where(F.col("cell").isin(probes)), "vec_id")
+        .drop("cell")
+    )
+    return brute_force_topk(candidates, list(map(float, q)), k)

@@ -251,3 +251,26 @@ def test_attach_media_join(spark):
     assert len(joined) == 1
     assert joined[0]["media_ref"] == "m1"
     assert bytes(joined[0]["payload"]) == b"PNGBYTES-1"
+
+
+def test_ivf_topk_recall(spark, emb):
+    from marky_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ivf_topk(emb, q, k=10, n_cells=16, nprobe=4).collect()}
+    recall = len(exact & approx) / 10
+    assert 0 in approx
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    from marky_spark.ops.similarity import ivf_assign, train_ivf_centroids
+
+    centroids = train_ivf_centroids(emb, n_cells=8)
+    cells = ivf_assign(emb, centroids)
+    counts = {r["cell"]: r["n"] for r in
+              cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()   # total assignment
+    assert len(counts) >= 4                       # cells actually used
