@@ -28,11 +28,10 @@ from __future__ import annotations
 
 import base64
 import fnmatch
-import io
-import zipfile
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, image, md, merge_markdown
+from .fastzip import BadZip, open_zip
 from .mdtable import _escape, docx_table
 
 # parts model: str = markdown text, tuple = ('img', markdown_text, media_ref)
@@ -69,7 +68,7 @@ class _NumberingLevel:
 class _DocxFile:
     """Per-document conversion state (reference `file` struct, docx.go:143-149)."""
 
-    def __init__(self, zf: zipfile.ZipFile):
+    def __init__(self, zf):
         self.zf = zf
         self.rels: dict[str, str] = {}
         # numId → abstractNumId; abstractNumId → {ilvl: level}
@@ -326,8 +325,8 @@ def _find_member(names: list[str], pattern: str) -> str | None:
 def convert_docx(text: str) -> list[Segment]:
     data = decode_binary_payload(text)
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as exc:
+        zf = open_zip(data)
+    except BadZip as exc:
         raise ConvertError(f"failed to convert document: {exc}") from exc
 
     with zf:

@@ -11,12 +11,11 @@
 
 from __future__ import annotations
 
-import io
 import posixpath
-import zipfile
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, md
+from .fastzip import BadZip, open_zip
 from .htmlk import convert_html
 
 
@@ -70,12 +69,12 @@ def _format_metadata(meta: ET.Element | None) -> str:
 def convert_epub(text: str) -> list[Segment]:
     data = decode_binary_payload(text)
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as exc:
+        zf = open_zip(data)
+    except BadZip as exc:
         raise ConvertError(f"failed to open EPUB file: {exc}") from exc
 
     with zf:
-        names = set(zf.namelist())
+        names = zf.names
         if "META-INF/container.xml" not in names:
             raise ConvertError("failed to find container.xml")
         container = _parse(zf.read("META-INF/container.xml"), "container.xml")

@@ -19,12 +19,11 @@ Slide pipeline (pptx.go:36-47, 60-79, 184-449):
 from __future__ import annotations
 
 import base64
-import io
 import re
-import zipfile
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, image, md, merge_markdown
+from .fastzip import BadZip, open_zip
 from .mdtable import pptx_table
 
 _Part = str | tuple[str, str, str]
@@ -77,7 +76,7 @@ def _shape_text(sp: ET.Element) -> str:
     return ""
 
 
-def _first_media_member(zf: zipfile.ZipFile) -> str | None:
+def _first_media_member(zf) -> str | None:
     for name in zf.namelist():
         if name.startswith("ppt/media/"):
             return name
@@ -85,7 +84,7 @@ def _first_media_member(zf: zipfile.ZipFile) -> str | None:
 
 
 class _SlideRenderer:
-    def __init__(self, zf: zipfile.ZipFile):
+    def __init__(self, zf):
         self.zf = zf
         self._media_cache: tuple[str, bytes] | None | bool = False  # unloaded
 
@@ -165,12 +164,12 @@ class _SlideRenderer:
 def convert_pptx(text: str) -> list[Segment]:
     data = decode_binary_payload(text)
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as exc:
+        zf = open_zip(data)
+    except BadZip as exc:
         raise ConvertError(f"failed to open PPTX file: {exc}") from exc
 
     with zf:
-        names = set(zf.namelist())
+        names = zf.names
         if "ppt/presentation.xml" not in names:
             raise ConvertError("presentation.xml not found")
         try:

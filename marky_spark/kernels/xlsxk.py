@@ -12,16 +12,22 @@ stdlib ``zipfile`` + ``xml.etree`` reader replacing excelize (excel.go:41-64):
 
 from __future__ import annotations
 
-import io
-import zipfile
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, md
+from .fastzip import BadZip, open_zip
 from .mdtable import to_markdown_table
 
 
 def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
+
+
+def _ns_of(root: ET.Element) -> str:
+    """'{uri}' prefix of the root element ('' when un-namespaced) — lets tag
+    scans use Element.iter(exact_tag), which matches in C."""
+    tag = root.tag
+    return tag[: tag.index("}") + 1] if tag.startswith("{") else ""
 
 
 def _attr(el: ET.Element, name: str) -> str | None:
@@ -81,20 +87,19 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str:
 def read_xlsx_rows(data: bytes) -> list[list[str]]:
     """All rows of the first sheet, gaps filled with '' (excelize GetRows)."""
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as exc:
+        zf = open_zip(data)
+    except BadZip as exc:
         raise ConvertError(f"unable to open Excel file: {exc}") from exc
 
     with zf:
-        names = set(zf.namelist())
+        names = zf.names
         if "xl/workbook.xml" not in names:
             raise ConvertError("no workbook found in Excel file")
 
         workbook = _parse(zf.read("xl/workbook.xml"))
         sheets: list[tuple[str, str]] = []  # (name, r:id)
-        for el in workbook.iter():
-            if _local(el.tag) == "sheet":
-                sheets.append((_attr(el, "name") or "", _attr(el, "id") or ""))
+        for el in workbook.iter(_ns_of(workbook) + "sheet"):
+            sheets.append((_attr(el, "name") or "", _attr(el, "id") or ""))
         if not sheets:
             raise ConvertError("no sheets found in Excel file")
 
@@ -113,18 +118,16 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             ss_root = _parse(zf.read("xl/sharedStrings.xml"))
+            t_tag = _ns_of(ss_root) + "t"
             for si in ss_root:
                 if _local(si.tag) == "si":
                     shared.append(
-                        "".join(t.text or "" for t in si.iter()
-                                if _local(t.tag) == "t")
+                        "".join(t.text or "" for t in si.iter(t_tag))
                     )
 
         sheet = _parse(zf.read(sheet_member))
         rows: list[list[str]] = []
-        for row_el in sheet.iter():
-            if _local(row_el.tag) != "row":
-                continue
+        for row_el in sheet.iter(_ns_of(sheet) + "row"):
             cells: list[str] = []
             next_col = 0
             for cell in row_el:
