@@ -22,6 +22,17 @@ from .base import ConvertError, Segment, decode_binary_payload, md
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
+_NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _name_unhex(m: re.Match) -> bytes:
+    return bytes([int(m.group(1), 16)])
+
+
+_REF_RE = re.compile(rb"(\d+)\s+R\b")
+_XREF_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -107,10 +118,8 @@ class _Lexer:
         while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
             self.pos += 1
         raw = d[start:self.pos]
-        # #xx hex escapes in names
-        def _unhex(m: re.Match) -> bytes:
-            return bytes([int(m.group(1), 16)])
-        raw = re.sub(rb"#([0-9A-Fa-f]{2})", _unhex, raw)
+        if b"#" in raw:  # #xx hex escapes in names (rare)
+            raw = _NAME_HEX_RE.sub(_name_unhex, raw)
         return "/" + raw.decode("latin-1")
 
     def _parse_literal_string(self) -> bytes:
@@ -194,9 +203,9 @@ class _Lexer:
             return num
         # lookahead for "gen R" (indirect reference)
         self._skip_ws()
-        m = re.match(rb"(\d+)\s+R\b", d[self.pos:self.pos + 24])
+        m = _REF_RE.match(d, self.pos, self.pos + 24)
         if m:
-            self.pos += m.end()
+            self.pos = m.end()
             return _Ref(num, int(m.group(1)))
         self.pos = save
         return num
@@ -261,20 +270,19 @@ class _Pdf:
                     if isinstance(prev, (int, float)):
                         self._parse_xref_at(int(prev), seen)
                 return
-            m = re.match(rb"(\d+)\s+(\d+)", data[lex.pos:lex.pos + 40])
+            m = _XREF_HEAD_RE.match(data, lex.pos, lex.pos + 40)
             if not m:
                 return
             first, count = int(m.group(1)), int(m.group(2))
-            lex.pos += m.end()
+            lex.pos = m.end()
             lex._skip_ws()
             for i in range(count):
-                entry = data[lex.pos:lex.pos + 20]
-                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", entry)
+                em = _XREF_ENTRY_RE.match(data, lex.pos, lex.pos + 20)
                 if not em:
                     raise ConvertError("malformed xref entry")
                 if em.group(3) == b"n":
                     self.offsets.setdefault(first + i, int(em.group(1)))
-                lex.pos += em.end()
+                lex.pos = em.end()
                 lex._skip_ws()
 
     def _brute_scan(self) -> None:
@@ -402,33 +410,81 @@ def _decode_pdf_text(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+# content-stream tokenizer: one regex pass instead of a Python-level
+# parse_object call per operand (the interpreter's measured hot path).
+# Groups: 1=number 2=hex-string 3=name 4=punct([ ] << >>) 5=operator;
+# '(' literal strings are delegated to _Lexer (escape/nesting rules).
+_CONTENT_TOKEN_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*(?:"
+    rb"([-+]?(?:\d+\.?\d*|\.\d+))"       # number
+    rb"|<([0-9A-Fa-f\s]*)>"              # hex string
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # name
+    rb"|(\[|\]|<<|>>|\{|\})"             # structural punct
+    rb"|%[^\r\n]*"                        # comment
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"   # operator / keyword
+    rb")"
+)
+
+
 def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
     """Interpret text operators, yielding (x, y, text) runs."""
-    lex = _Lexer(content, refs=False)
     runs: list[tuple[float, float, str]] = []
     stack: list = []
     x = y = 0.0          # text-line matrix translation
     lx = ly = 0.0        # line start (for T*/TD)
     leading = 0.0
+    pos = 0
     n = len(content)
-    while lex.pos < n:
-        lex._skip_ws()
-        if lex.pos >= n:
-            break
-        c = content[lex.pos]
-        if c in b"/([<" or (0x30 <= c <= 0x39) or c in b"+-.":
+    arr: list | None = None  # open [ ... ] operand (TJ arrays are flat)
+    token_match = _CONTENT_TOKEN_RE.match
+    while pos < n:
+        m = token_match(content, pos)
+        if m is None or m.end() == pos:
+            c = content[pos]
+            if c == 0x28:  # '(' literal string — full escape/nesting rules
+                lex = _Lexer(content, pos, refs=False)
+                s = lex._parse_literal_string()
+                pos = lex.pos
+                (arr if arr is not None else stack).append(s)
+            else:
+                pos += 1  # stray delimiter byte
+            continue
+        pos = m.end()
+        num = m.group(1)
+        if num is not None:
             try:
-                stack.append(lex.parse_object())
-            except ConvertError:
-                lex.pos += 1
+                val = int(num) if b"." not in num else float(num)
+            except ValueError:
+                val = float(num)
+            (arr if arr is not None else stack).append(val)
             continue
-        start = lex.pos
-        while lex.pos < n and content[lex.pos] not in _WS and content[lex.pos] not in _DELIM:
-            lex.pos += 1
-        op = content[start:lex.pos]
-        if lex.pos == start:
-            lex.pos += 1
+        hexs = m.group(2)
+        if hexs is not None:
+            h = hexs.translate(None, _WS)
+            if len(h) % 2:
+                h += b"0"
+            try:
+                s = bytes.fromhex(h.decode("ascii"))
+            except ValueError:
+                s = b""
+            (arr if arr is not None else stack).append(s)
             continue
+        if m.group(3) is not None:  # name operand (e.g. /F1 for Tf)
+            (arr if arr is not None else stack).append("/" + m.group(3).decode("latin-1"))
+            continue
+        punct = m.group(4)
+        if punct is not None:
+            if punct == b"[":
+                arr = []
+            elif punct == b"]":
+                if arr is not None:
+                    stack.append(arr)
+                    arr = None
+            continue
+        op = m.group(5)
+        if op is None:
+            continue  # comment
+        arr = None  # an operator closes any malformed open array
         try:
             if op == b"Td":
                 tx, ty = float(stack[-2]), float(stack[-1])
