@@ -38,8 +38,18 @@ from .mdtable import _escape, docx_table
 _Part = str | tuple[str, str, str]
 
 
+_LOCAL_CACHE: dict[str, str] = {}
+
+
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    # OOXML's tag vocabulary is small and fixed; a memo turns the per-element
+    # rsplit+alloc into a dict hit (the walk dispatches on localname)
+    loc = _LOCAL_CACHE.get(tag)
+    if loc is None:
+        loc = tag.rsplit("}", 1)[-1]
+        if len(_LOCAL_CACHE) < 4096:  # bound executor-lifetime growth
+            _LOCAL_CACHE[tag] = loc
+    return loc
 
 
 def _attr(el: ET.Element, name: str) -> str | None:

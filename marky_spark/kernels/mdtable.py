@@ -47,6 +47,8 @@ def _escape(s: str, charset: str) -> str:
     """Backslash-escape every character of ``charset`` in ONE pass
     (Go strings.NewReplacer semantics — inserted backslashes are never
     re-escaped). docx.go:167-174."""
+    if not any(c in s for c in charset):
+        return s  # nothing to escape (the overwhelmingly common case)
     cs = frozenset(charset)
     return "".join("\\" + ch if ch in cs else ch for ch in s)
 

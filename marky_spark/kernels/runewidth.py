@@ -71,4 +71,6 @@ def _is_wide(cp: int) -> bool:
 
 def string_width(s: str) -> int:
     """Sum of rune widths. runewidth.go:91-97."""
+    if s.isascii() and s.isprintable():
+        return len(s)  # printable ASCII is uniformly width 1
     return sum(rune_width(ch) for ch in s)
