@@ -171,9 +171,8 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (vectorized pandas path; rows-only check —
-    the bit-level contract is pinned by tests/test_ops.py against a pure-
-    Python reimplementation)."""
+    """64-bit SimHash signatures (vectorized numpy bit-vote path); oracle:
+    the same md5-per-token / bit-vote construction in pure SQL."""
     from marky_spark.ops.textstats import simhash64
 
     return simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -269,8 +268,8 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling fan-out (rows-only; stubbed codec —
-    deterministic byte-slice frames)."""
+    """Multimodal frame sampling fan-out (stubbed codec — deterministic
+    byte-slice frames, so the fan-out arithmetic is SQL-oracle-able)."""
     from marky_spark.ops.multimodal import frame_sample
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -280,7 +279,9 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return frame_sample(media, n_frames=4).select(
-        "media_ref", "frame_idx", "frame_offset",
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
         F.length("frame_bytes").cast("long").alias("frame_len"),
     )
 
@@ -551,6 +552,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
+        "simhash": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '')) AS t
+                FROM documents),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+                FROM tok),
+            bits AS (
+                SELECT doc_id, b AS bit,
+                       sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
+                                ELSE 0 END) AS usig
+                FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(CASE WHEN s.usig >= 9223372036854775808
+                                 THEN s.usig - 18446744073709551616
+                                 ELSE s.usig END, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+        """,
         "minhash_signature": """
             WITH s AS (SELECT doc_id, list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), i -> array_to_string(array_slice(string_split(text,' '), i, i + 2), ' ')) AS sh FROM documents)
             SELECT doc_id,
@@ -612,6 +638,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    'ok' AS ok
             FROM documents
+        """,
+        "frame_sample": """
+            WITH m AS (
+                SELECT 'm' || doc_id AS media_ref,
+                       strlen(text) AS n
+                FROM documents WHERE strlen(text) > 0),
+            f AS (
+                SELECT media_ref, n, greatest(n // 4, 1) AS step,
+                       unnest(range(least(4, n))) AS i
+                FROM m)
+            SELECT media_ref,
+                   i AS frame_idx,
+                   i * step AS frame_offset,
+                   least(step, n - i * step) AS frame_len
+            FROM f
         """,
         "tpch_q1_style": """
             SELECT l_returnflag, l_linestatus,
