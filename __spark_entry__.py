@@ -286,6 +286,64 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction plumbing (digest-derived deterministic
+    fake embedding; re-expressed as exact byte values for the oracle)."""
+    from marky_spark.ops.multimodal import FEATURE_DIM, media_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = media_features(media)
+    # features[i] = (digest_byte - 128) / 128.0 exactly, so *128+128 recovers
+    # the integer byte with no float round-trip error
+    return feats.select(
+        "media_ref",
+        *[
+            F.round(F.element_at("features", i + 1) * 128 + 128)
+            .cast("long").alias(f"b{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (grouping-sets substrate; SURVEY.md §2.2)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
+                "n_events", "total_value")
+    )
+
+
+def _q_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast join over the dimension chain supplier->nation->region."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def _q_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+agg over the part table (column pruning exercises the scan)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
 def _q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational substrate: TPC-H Q1-style agg over lineitem (map-side
     partial agg + single shuffle on the group keys)."""
@@ -418,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
         "frame_sample": _q_frame_sample,
+        "media_features": _q_media_features,
+        "events_rollup": _q_events_rollup,
+        "supplier_region": _q_supplier_region,
+        "part_brands": _q_part_brands,
         "tpch_q1_style": _q_tpch_q1_style,
         "orders_join": _q_orders_join,
         "convert_binary_kinds": _q_convert_binary_kinds,
@@ -653,6 +715,33 @@ def oracle_sql() -> dict[str, str]:
                    i * step AS frame_offset,
                    least(step, n - i * step) AS frame_len
             FROM f
+        """,
+        "media_features": """
+            SELECT 'm' || doc_id AS media_ref,
+                   """ + ", ".join(
+                       f"('0x' || substr(sha256(text), {1 + 2 * (i % 32)}, 2))::BIGINT AS b{i}"
+                       for i in range(16)
+                   ) + """
+            FROM documents
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, '__all__') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "supplier_region": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "part_brands": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_brand
         """,
         "tpch_q1_style": """
             SELECT l_returnflag, l_linestatus,
