@@ -24,6 +24,7 @@ byte-streams, strip boilerplate via DOM-tree heuristics"):
 from __future__ import annotations
 
 import re
+from html import unescape as _html_unescape
 from html.parser import HTMLParser
 
 from .base import Segment, image, md, merge_markdown
@@ -126,6 +127,10 @@ _ATTR_RE = re.compile(
 # content of these runs verbatim until the matching close tag (HTML rawtext)
 _RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
 
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT_TAGS
+}
+
 _AMP = "&"
 
 
@@ -133,9 +138,7 @@ def _decode(text: str) -> str:
     """Entity decode only when an ampersand is present (html.unescape is
     surprisingly expensive on entity-free text)."""
     if _AMP in text:
-        import html as _html_mod
-
-        return _html_mod.unescape(text)
+        return _html_unescape(text)
     return text
 
 
@@ -195,8 +198,7 @@ def parse_html(text: str) -> Element:
         if self_closing or tag in _VOID_TAGS or len(stack) >= _MAX_DEPTH:
             continue
         if tag in _RAWTEXT_TAGS:
-            close = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
-            cm = close.search(text, pos)
+            cm = _RAWTEXT_CLOSE[tag].search(text, pos)
             raw_end = cm.start() if cm else n
             if raw_end > pos:
                 el.children.append(text[pos:raw_end])
