@@ -127,3 +127,20 @@ def test_minhash_pairs_single_shuffle_per_side(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     plan = optimized_of(minhash_candidate_pairs(docs))
     assert "Join" in plan
+
+
+def test_supplier_region_broadcasts_both_dims(spark):
+    """The dimension chain nation->region broadcasts on both hops."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["supplier_region"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_events_rollup_is_partial_aggregated(spark):
+    """Rollup expands grouping sets and still combines map-side."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_rollup"](spark, SF))
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
