@@ -235,3 +235,53 @@ def test_adversarial_deep_nesting_bounded():
     assert isinstance(out, str) and "a" in out
     out = html_to_markdown("<div>" * 5000 + "text")
     assert "text" in out
+
+
+# --- property-based differential: random structured HTML ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _TAGS = ["p", "div", "span", "em", "strong", "ul", "li", "h2",
+             "blockquote", "code", "pre", "table", "tr", "td", "a"]
+    _texts = st.text(
+        alphabet=st.characters(
+            blacklist_characters="<>&",
+            blacklist_categories=("Cs",),
+        ),
+        max_size=20,
+    )
+
+    @st.composite
+    def _html_tree(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            return draw(_texts)
+        tag = draw(st.sampled_from(_TAGS))
+        n = draw(st.integers(min_value=0, max_value=3))
+        inner = "".join(draw(_html_tree(depth + 1)) for _ in range(n))
+        attr = ""
+        if tag == "a" and draw(st.booleans()):
+            href = draw(st.text(alphabet="abcxyz:/.", max_size=12))
+            attr = f' href="{href}"'
+        return f"<{tag}{attr}>{inner}</{tag}>"
+
+    @given(_html_tree())
+    @settings(max_examples=300, deadline=None)
+    def test_fast_tokenizer_matches_stdlib_on_random_trees(doc):
+        from marky_spark.kernels.htmlk import (
+            _Emitter,
+            _blocks_join,
+            _parts_text,
+            parse_html,
+            parse_html_stdlib,
+        )
+
+        def md_of(parser):
+            em = _Emitter()
+            em.dispatch(parser(doc))
+            return _parts_text(_blocks_join(em.blocks))
+
+        assert md_of(parse_html) == md_of(parse_html_stdlib)
+except ImportError:  # pragma: no cover
+    pass
