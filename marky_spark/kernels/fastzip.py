@@ -70,9 +70,10 @@ class FastZip:
 
     __slots__ = ("_data", "_entries")
 
-    def __init__(self, data: bytes, entries: dict[str, tuple[int, int, int]]):
+    def __init__(self, data: bytes,
+                 entries: dict[str, tuple[int, int, int, int]]):
         self._data = data
-        # name -> (local header offset, compression method, compressed size)
+        # name -> (local header offset, method, compressed size, crc32)
         self._entries = entries
 
     @property
@@ -90,7 +91,7 @@ class FastZip:
         return False
 
     def read(self, name: str) -> bytes:
-        header_off, method, csize = self._entries[name]
+        header_off, method, csize, crc = self._entries[name]
         data = self._data
         if not data.startswith(_LOCAL_SIG, header_off):
             raise BadZip(f"bad local header for {name!r}")
@@ -102,13 +103,18 @@ class FastZip:
         start = header_off + _LOCAL.size + name_len + extra_len
         raw = data[start:start + csize]
         if method == 0:
-            return raw
-        if method == 8:
+            out = raw
+        elif method == 8:
             try:
-                return zlib.decompressobj(-15).decompress(raw)
+                out = zlib.decompressobj(-15).decompress(raw)
             except zlib.error as exc:
                 raise BadZip(f"deflate failed for {name!r}: {exc}") from exc
-        raise BadZip(f"unsupported compression method {method}")
+        else:
+            raise BadZip(f"unsupported compression method {method}")
+        # corruption must surface as an error, matching zipfile/Go archive/zip
+        if zlib.crc32(out) != crc:
+            raise BadZip(f"bad CRC-32 for {name!r}")
+        return out
 
 
 def open_zip(data: bytes) -> FastZip | _StdlibZip:
@@ -146,7 +152,7 @@ def _fast_open(data: bytes) -> FastZip:
         raise _Fallback  # multi-disk
     if total_entries == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
         raise _Fallback  # zip64
-    entries: dict[str, tuple[int, int, int]] = {}
+    entries: dict[str, tuple[int, int, int, int]] = {}
     pos = cd_off
     end = cd_off + cd_size
     if end > len(data):
@@ -155,7 +161,7 @@ def _fast_open(data: bytes) -> FastZip:
         if not data.startswith(_CDIR_SIG, pos):
             raise _Fallback
         try:
-            (_, _, _, flags, method, _, _, _, csize, usize, name_len,
+            (_, _, _, flags, method, _, _, crc, csize, usize, name_len,
              extra_len, comment_len, _, _, _, local_off) = _CDIR.unpack_from(
                 data, pos
             )
@@ -172,6 +178,6 @@ def _fast_open(data: bytes) -> FastZip:
             name = data[name_start:name_start + name_len].decode("utf-8")
         except UnicodeDecodeError:
             name = data[name_start:name_start + name_len].decode("cp437")
-        entries[name] = (local_off, method, csize)
+        entries[name] = (local_off, method, csize, crc)
         pos = name_start + name_len + extra_len + comment_len
     return FastZip(data, entries)
