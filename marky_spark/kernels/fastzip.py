@@ -174,10 +174,14 @@ def _fast_open(data: bytes) -> FastZip:
         if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF or local_off == 0xFFFFFFFF:
             raise _Fallback  # zip64 member
         name_start = pos + _CDIR.size
-        try:
-            name = data[name_start:name_start + name_len].decode("utf-8")
-        except UnicodeDecodeError:
-            name = data[name_start:name_start + name_len].decode("cp437")
+        raw_name = data[name_start:name_start + name_len]
+        if flags & 0x800:  # language-encoding flag: name is UTF-8
+            try:
+                name = raw_name.decode("utf-8")
+            except UnicodeDecodeError:
+                raise _Fallback from None
+        else:  # zipfile parity: unflagged names are cp437
+            name = raw_name.decode("cp437")
         entries[name] = (local_off, method, csize, crc)
         pos = name_start + name_len + extra_len + comment_len
     return FastZip(data, entries)
