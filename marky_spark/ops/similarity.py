@@ -90,12 +90,34 @@ def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     if multiprobe:
         probes += [q_bucket ^ (1 << b) for b in range(n_planes)]
 
-    buckets = lsh_buckets(emb, dim, n_planes)
-    candidates = (
-        emb.join(buckets.where(F.col("bucket").isin(probes)), "vec_id")
-        .drop("bucket")
-    )
+    # single-pass probe: bucket computed and filtered inside one Arrow stage
+    # (a join back onto emb would shuffle the fact table twice at scale)
+    candidates = _probe_filter_lsh(emb, planes, probes)
     return brute_force_topk(candidates, list(map(float, q)), k)
+
+
+def _probe_filter_lsh(emb: DataFrame, planes, probes: list[int]) -> DataFrame:
+    import numpy as np
+
+    n_planes = planes.shape[1]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    probe_arr = np.asarray(sorted(set(probes)), dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            signs = (mat @ planes) > 0
+            bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+            mask = np.isin(bucket, probe_arr)
+            if mask.any():
+                yield pdf.loc[mask, ["vec_id", "embedding"]]
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, embedding array<float>"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +185,31 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probes = [int(c) for c in d2.argsort()[:nprobe]]
 
-    assigned = ivf_assign(emb, centroids)
-    candidates = (
-        emb.join(assigned.where(F.col("cell").isin(probes)), "vec_id")
-        .drop("cell")
-    )
+    # single-pass probe (see _probe_filter_lsh); at corpus scale the
+    # assignment is instead precomputed and cell is the Iceberg partition
+    # key, so the probe becomes partition pruning on the scan
+    candidates = _probe_filter_ivf(emb, centroids, probes)
     return brute_force_topk(candidates, list(map(float, q)), k)
+
+
+def _probe_filter_ivf(emb: DataFrame, centroids, probes: list[int]) -> DataFrame:
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cent ** 2).sum(axis=1)
+    probe_arr = np.asarray(sorted(set(probes)), dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            cell = (cnorm[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+            mask = np.isin(cell.astype(np.int64), probe_arr)
+            if mask.any():
+                yield pdf.loc[mask, ["vec_id", "embedding"]]
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, embedding array<float>"
+    )

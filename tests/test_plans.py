@@ -144,3 +144,17 @@ def test_events_rollup_is_partial_aggregated(spark):
     plan = plan_of(e.queries()["events_rollup"](spark, SF))
     assert "Expand" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_ann_probe_is_join_free(spark):
+    """LSH probing filters inside one Arrow stage — no self-join of the
+    embedding table, no Exchange before the final top-k."""
+    from pyspark.sql import functions as F
+
+    from marky_spark.ops.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    plan = plan_of(ann_topk(emb, list(q), k=5, n_planes=4))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan  # TakeOrderedAndProject needs none
