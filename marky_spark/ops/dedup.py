@@ -102,9 +102,20 @@ def minhash_candidate_pairs(df: DataFrame, col: str = "text") -> DataFrame:
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame,
                   col: str = "text", k: int = 3) -> DataFrame:
-    """Exact word-k-gram Jaccard for given (doc_a, doc_b) pairs."""
+    """Exact word-k-gram Jaccard for given (doc_a, doc_b) pairs.
+
+    Shingle sets are only materialized for documents that appear in a
+    candidate pair (semi-join first): at corpus scale the verify stage
+    touches the candidate slice, never re-shingles and re-shuffles the
+    whole table."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = df.join(ids, "doc_id", "left_semi")
     sh = F.array_distinct(F.expr(_shingles_expr(col, k)))
-    docs = df.select("doc_id", sh.alias("sh"))
+    docs = needed.select("doc_id", sh.alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
     joined = (
