@@ -42,16 +42,23 @@ def image(text: str, media_ref: str) -> Segment:
 
 
 def merge_markdown(segments: list[Segment]) -> list[Segment]:
-    """Coalesce adjacent markdown segments; drop empty markdown runs."""
+    """Coalesce adjacent markdown segments; drop empty markdown runs.
+
+    Buffered join, not pairwise concatenation — a mega-document collapsing
+    tens of thousands of segments into one would otherwise go quadratic."""
     out: list[Segment] = []
+    buf: list[str] = []
     for seg in segments:
         if seg[0] == MARKDOWN:
-            if not seg[1]:
-                continue
-            if out and out[-1][0] == MARKDOWN:
-                out[-1] = (MARKDOWN, out[-1][1] + seg[1], "")
-                continue
+            if seg[1]:
+                buf.append(seg[1])
+            continue
+        if buf:
+            out.append((MARKDOWN, "".join(buf), ""))
+            buf = []
         out.append(seg)
+    if buf:
+        out.append((MARKDOWN, "".join(buf), ""))
     return out
 
 

@@ -535,16 +535,32 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
 
 
 def _page_text(runs: list[tuple[float, float, str]]) -> str:
-    """Group runs into lines by y, order top-down then left-right."""
+    """Group runs into lines by y, order top-down then left-right.
+
+    Semantics: each run joins the FIRST-CREATED line within ``_LINE_TOL`` of
+    its y (else starts a new line). A y-sorted index narrows the candidate
+    window so a pathological page (tens of thousands of runs) stays near
+    O(n log n) instead of quadratic; within the window the minimum creation
+    index reproduces the first-created rule exactly."""
     if not runs:
         return ""
+    import bisect
+
     lines: list[tuple[float, list[tuple[float, str]]]] = []
+    ys: list[tuple[float, int]] = []  # sorted (line_y, creation_idx)
+    eps = 1e-6  # widen the window a hair; the abs() below is authoritative
     for x, y, text in runs:
-        for i, (line_y, items) in enumerate(lines):
-            if abs(line_y - y) <= _LINE_TOL:
-                items.append((x, text))
-                break
+        lo = bisect.bisect_left(ys, (y - _LINE_TOL - eps, -1))
+        hi = bisect.bisect_right(ys, (y + _LINE_TOL + eps, 1 << 60))
+        best = -1
+        for j in range(lo, hi):
+            line_y, idx = ys[j]
+            if abs(line_y - y) <= _LINE_TOL and (best < 0 or idx < best):
+                best = idx
+        if best >= 0:
+            lines[best][1].append((x, text))
         else:
+            bisect.insort(ys, (y, len(lines)))
             lines.append((y, [(x, text)]))
     lines.sort(key=lambda l: -l[0])
     out_lines = []
