@@ -615,9 +615,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash": """
+            -- token split matches Python str.split() (all Unicode whitespace:
+            -- RE2 \\s + VT + NEL + IS1-4 + category Z; verified over the BMP)
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                       unnest(list_filter(regexp_split_to_array(
+                           text, '[\\s\\x{0b}\\x{85}\\x{1c}-\\x{1f}\\p{Z}]+'),
                                           x -> x <> '')) AS t
                 FROM documents),
             h AS (
@@ -692,12 +695,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
         """,
         "media_decode": """
+            -- COALESCE: the kernel hashes b'' for NULL payloads
             SELECT 'm' || doc_id AS media_ref,
                    'image/png' AS mime,
-                   CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT) AS width,
-                   CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT) AS height,
-                   CAST(1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 3 AS INT) AS channels,
-                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(16 + ('0x' || substr(md5(coalesce(text, '')), 1, 2))::BIGINT % 64 AS INT) AS width,
+                   CAST(16 + ('0x' || substr(md5(coalesce(text, '')), 3, 2))::BIGINT % 64 AS INT) AS height,
+                   CAST(1 + ('0x' || substr(md5(coalesce(text, '')), 5, 2))::BIGINT % 3 AS INT) AS channels,
+                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
                    'ok' AS ok
             FROM documents
         """,
@@ -719,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT 'm' || doc_id AS media_ref,
                    """ + ", ".join(
-                       f"('0x' || substr(sha256(text), {1 + 2 * (i % 32)}, 2))::BIGINT AS b{i}"
+                       f"('0x' || substr(sha256(coalesce(text, '')), {1 + 2 * (i % 32)}, 2))::BIGINT AS b{i}"
                        for i in range(16)
                    ) + """
             FROM documents

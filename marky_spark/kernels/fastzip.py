@@ -184,4 +184,9 @@ def _fast_open(data: bytes) -> FastZip:
             name = raw_name.decode("cp437")
         entries[name] = (local_off, method, csize, crc)
         pos = name_start + name_len + extra_len + comment_len
+    if pos != end:
+        # EOCD entry count disagrees with the directory extent (seen from
+        # naive zip-concat/repair tools). zipfile walks the whole cd region
+        # by size, so defer to it rather than silently dropping members.
+        raise _Fallback
     return FastZip(data, entries)

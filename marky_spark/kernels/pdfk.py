@@ -435,7 +435,7 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
     leading = 0.0
     pos = 0
     n = len(content)
-    arr: list | None = None  # open [ ... ] operand (TJ arrays are flat)
+    arr_stack: list[list] = []  # open [ ... ] operand(s); nesting preserved
     token_match = _CONTENT_TOKEN_RE.match
     while pos < n:
         m = token_match(content, pos)
@@ -445,7 +445,7 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
                 lex = _Lexer(content, pos, refs=False)
                 s = lex._parse_literal_string()
                 pos = lex.pos
-                (arr if arr is not None else stack).append(s)
+                (arr_stack[-1] if arr_stack else stack).append(s)
             else:
                 pos += 1  # stray delimiter byte
             continue
@@ -456,7 +456,7 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
                 val = int(num) if b"." not in num else float(num)
             except ValueError:
                 val = float(num)
-            (arr if arr is not None else stack).append(val)
+            (arr_stack[-1] if arr_stack else stack).append(val)
             continue
         hexs = m.group(2)
         if hexs is not None:
@@ -467,24 +467,30 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
                 s = bytes.fromhex(h.decode("ascii"))
             except ValueError:
                 s = b""
-            (arr if arr is not None else stack).append(s)
+            (arr_stack[-1] if arr_stack else stack).append(s)
             continue
         if m.group(3) is not None:  # name operand (e.g. /F1 for Tf)
-            (arr if arr is not None else stack).append("/" + m.group(3).decode("latin-1"))
+            (arr_stack[-1] if arr_stack else stack).append("/" + m.group(3).decode("latin-1"))
             continue
         punct = m.group(4)
         if punct is not None:
             if punct == b"[":
-                arr = []
+                # nested arrays become items of their parent (parse_object
+                # parity): TJ ignores non-bytes/non-number items
+                inner: list = []
+                if arr_stack:
+                    arr_stack[-1].append(inner)
+                arr_stack.append(inner)
             elif punct == b"]":
-                if arr is not None:
-                    stack.append(arr)
-                    arr = None
+                if arr_stack:
+                    done = arr_stack.pop()
+                    if not arr_stack:
+                        stack.append(done)
             continue
         op = m.group(5)
         if op is None:
             continue  # comment
-        arr = None  # an operator closes any malformed open array
+        arr_stack.clear()  # an operator closes any malformed open array
         try:
             if op == b"Td":
                 tx, ty = float(stack[-2]), float(stack[-1])

@@ -101,6 +101,13 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
         for el in workbook.iter(_ns_of(workbook) + "sheet"):
             sheets.append((_attr(el, "name") or "", _attr(el, "id") or ""))
         if not sheets:
+            # mixed-namespace fallback: C-level exact-tag scan found nothing,
+            # re-scan namespace-agnostically before declaring the file empty
+            for el in workbook.iter():
+                if _local(el.tag) == "sheet":
+                    sheets.append((_attr(el, "name") or "",
+                                   _attr(el, "id") or ""))
+        if not sheets:
             raise ConvertError("no sheets found in Excel file")
 
         # resolve first sheet target via workbook rels, fallback sheet1
@@ -121,13 +128,18 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
             t_tag = _ns_of(ss_root) + "t"
             for si in ss_root:
                 if _local(si.tag) == "si":
-                    shared.append(
-                        "".join(t.text or "" for t in si.iter(t_tag))
-                    )
+                    parts = [t.text or "" for t in si.iter(t_tag)]
+                    if not parts:  # mixed-namespace fallback
+                        parts = [t.text or "" for t in si.iter()
+                                 if _local(t.tag) == "t"]
+                    shared.append("".join(parts))
 
         sheet = _parse(zf.read(sheet_member))
+        row_els = list(sheet.iter(_ns_of(sheet) + "row"))
+        if not row_els:  # mixed-namespace fallback
+            row_els = [el for el in sheet.iter() if _local(el.tag) == "row"]
         rows: list[list[str]] = []
-        for row_el in sheet.iter(_ns_of(sheet) + "row"):
+        for row_el in row_els:
             cells: list[str] = []
             next_col = 0
             for cell in row_el:

@@ -51,6 +51,24 @@ def _planes(dim: int, n_planes: int = N_PLANES):
     return rng.standard_normal((dim, n_planes))
 
 
+def _bucket_of(mat, planes):
+    """Sign-hash bucket ids for a (n, dim) matrix. The ONE implementation
+    shared by assignment (lsh_buckets), query hashing, and probe filtering —
+    recall silently dies if these ever diverge."""
+    import numpy as np
+
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    signs = (mat @ planes) > 0
+    return (signs.astype(np.int64) * weights).sum(axis=1)
+
+
+def _cell_of(mat, cent, cnorm):
+    """Nearest-centroid cell ids for a (n, dim) matrix (shared by
+    ivf_assign and the probe filter; see _bucket_of).
+    ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 with ||x||^2 constant per row."""
+    return (cnorm[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+
+
 def lsh_buckets(emb: DataFrame, dim: int = 64,
                 n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, bucket): sign-hash of ``n_planes`` fixed hyperplanes.
@@ -58,16 +76,13 @@ def lsh_buckets(emb: DataFrame, dim: int = 64,
     import numpy as np
 
     planes = _planes(dim, n_planes)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mat = np.vstack([np.asarray(v, dtype=np.float64)
                              for v in pdf["embedding"]])
-            signs = (mat @ planes) > 0
-            bucket = (signs.astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "bucket": bucket})
+                                "bucket": _bucket_of(mat, planes)})
 
     return emb.select("vec_id", "embedding").mapInPandas(
         batches, schema="vec_id long, bucket long"
@@ -83,9 +98,7 @@ def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
     planes = _planes(dim, n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
-    signs = (q @ planes) > 0
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    q_bucket = int((signs.astype(np.int64) * weights).sum())
+    q_bucket = int(_bucket_of(q[None, :], planes)[0])
     probes = [q_bucket]
     if multiprobe:
         probes += [q_bucket ^ (1 << b) for b in range(n_planes)]
@@ -99,8 +112,6 @@ def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 def _probe_filter_lsh(emb: DataFrame, planes, probes: list[int]) -> DataFrame:
     import numpy as np
 
-    n_planes = planes.shape[1]
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
     probe_arr = np.asarray(sorted(set(probes)), dtype=np.int64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,9 +120,7 @@ def _probe_filter_lsh(emb: DataFrame, planes, probes: list[int]) -> DataFrame:
                 continue
             mat = np.vstack([np.asarray(v, dtype=np.float64)
                              for v in pdf["embedding"]])
-            signs = (mat @ planes) > 0
-            bucket = (signs.astype(np.int64) * weights).sum(axis=1)
-            mask = np.isin(bucket, probe_arr)
+            mask = np.isin(_bucket_of(mat, planes), probe_arr)
             if mask.any():
                 yield pdf.loc[mask, ["vec_id", "embedding"]]
 
@@ -162,7 +171,7 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
         for pdf in it:
             mat = np.vstack([np.asarray(v, dtype=np.float64)
                              for v in pdf["embedding"]])
-            cell = (cnorm[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+            cell = _cell_of(mat, cent, cnorm)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "cell": cell.astype("int64")})
 
@@ -205,8 +214,8 @@ def _probe_filter_ivf(emb: DataFrame, centroids, probes: list[int]) -> DataFrame
                 continue
             mat = np.vstack([np.asarray(v, dtype=np.float64)
                              for v in pdf["embedding"]])
-            cell = (cnorm[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
-            mask = np.isin(cell.astype(np.int64), probe_arr)
+            mask = np.isin(_cell_of(mat, cent, cnorm).astype(np.int64),
+                           probe_arr)
             if mask.any():
                 yield pdf.loc[mask, ["vec_id", "embedding"]]
 

@@ -69,3 +69,12 @@ def test_segments_shape():
     data = fx.pdf_bytes([[(72, 720, "x")]])
     segs = convert_pdf(fx.b64(data))
     assert segs == [("markdown", "x", "")]
+
+
+def test_tj_nested_array_text_survives():
+    """parse_object parity: a nested array inside TJ keeps the outer items
+    (the nested list itself is ignored, its siblings are emitted)."""
+    from marky_spark.kernels.pdfk import _extract_page_runs
+
+    runs = _extract_page_runs(b"BT 1 2 Td [(a) [(x)] (b)] TJ ET")
+    assert runs == [(1.0, 2.0, "ab")]

@@ -88,3 +88,49 @@ def test_sparse_row_gap_filled():
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     assert read_xlsx_rows(buf.getvalue()) == [["a", "", "c"]]
+
+
+def test_understated_eocd_count_falls_back_to_zipfile():
+    """EOCD entry-count lying low must not silently drop members."""
+    import io
+    import struct
+    import zipfile
+
+    from marky_spark.kernels.fastzip import _StdlibZip, open_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", b"A")
+        z.writestr("b.txt", b"B")
+    data = bytearray(buf.getvalue())
+    eocd = data.rfind(b"PK\x05\x06")
+    # patch both entry-count fields from 2 to 1
+    struct.pack_into("<2H", data, eocd + 8, 1, 1)
+    z = open_zip(bytes(data))
+    assert isinstance(z, _StdlibZip)  # deferred to stdlib, not silently cut
+    assert set(z.namelist()) == {"a.txt", "b.txt"}
+
+
+def test_mixed_namespace_xlsx_still_converts():
+    """Sheet/row/t elements in a namespace differing from the root must hit
+    the namespace-agnostic fallback scans."""
+    import io
+    import zipfile
+
+    from marky_spark.kernels.xlsxk import read_xlsx_rows
+
+    wb = (b'<?xml version="1.0"?>'
+          b'<workbook xmlns="urn:root">'
+          b'<sheets><sheet xmlns="urn:other" name="S1" r:id="rId1" '
+          b'xmlns:r="urn:r"/></sheets></workbook>')
+    sheet = (b'<?xml version="1.0"?>'
+             b'<worksheet xmlns="urn:root"><sheetData>'
+             b'<row xmlns="urn:other" r="1">'
+             b'<c r="A1" t="inlineStr"><is><t>hello</t></is></c>'
+             b'</row></sheetData></worksheet>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = read_xlsx_rows(buf.getvalue())
+    assert rows == [["hello"]]
