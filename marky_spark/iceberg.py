@@ -68,11 +68,13 @@ def lineage_table_ddl(table: str = "corpus.conversion_lineage") -> str:
 USING iceberg"""
 
 
-def resume_filter_sql(table: str, snapshot_id: int) -> str:
+def resume_filter_sql(table: str, snapshot_id: int,
+                      input_table: str = "corpus.documents_spans") -> str:
     """Production resume: anti-join the input against doc_ids already
-    committed as of a snapshot (incremental read avoids scanning history)."""
+    committed as of a snapshot (incremental read avoids scanning history).
+    ``input_table`` must match the table created by :func:`input_table_ddl`."""
     return (
-        f"SELECT i.* FROM corpus.documents_spans i LEFT ANTI JOIN "
+        f"SELECT i.* FROM {input_table} i LEFT ANTI JOIN "
         f"(SELECT doc_id FROM {table} VERSION AS OF {snapshot_id}) o "
         f"ON i.doc_id = o.doc_id"
     )
@@ -88,11 +90,32 @@ def iceberg_available(spark: SparkSession) -> bool:
     return "IcebergSparkSessionExtensions" in ext
 
 
-def write_output(df: DataFrame, spark: SparkSession, out: str) -> str:
+def write_output(df: DataFrame, spark: SparkSession, out: str,
+                 n_buckets: int = 64) -> str:
     """Route to Iceberg (atomic snapshot append) or the local parquet +
-    manifest stand-in. Returns the mode used ('iceberg' | 'parquet')."""
+    manifest stand-in. Returns the mode used ('iceberg' | 'parquet').
+
+    The fallback writes the SAME layout the pipeline commits — bucket-
+    partitioned parquet under ``out/out_spans`` plus a SnapshotStore
+    manifest commit — so ``pipeline.read_output`` and resume semantics
+    work identically on both paths."""
     if iceberg_available(spark):
         df.writeTo(out).append()
         return "iceberg"
-    df.write.mode("append").parquet(out)
+    import os
+
+    from .pipeline import SnapshotStore, with_bucket
+
+    bucketed = df if "bucket" in df.columns else with_bucket(df, n_buckets)
+    bucketed = bucketed.persist()
+    try:
+        (bucketed.write.mode("append").partitionBy("bucket")
+         .parquet(os.path.join(out, "out_spans")))
+        buckets = [r["bucket"]
+                   for r in bucketed.select("bucket").distinct().collect()]
+        n = bucketed.count()
+    finally:
+        bucketed.unpersist()
+    SnapshotStore(out).commit(buckets, {"n_docs": n,
+                                        "writer": "write_output"})
     return "parquet"

@@ -158,15 +158,20 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
-def attach_media(docs_out: DataFrame, media: DataFrame) -> DataFrame:
+def attach_media(docs_out: DataFrame, media: DataFrame,
+                 broadcast: bool = False) -> DataFrame:
     """Join conversion output's image spans to the media side-table.
 
-    The media dimension is broadcast when small; at 100 TB both sides are
-    bucketed on media_ref and the join is shuffle-free (Iceberg bucket
-    transform on both tables)."""
+    Strategy is left to AQE by default: an unconditional broadcast hint
+    would materialize the whole media table (binary payloads!) on the
+    driver and every executor when it is large. Pass ``broadcast=True``
+    only when the caller KNOWS the table is small; at 100 TB both sides
+    are bucketed on media_ref and the join is shuffle-free (Iceberg
+    bucket transform on both tables)."""
     spans = (
         docs_out.select("doc_id", F.explode("out_spans").alias("s"))
         .where(F.col("s.kind") == "image")
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
-    return spans.join(F.broadcast(media), "media_ref", "left")
+    right = F.broadcast(media) if broadcast else media
+    return spans.join(right, "media_ref", "left")

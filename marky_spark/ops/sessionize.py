@@ -89,7 +89,13 @@ def _sessionize_group(
             start_us = last_us = ts_us
             n, total = 1, float(value)
         else:
-            last_us = ts_us
+            # a cross-batch late arrival (ts < last_us, still inside the
+            # watermark) must not regress the session window or the timeout:
+            # the batch twin takes min/max over the session's events
+            if ts_us > last_us:
+                last_us = ts_us
+            if ts_us < start_us:
+                start_us = ts_us
             n += 1
             total += float(value)
 

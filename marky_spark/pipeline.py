@@ -25,11 +25,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .convert import convert
 
@@ -138,11 +140,26 @@ def run_convert_job(
     if not pending:
         return results
 
+    # exactly-once across crash+resume: a wave that wrote files but died
+    # before its manifest commit left orphans in still-pending bucket
+    # partitions; re-running without clearing them would double those rows.
+    # (Iceberg needs no equivalent — uncommitted files are invisible to the
+    # snapshot; this restores that semantic for the parquet stand-in.)
+    _clean_uncommitted(out_dir, pending)
+    # lineage/metrics wave ids stay unique across resumed runs
+    wave_base = len(store.read()["snapshots"])
+
     per_wave = max(1, -(-len(pending) // waves))
     for w in range(0, len(pending), per_wave):
         wave_buckets = pending[w:w + per_wave]
+        wave_id = wave_base + w // per_wave
         t0 = time.time()
-        wave_df = bucketed.where(F.col("bucket").isin(wave_buckets))
+        # persist the wave slice: the skew quantile plus the small/big split
+        # would otherwise rescan the input three times per wave
+        wave_df = (
+            bucketed.where(F.col("bucket").isin(wave_buckets))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         out = convert(skew_balanced(wave_df.drop("bucket"), parts,
                                     skew_factor))
         out = with_bucket(out, n_buckets)
@@ -160,14 +177,14 @@ def run_convert_job(
                 F.sum("md_chars").alias("md_chars"),
                 F.min("doc_id").alias("min_doc_id"),
                 F.max("doc_id").alias("max_doc_id"),
-            ).withColumn("wave", F.lit(w // per_wave))
+            ).withColumn("wave", F.lit(wave_id))
             lineage.write.mode("append").parquet(
                 os.path.join(out_dir, "lineage")
             )
             metrics = out.groupBy("conv_kind", "status").agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("md_chars").alias("md_chars"),
-            ).withColumn("wave", F.lit(w // per_wave))
+            ).withColumn("wave", F.lit(wave_id))
             metrics.write.mode("append").parquet(
                 os.path.join(out_dir, "metrics")
             )
@@ -178,23 +195,46 @@ def run_convert_job(
             ).collect()[0]
         finally:
             out.unpersist()
+            wave_df.unpersist()
 
         dt = time.time() - t0
         store.commit(wave_buckets, {
             "n_docs": agg["n"], "n_errors": agg["e"],
             "seconds": round(dt, 3),
         })
-        results.append(WaveResult(w // per_wave, wave_buckets,
+        results.append(WaveResult(wave_id, wave_buckets,
                                   agg["n"], agg["e"], dt))
         if fail_after_wave is not None and len(results) >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {len(results)}")
     return results
 
 
+def _clean_uncommitted(out_dir: str, pending_buckets: list[int]) -> None:
+    """Remove orphaned bucket partitions left by a wave that crashed after
+    writing files but before its manifest commit."""
+    base = os.path.join(out_dir, "out_spans")
+    for b in pending_buckets:
+        d = os.path.join(base, f"bucket={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed output only (snapshot isolation: uncommitted bucket files
-    from a crashed wave are filtered out)."""
+    from a crashed wave are filtered out). Empty result — not an error —
+    when nothing has committed yet."""
+    from .schema import OUTPUT_SCHEMA
+
     store = SnapshotStore(out_dir)
     committed = sorted(store.committed_buckets())
-    df = spark.read.parquet(os.path.join(out_dir, "out_spans"))
+    path = os.path.join(out_dir, "out_spans")
+    if not committed or not os.path.isdir(path):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # copy: StructType.add would mutate the shared OUTPUT_SCHEMA
+        schema = StructType(
+            list(OUTPUT_SCHEMA.fields) + [StructField("bucket", IntegerType())]
+        )
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(path)
     return df.where(F.col("bucket").isin(committed))

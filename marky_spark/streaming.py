@@ -87,10 +87,15 @@ def stream_event_metrics(
         schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     out = windowed_event_metrics(stream)
+    # update (not complete) mode: complete would retain every window's state
+    # forever and fold arbitrarily-late events into old windows, silently
+    # voiding the watermark; update lets the watermark evict state and drop
+    # late data as documented. The monitoring consumer takes the latest row
+    # per (window_start, event_type).
     return (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -29,12 +29,18 @@ def test_ddl_shapes():
 
 def test_write_routing_falls_back_to_parquet(spark, tmp_path):
     from marky_spark.iceberg import iceberg_available, write_output
+    from marky_spark.pipeline import SnapshotStore
 
     assert iceberg_available(spark) is False  # no Iceberg jar in sandbox
     df = spark.range(5).selectExpr("cast(id as string) as doc_id")
-    mode = write_output(df, spark, str(tmp_path / "o"))
+    out = str(tmp_path / "o")
+    mode = write_output(df, spark, out)
     assert mode == "parquet"
-    assert spark.read.parquet(str(tmp_path / "o")).count() == 5
+    # fallback commits the pipeline layout: bucketed parquet + manifest
+    written = spark.read.parquet(out + "/out_spans")
+    assert written.count() == 5
+    assert "bucket" in written.columns
+    assert SnapshotStore(out).committed_buckets()  # snapshot was committed
 
 
 def test_cli_driver_end_to_end(tmp_path):

@@ -77,3 +77,43 @@ def test_skew_balanced_splits_mega_docs(spark):
     df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
     balanced = skew_balanced(df, partitions=8, skew_factor=4.0)
     assert balanced.count() == 201  # no loss through the split/union
+
+
+def test_resume_cleans_orphans_from_mid_wave_crash(spark, tmp_path):
+    """A wave that wrote files but died before its manifest commit must not
+    double its rows when the bucket is re-run after restart."""
+    import os
+
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.pipeline import (
+        SnapshotStore,
+        read_output,
+        run_convert_job,
+        with_bucket,
+    )
+
+    out_dir = str(tmp_path / "job")
+    corpus = spark_corpus(spark, 200, partitions=4)
+    n_input = corpus.count()
+
+    # simulate the crash: bucket files exist for EVERY bucket, but the
+    # manifest (written after the files in the real sequence) never landed
+    from marky_spark.convert import convert
+
+    pre = with_bucket(convert(corpus), 8)
+    (pre.write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(out_dir, "out_spans")))
+    SnapshotStore(out_dir)  # creates dir + empty manifest state
+    assert not SnapshotStore(out_dir).committed_buckets()
+
+    run_convert_job(spark, corpus, out_dir, n_buckets=8, waves=2)
+    total = read_output(spark, out_dir).count()
+    assert total == n_input  # orphans were cleaned, not duplicated
+
+
+def test_read_output_empty_before_first_commit(spark, tmp_path):
+    from marky_spark.pipeline import read_output
+
+    df = read_output(spark, str(tmp_path / "never_ran"))
+    assert df.count() == 0
+    assert "bucket" in df.columns

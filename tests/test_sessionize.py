@@ -67,3 +67,54 @@ def test_batch_sessionize_gap_semantics(spark):
         for r in sessionize_batch(df).collect()
     )
     assert got == [(1, 1, 3.0), (1, 2, 3.0), (2, 1, 4.0)]
+
+
+def test_cross_batch_late_event_does_not_regress_session_end():
+    """A late event (within watermark) arriving a micro-batch after a newer
+    one must extend, not regress, the session window and timeout."""
+    import pandas as pd
+
+    from marky_spark.ops.sessionize import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self.exists = False
+            self._v = None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    us = 1_000_000
+    t12 = 12 * 3600 * us
+    t1150 = t12 - 10 * 60 * us
+    state = FakeState()
+
+    def batch(ts_us_list):
+        pdf = pd.DataFrame({
+            "ts": [pd.Timestamp(t, unit="us") for t in ts_us_list],
+            "value": [1.0] * len(ts_us_list),
+        })
+        return list(_sessionize_group((7,), iter([pdf]), state))
+
+    batch([t12])
+    assert state.get[1] == t12
+    batch([t1150])  # late arrival
+    start_us, last_us, n, total = state.get
+    assert last_us == t12       # end not regressed
+    assert start_us == t1150    # start extended back (batch-twin min)
+    assert n == 2 and total == 2.0
+    assert state.timeout == t12 // 1000 + 30 * 60 * 1000
