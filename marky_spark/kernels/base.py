@@ -33,6 +33,21 @@ class ConvertError(Exception):
     """Per-document conversion failure (becomes a status='error' row)."""
 
 
+_LOCAL_CACHE: dict[str, str] = {}
+
+
+def local_name(tag: str) -> str:
+    """Strip the '{ns}' prefix from an ElementTree tag. Memoized (bounded):
+    the OOXML/EPUB tag vocabulary is small and the kernels dispatch on
+    localname in their hottest walks."""
+    loc = _LOCAL_CACHE.get(tag)
+    if loc is None:
+        loc = tag.rsplit("}", 1)[-1]
+        if len(_LOCAL_CACHE) < 4096:  # bound executor-lifetime growth
+            _LOCAL_CACHE[tag] = loc
+    return loc
+
+
 def md(text: str) -> Segment:
     return (MARKDOWN, text, "")
 

@@ -22,7 +22,12 @@ from .mdtable import to_markdown_table
 def parse_csv(text: str) -> list[list[str]]:
     """Parse with Go encoding/csv strictness. csv.go:44-46."""
     try:
-        records = [r for r in csv.reader(io.StringIO(text, newline="")) if r]
+        # strict=True: bare/extraneous quotes inside quoted fields error,
+        # matching Go encoding/csv's ErrQuote instead of silently mangling
+        records = [
+            r for r in csv.reader(io.StringIO(text, newline=""), strict=True)
+            if r
+        ]
     except csv.Error as exc:
         raise ConvertError(f"unable to parse CSV: {exc}") from exc
 

@@ -31,6 +31,7 @@ import fnmatch
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, image, md, merge_markdown
+from .base import local_name as _local
 from .fastzip import BadZip, open_zip
 from .mdtable import _escape, docx_table
 
@@ -38,18 +39,7 @@ from .mdtable import _escape, docx_table
 _Part = str | tuple[str, str, str]
 
 
-_LOCAL_CACHE: dict[str, str] = {}
 
-
-def _local(tag: str) -> str:
-    # OOXML's tag vocabulary is small and fixed; a memo turns the per-element
-    # rsplit+alloc into a dict hit (the walk dispatches on localname)
-    loc = _LOCAL_CACHE.get(tag)
-    if loc is None:
-        loc = tag.rsplit("}", 1)[-1]
-        if len(_LOCAL_CACHE) < 4096:  # bound executor-lifetime growth
-            _LOCAL_CACHE[tag] = loc
-    return loc
 
 
 def _attr(el: ET.Element, name: str) -> str | None:

@@ -15,12 +15,11 @@ import posixpath
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, md
+from .base import local_name as _local
 from .fastzip import BadZip, open_zip
 from .htmlk import convert_html
 
 
-def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
 
 
 def _parse(data: bytes, what: str) -> ET.Element:
@@ -127,7 +126,9 @@ def convert_epub(text: str) -> list[Segment]:
                 if href is None:
                     continue
                 if base_dir not in (".", ""):
-                    href = posixpath.join(base_dir, href)
+                    # normalize '../'/'./' segments (Go path.Join parity —
+                    # epub.go resolves hrefs with a cleaning join)
+                    href = posixpath.normpath(posixpath.join(base_dir, href))
                 if href not in names:
                     continue  # skip missing files (epub.go:146-149)
                 try:

@@ -72,7 +72,7 @@ class _DomBuilder(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         closes = _IMPLIED_CLOSE.get(tag)
-        if closes and self.stack[-1].tag in closes:
+        while closes and len(self.stack) > 1 and self.stack[-1].tag in closes:
             self.stack.pop()
         el = Element(tag, {k: (v or "") for k, v in attrs})
         self.stack[-1].children.append(el)
@@ -125,7 +125,10 @@ _ATTR_RE = re.compile(
 )
 
 # content of these runs verbatim until the matching close tag (HTML rawtext)
-_RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
+# exactly html.parser's CDATA_CONTENT_ELEMENTS: the differential contract
+# (fast tree == stdlib tree) requires the same rawtext set; textarea/title
+# are RCDATA in HTML5 but html.parser tokenizes them normally
+_RAWTEXT_TAGS = frozenset(("script", "style"))
 
 _RAWTEXT_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT_TAGS
@@ -191,7 +194,7 @@ def parse_html(text: str) -> Element:
         self_closing = m.group(4) == "/"
 
         closes = _IMPLIED_CLOSE.get(tag)
-        if closes and stack[-1].tag in closes:
+        while closes and len(stack) > 1 and stack[-1].tag in closes:
             stack.pop()
         el = Element(tag, attrs)
         stack[-1].children.append(el)
@@ -313,8 +316,21 @@ def strip_boilerplate(root: Element) -> Element:
     # safety-net check reuses the memo: shared (unchanged) subtrees resolve
     # instantly, only rebuilt spine nodes are re-walked
     if pruned is None or (doc_text > 0 and _text_stats(pruned, memo=memo)[0] == 0):
-        return root  # pruning nuked everything — keep original (safety net)
+        # density pruning nuked everything — fall back to the original tree
+        # minus the hard-blacklist subtrees (script/style/nav/... must never
+        # leak into output, even on the safety path)
+        return _drop_tags_only(root)
     return pruned
+
+
+def _drop_tags_only(node: Element) -> Element:
+    new = Element(node.tag, node.attrs)
+    new.children = [
+        (_drop_tags_only(c) if isinstance(c, Element) else c)
+        for c in node.children
+        if not (isinstance(c, Element) and c.tag in _DROP_TAGS)
+    ]
+    return new
 
 
 # ---------------------------------------------------------------------------
@@ -503,7 +519,8 @@ class _Emitter:
                     continue
                 if child.tag == "tr":
                     cells = [
-                        _parts_text(self._children_inline(c)).strip()
+                        _parts_text(self._children_inline(c))
+                        .replace("\n", " ").strip()
                         for c in child.children
                         if isinstance(c, Element) and c.tag in ("td", "th")
                     ]

@@ -23,6 +23,7 @@ import re
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, image, md, merge_markdown
+from .base import local_name as _local
 from .fastzip import BadZip, open_zip
 from .mdtable import pptx_table
 
@@ -34,8 +35,6 @@ _NON_WORD = re.compile(r"\W")
 _NOTES_RUN = re.compile(r"<a:t>([^<]*)</a:t>")
 
 
-def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
 
 
 def _find_all(el: ET.Element, *path: str) -> list[ET.Element]:

@@ -15,12 +15,11 @@ from __future__ import annotations
 from xml.etree import ElementTree as ET
 
 from .base import ConvertError, Segment, decode_binary_payload, md
+from .base import local_name as _local
 from .fastzip import BadZip, open_zip
 from .mdtable import to_markdown_table
 
 
-def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
 
 
 def _ns_of(root: ET.Element) -> str:

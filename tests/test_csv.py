@@ -70,3 +70,15 @@ def test_crlf():
 
 def test_embedded_newline_in_quotes():
     assert parse_csv('a,b\n"x\ny",z\n') == [["a", "b"], ["x\ny", "z"]]
+
+
+def test_bad_quoting_errors_like_go():
+    """Go encoding/csv rejects extraneous quotes in a quoted field; so do we
+    (csv strict mode), instead of silently mangling the cell."""
+    import pytest
+
+    from marky_spark.kernels.base import ConvertError
+    from marky_spark.kernels.csvk import parse_csv
+
+    with pytest.raises(ConvertError):
+        parse_csv('a,"b"x,c\n1,2,3')

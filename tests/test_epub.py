@@ -78,3 +78,28 @@ def test_no_container_errors():
 def test_invalid_zip_errors():
     with pytest.raises(ConvertError):
         convert_epub(fx.b64(b"x"))
+
+def test_relative_href_with_dotdot_resolves():
+    """Manifest hrefs containing '../' must normalize to the real zip member
+    (Go path.Join cleans paths)."""
+    import base64
+    import io
+    import zipfile
+
+    from marky_spark.kernels.epubk import convert_epub
+
+    container = (b'<?xml version="1.0"?><container>'
+                 b'<rootfiles><rootfile full-path="OEBPS/sub/content.opf"/>'
+                 b'</rootfiles></container>')
+    opf = (b'<?xml version="1.0"?><package>'
+           b'<metadata></metadata>'
+           b'<manifest><item id="c1" href="../Text/ch1.xhtml"/></manifest>'
+           b'<spine><itemref idref="c1"/></spine></package>')
+    ch1 = b'<html><body><p>chapter text here</p></body></html>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("OEBPS/sub/content.opf", opf)
+        z.writestr("OEBPS/Text/ch1.xhtml", ch1)
+    segs = convert_epub(base64.b64encode(buf.getvalue()).decode())
+    assert "chapter text here" in "".join(s[1] for s in segs)

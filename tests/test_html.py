@@ -285,3 +285,32 @@ try:
         assert md_of(parse_html) == md_of(parse_html_stdlib)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_unclosed_cells_keep_all_table_rows():
+    """<tr> after an unclosed <td> must close both td AND tr (legacy HTML)."""
+    from marky_spark.kernels.htmlk import html_to_markdown
+
+    out = html_to_markdown(
+        "<table><tr><td>a<td>b<tr><td>c<td>d</table>", strip=False)
+    assert out == "| a | b |\n| --- | --- |\n| c | d |"
+
+
+def test_br_inside_cell_keeps_row_on_one_line():
+    from marky_spark.kernels.htmlk import html_to_markdown
+
+    out = html_to_markdown(
+        "<table><tr><td>a<br>b</td><td>x</td></tr></table>", strip=False)
+    assert out.splitlines()[0] == "| a b | x |"
+
+
+def test_safety_net_fallback_never_leaks_script():
+    """When density pruning removes all text, the raw-tree fallback must
+    still drop blacklist subtrees."""
+    from marky_spark.kernels.htmlk import html_to_markdown
+
+    links = "<a href='u'>link</a>" * 9
+    page = ("<html><body><script>var secret=1;</script>"
+            + "".join("<div>" + links + "</div>" for _ in range(4))
+            + "</body></html>")
+    assert "secret" not in html_to_markdown(page)
