@@ -24,10 +24,13 @@ def parse_csv(text: str) -> list[list[str]]:
     try:
         # strict=True: bare/extraneous quotes inside quoted fields error,
         # matching Go encoding/csv's ErrQuote instead of silently mangling
-        records = [
-            r for r in csv.reader(io.StringIO(text, newline=""), strict=True)
-            if r
-        ]
+        reader = csv.reader(io.StringIO(text, newline=""), strict=True)
+        records: list[list[str]] = []
+        line_nums: list[int] = []  # physical line per record (Go's error N)
+        for rec in reader:
+            if rec:
+                records.append(rec)
+                line_nums.append(reader.line_num)
     except csv.Error as exc:
         raise ConvertError(f"unable to parse CSV: {exc}") from exc
 
@@ -39,7 +42,7 @@ def parse_csv(text: str) -> list[list[str]]:
         if len(rec) != width:
             # Go: "record on line N: wrong number of fields"
             raise ConvertError(
-                f"record on line {i + 1}: wrong number of fields "
+                f"record on line {line_nums[i]}: wrong number of fields "
                 f"(got {len(rec)}, want {width})"
             )
     return records
