@@ -170,6 +170,15 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash scheme: k-gram hash +
+    window-min selection), fully JVM-side."""
+    from marky_spark.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (vectorized numpy bit-vote path); oracle:
     the same md5-per-token / bit-vote construction in pure SQL."""
@@ -466,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "winnow": _q_winnow,
         "simhash": _q_simhash,
         "minhash_signature": _q_minhash_signature,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -613,6 +623,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "winnow": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                      i -> substr(md5(substr(text, i::INT, 8)), 1, 8)) AS grams
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(grams) - 3, 1) + 1),
+                           j -> list_min(grams[j:j+3]))) AS fps
+                FROM g)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM s
         """,
         "simhash": """
             -- token split matches Python str.split() (all Unicode whitespace:

@@ -148,3 +148,31 @@ def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select("doc_id", col).mapInPandas(
         batches, schema="doc_id long, simhash long"
     )
+
+
+def winnow_fingerprints(df: DataFrame, col: str = "text",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS rolling-hash scheme): hash every char k-gram, slide a window
+    of ``w`` consecutive k-gram hashes, keep the minimum of each window;
+    the distinct selected hashes are the document's fingerprints. Guarantees
+    any shared substring of length >= k + w - 1 yields a shared fingerprint.
+
+    Fully JVM-side (transform/slice/array_min — whole-stage codegen); the
+    k-gram hash is the first 8 md5 hex chars, so the construction is
+    reproducible in ANSI SQL for the driver oracle. Returns one row per
+    (doc_id, fingerprint).
+    """
+    grams = (
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substring(md5(substring({col}, i, {k})), 1, 8))"
+    )
+    sel = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(_grams) - {w - 1}, 1)), "
+        f"j -> array_min(slice(_grams, j, {w}))))"
+    )
+    return (
+        df.select("doc_id", F.expr(grams).alias("_grams"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("fingerprint"))
+    )

@@ -274,3 +274,32 @@ def test_ivf_assignment_partitions_corpus(spark, emb):
               cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
     assert sum(counts.values()) == emb.count()   # total assignment
     assert len(counts) >= 4                       # cells actually used
+
+
+def test_winnow_matches_pure_python(spark):
+    """Winnowing selection (k-gram hash + window min) vs a direct Python
+    re-implementation, plus the shared-substring guarantee."""
+    import hashlib
+
+    from marky_spark.ops.textstats import winnow_fingerprints
+
+    def py_winnow(text, k=8, w=4):
+        n = max(len(text) - k + 1, 1)
+        grams = [hashlib.md5(text[i:i + k].encode()).hexdigest()[:8]
+                 for i in range(n)]
+        m = max(len(grams) - w + 1, 1)
+        return sorted({min(grams[j:j + w]) for j in range(m)})
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
+    out = winnow_fingerprints(docs.limit(50))
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["fingerprint"])
+    for did, text in sample.items():
+        assert sorted(got[did]) == py_winnow(text)
+
+    # guarantee: a shared substring of length >= k+w-1 shares a fingerprint
+    a = "the quick brown fox jumps over the lazy dog in the park"
+    b = "XXXX quick brown fox jumps YYYY totally different text here"
+    assert set(py_winnow(a)) & set(py_winnow(b))
