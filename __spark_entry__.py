@@ -163,6 +163,13 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (n-gram heuristic variant)."""
+    from marky_spark.ops.textstats import lang_id_ngram
+
+    return lang_id_ngram(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text md5 fingerprint."""
     from marky_spark.ops.textstats import fingerprint
@@ -474,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "lang_id_ngram": _q_lang_id_ngram,
         "fingerprint": _q_fingerprint,
         "winnow": _q_winnow,
         "simhash": _q_simhash,
@@ -617,6 +625,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
                         ELSE 'de' END AS pred_lang,
                    hits_en, hits_es, hits_de
+            FROM h
+        """,
+        "lang_id_ngram": """
+            WITH h AS (
+                SELECT doc_id,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' th', 'the', 'he ', 'ing', 'ng ', 'and', 'nd ', ' an', ' of', 'of ', 'ion', 'ed ', 'er ', ' in', 'ent', 'is ', ' is'], t)))::BIGINT AS tri_en,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' de', 'de ', 'os ', ' la', 'la ', 'es ', 'ar ', ' es', 'que', ' qu', 'el ', ' el', 'ado', ' co', 'ien', 'nte', 'cio'], t)))::BIGINT AS tri_es,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains(['der', ' de', 'ein', 'ich', 'sch', 'die', 'und', 'ung', 'en ', 'ch ', 'gen', ' ge', 'ber', 'ten', 'ie ', 'ne ', ' di'], t)))::BIGINT AS tri_de
+                FROM documents)
+            SELECT doc_id, CASE WHEN greatest(tri_en, tri_es, tri_de) <= 0 THEN 'und' WHEN tri_en = greatest(tri_en, tri_es, tri_de) THEN 'en' WHEN tri_es = greatest(tri_en, tri_es, tri_de) THEN 'es' WHEN tri_de = greatest(tri_en, tri_es, tri_de) THEN 'de' END AS pred_lang, tri_en, tri_es, tri_de
             FROM h
         """,
         "fingerprint": """

@@ -176,3 +176,41 @@ def winnow_fingerprints(df: DataFrame, col: str = "text",
         df.select("doc_id", F.expr(grams).alias("_grams"))
         .select("doc_id", F.explode(F.expr(sel)).alias("fingerprint"))
     )
+
+
+# Character-trigram profiles per language (tiny, fixed; the operator
+# contract is the formula — a production system swaps in learned profiles)
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", " an", " of",
+           "of ", "ion", "ed ", "er ", " in", "ent", "is ", " is"),
+    "es": (" de", "de ", "os ", " la", "la ", "es ", "ar ", " es", "que",
+           " qu", "el ", " el", "ado", " co", "ien", "nte", "cio"),
+    "de": ("der", " de", "ein", "ich", "sch", "die", "und", "ung", "en ",
+           "ch ", "gen", " ge", "ber", "ten", "ie ", "ne ", " di"),
+}
+
+
+def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
+    """Character-trigram language ID: count how many of the document's
+    trigrams (lowercased, overlapping) appear in each language's fixed
+    profile; argmax wins, ties break by language order, zero hits → 'und'.
+    One trigram extraction + one JVM-side filter per language (no Python)."""
+    grams = (
+        f"transform(sequence(1, greatest(length(lower({col})) - 2, 1)), "
+        f"i -> substring(lower({col}), i, 3))"
+    )
+    scores: dict[str, Column] = {}
+    for lang, tris in LANG_TRIGRAMS.items():
+        arr = ",".join("'" + t.replace("'", "\\'") + "'" for t in tris)
+        scores[lang] = F.expr(
+            f"size(filter({grams}, t -> array_contains(array({arr}), t)))"
+        ).cast("long")
+    langs = list(LANG_TRIGRAMS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        "doc_id", pred.alias("pred_lang"),
+        *[scores[lang].alias(f"tri_{lang}") for lang in langs],
+    )
