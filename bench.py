@@ -8,7 +8,7 @@ Env knobs:
 
 The headline number is documents/sec through the full conversion pipeline
 (the BASELINE.json metric); per-query wall seconds are reported alongside.
-Scaling-efficiency evidence (local[8] vs local[32]) lives in
+Scaling-efficiency evidence (pinned N vs 4N cores) lives in
 ``scripts/scaling_bench.py`` → ``BENCH/BASELINE.md``.
 """
 
@@ -92,8 +92,10 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
-        "metric": "documents/sec converted to ordered Markdown spans "
-                  "(synthetic interleaved corpus, 10-kind mix, skew tail)",
+        "metric": "total wall seconds: full span-corpus conversion + "
+                  "substrate queries (BASELINE.json throughput metric is "
+                  "the docs_per_sec field: documents/sec to ordered "
+                  "Markdown spans, 10-kind mix, skew tail)",
         "value": total,
         "unit": "sec",
         "queries": queries,

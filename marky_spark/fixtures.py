@@ -150,11 +150,20 @@ def xlsx_zip(rows: list[list[str]], sheet_name: str = "Sheet1",
             shared.append(value)
         return f'<c r="{ref}" t="s"><v>{shared.index(value)}</v></c>'
 
+    def col_ref(ci: int) -> str:
+        # 0 -> A, 25 -> Z, 26 -> AA (bijective base-26)
+        out = ""
+        ci += 1
+        while ci:
+            ci, rem = divmod(ci - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
     def sheet_xml(data: list[list[str]]) -> str:
         row_parts = []
         for ri, row in enumerate(data, start=1):
             cells = "".join(
-                cell_xml(f"{chr(ord('A') + ci)}{ri}", v)
+                cell_xml(f"{col_ref(ci)}{ri}", v)
                 for ci, v in enumerate(row)
             )
             row_parts.append(f'<row r="{ri}">{cells}</row>')
@@ -170,8 +179,14 @@ def xlsx_zip(rows: list[list[str]], sheet_name: str = "Sheet1",
     if with_formula:
         ref, cached = with_formula
         extra = f'<c r="{ref}" t="str"><f>SUM(1,2)</f><v>{cached}</v></c>'
-        sheet_xmls[0] = sheet_xmls[0].replace("</row></sheetData>",
-                                              f"{extra}</row></sheetData>", 1)
+        # append into row 1 (first closing row tag), per the docstring; an
+        # empty sheet gets a synthesized row 1
+        if "</row>" in sheet_xmls[0]:
+            sheet_xmls[0] = sheet_xmls[0].replace(
+                "</row>", f"{extra}</row>", 1)
+        else:
+            sheet_xmls[0] = sheet_xmls[0].replace(
+                "<sheetData>", f'<sheetData><row r="1">{extra}</row>', 1)
 
     sheet_entries = "".join(
         f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
@@ -304,17 +319,17 @@ def epub_zip(chapters: list[tuple[str, str]],
     if title:
         meta_parts.append(f"<dc:title>{_x(title)}</dc:title>")
     for c in creators or []:
-        meta_parts.append(f"<dc:creator>{c}</dc:creator>")
+        meta_parts.append(f"<dc:creator>{_x(c)}</dc:creator>")
     if language:
-        meta_parts.append(f"<dc:language>{language}</dc:language>")
+        meta_parts.append(f"<dc:language>{_x(language)}</dc:language>")
     if publisher:
-        meta_parts.append(f"<dc:publisher>{publisher}</dc:publisher>")
+        meta_parts.append(f"<dc:publisher>{_x(publisher)}</dc:publisher>")
     if date:
-        meta_parts.append(f"<dc:date>{date}</dc:date>")
+        meta_parts.append(f"<dc:date>{_x(date)}</dc:date>")
     if description:
-        meta_parts.append(f"<dc:description>{description}</dc:description>")
+        meta_parts.append(f"<dc:description>{_x(description)}</dc:description>")
     if identifier:
-        meta_parts.append(f"<dc:identifier>{identifier}</dc:identifier>")
+        meta_parts.append(f"<dc:identifier>{_x(identifier)}</dc:identifier>")
 
     items = "".join(
         f'<item id="ch{i}" href="{href}" media-type="application/xhtml+xml"/>'
@@ -380,7 +395,10 @@ def pdf_bytes(pages: list[list[tuple[float, float, str]]],
             else:
                 parts.append(f"1 0 0 1 {x:g} {y:g} Tm ({_pdf_escape(text)}) Tj")
         parts.append("ET")
-        stream = " ".join(parts).encode("cp1252")
+        # WinAnsi-scoped fixture format (the kernel decodes cp1252);
+        # out-of-repertoire chars degrade to '?' instead of crashing the
+        # builder — callers wanting CJK text should use the other formats
+        stream = " ".join(parts).encode("cp1252", errors="replace")
         if compress:
             stream = _zlib.compress(stream)
             head = f"<< /Length {len(stream)} /Filter /FlateDecode >>"

@@ -7,7 +7,9 @@ re-shaped for a cluster: one job over a table, not one process per file).
         --buckets 64 --waves 4 [--kinds html,pdf] [--local N]
 
 Resumable: rerunning with the same --output skips committed buckets
-(manifest snapshot; see marky_spark/pipeline.py).
+(manifest snapshot; see marky_spark/pipeline.py). The manifest pins the
+job configuration (--kinds, --buckets): resuming with different values
+is an error, not a silent partial conversion.
 """
 
 from __future__ import annotations
@@ -19,6 +21,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _is_local_path(p: str) -> bool:
+    """Driver-local existence checks only make sense for scheme-less paths;
+    hdfs:// / s3a:// / file: URIs are handed straight to Spark."""
+    return "://" not in p and not p.startswith("file:")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -34,42 +42,75 @@ def main(argv: list[str] | None = None) -> int:
                     help="run on local[N] (default: session from spark-submit)")
     args = ap.parse_args(argv)
 
-    from marky_spark.pipeline import run_convert_job
+    kinds = ([k.strip() for k in args.kinds.split(",") if k.strip()]
+             if args.kinds else None)
+    kinds = kinds or None  # '--kinds " , "' means no restriction, not 'none'
+
+    # cheap local checks BEFORE the JVM launch
+    is_table = _is_local_path(args.input) and "/" not in args.input \
+        and not os.path.exists(args.input)
+    if _is_local_path(args.input) and not is_table \
+            and not os.path.exists(args.input):
+        print(f"error: input {args.input!r} does not exist", file=sys.stderr)
+        return 1  # existence check parity: cmd/marky/main.go:23-25
+
+    # resume-config pin: changing --kinds/--buckets against an existing
+    # manifest would silently skip unconverted docs (committed bucket ids
+    # only mean "done" under the SAME filter and bucket mapping)
+    job_config = {"kinds": kinds, "n_buckets": args.buckets}
+    manifest_path = os.path.join(args.output, "manifest.json")
+    if _is_local_path(args.output) and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        prior = manifest.get("job_config")
+        if prior is not None and prior != job_config:
+            print(f"error: resume config mismatch: manifest has {prior!r}, "
+                  f"this run asks {job_config!r}; use a fresh --output",
+                  file=sys.stderr)
+            return 1
+
+    from marky_spark.pipeline import SnapshotStore, run_convert_job
     from marky_spark.session import get_spark
 
     spark = get_spark(app="marky-convert",
                       master=f"local[{args.local}]" if args.local else None)
     spark.sparkContext.setLogLevel("WARN")
 
-    if not os.path.exists(args.input) and "/" not in args.input:
-        df = spark.read.table(args.input)
-    else:
-        if not os.path.exists(args.input):
-            print(f"error: input {args.input!r} does not exist",
-                  file=sys.stderr)
-            return 1  # existence check parity: cmd/marky/main.go:23-25
-        df = spark.read.parquet(args.input)
+    try:
+        if is_table:
+            df = spark.read.table(args.input)
+        else:
+            df = spark.read.parquet(args.input)
 
-    if args.kinds:
-        from pyspark.sql import functions as F
+        if kinds:
+            from pyspark.sql import functions as F
 
-        kinds = [k.strip() for k in args.kinds.split(",") if k.strip()]
-        df = df.where(F.arrays_overlap("spans.kind", F.lit(kinds)))
+            df = df.where(F.arrays_overlap("spans.kind", F.lit(kinds)))
 
-    t0 = time.time()
-    results = run_convert_job(spark, df, args.output,
-                              n_buckets=args.buckets, waves=args.waves)
-    n_docs = sum(r.n_docs for r in results)
-    n_err = sum(r.n_errors for r in results)
-    dt = time.time() - t0
-    print(json.dumps({
-        "docs": n_docs, "errors": n_err, "seconds": round(dt, 2),
-        "docs_per_sec": round(n_docs / dt, 1) if dt > 0 else None,
-        "waves": len(results), "output": args.output,
-        "resumed": len(results) == 0,
-    }))
-    spark.stop()
-    return 0
+        store = SnapshotStore(args.output)
+        manifest = store.read()
+        if manifest.get("job_config") is None:
+            manifest["job_config"] = job_config
+            tmp = store.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, store.manifest_path)
+
+        t0 = time.time()
+        results = run_convert_job(spark, df, args.output,
+                                  n_buckets=args.buckets, waves=args.waves)
+        n_docs = sum(r.n_docs for r in results)
+        n_err = sum(r.n_errors for r in results)
+        dt = time.time() - t0
+        print(json.dumps({
+            "docs": n_docs, "errors": n_err, "seconds": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt, 1) if dt > 0 else None,
+            "waves": len(results), "output": args.output,
+            "resumed": len(results) == 0,
+        }))
+        return 0
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

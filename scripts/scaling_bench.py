@@ -5,7 +5,7 @@ N and 4N cores (default N=2; pass N as the second argument). Each measurement ru
 ``taskset`` to exactly that many physical cores — without pinning, a
 ``local[8]`` session still spreads its JVM/GC/Arrow/Python-worker threads
 over all 32 cores and the baseline is overstated. Reports docs/sec at both
-levels plus scaling efficiency ``(T_32/T_8)/4`` and writes
+levels plus scaling efficiency ``(T_4N/T_N)/4`` and writes
 ``BENCH/BASELINE.md``.
 
 Usage: python scripts/scaling_bench.py [n_docs] [N]      (pair = N vs 4N)
@@ -40,8 +40,8 @@ def worker(cores: int, n_docs: int, repeats: int = 3) -> dict:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # identical input across runs: fixed partition count (task granularity
-    # 8 tasks/core at the 4N level) so the only variable is core count
+    # identical input across runs: fixed partition count so task granularity
+    # is identical at both levels; the only variable is the core count
     corpus = spark_corpus(spark, n_docs, partitions=256).persist()
     corpus.count()
     convert(corpus.limit(2048)).count()  # warm all Python workers
@@ -108,7 +108,7 @@ partitions so task granularity is identical.
 | local[{n}]  (N)  | 0-{n - 1}  | {r8['n_ok']} | {r8['seconds']} | {r8['docs_per_sec']} |
 | local[{4 * n}] (4N) | 0-{4 * n - 1} | {r32['n_ok']} | {r32['seconds']} | {r32['docs_per_sec']} |
 
-**Scaling efficiency (N → 4N) = (throughput_32 / throughput_8) / 4 =
+**Scaling efficiency (N → 4N) = (throughput_4N / throughput_N) / 4 =
 {result['scaling_efficiency']}** (north-rule target: ≥ 0.8).
 
 The conversion job is an embarrassingly parallel Arrow-batched map with no
