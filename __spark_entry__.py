@@ -125,6 +125,45 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a near-dup pair set (large-star/small-star
+    iterative joins; transitive closure of dedup). The pair set is a
+    deterministic chain graph so components genuinely exercise transitivity:
+    doc_id~doc_id+1 whenever doc_id % 10 < 3 (runs of 4 docs collapse to one
+    component keyed by the smallest id)."""
+    from marky_spark.ops.dedup import dup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.where(F.pmod("doc_id", F.lit(10)) < 3).select(
+        F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, a["doc_a"] + 1 == b["doc_b"]).select("doc_a", "doc_b")
+    return dup_components(pairs)
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling (shuffle-free
+    narrow filter; task-retry-safe, unlike rand(seed))."""
+    from marky_spark.ops.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_stratified(
+        docs, rates=_SAMPLE_RATES, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 1.0}
+
+
+def _sample_oracle() -> str:
+    from marky_spark.ops.sampling import sample_oracle_sql
+
+    return sample_oracle_sql(_SAMPLE_RATES, default_rate=0.05)
+
+
+_SAMPLE_ORACLE = _sample_oracle()
+
+
 def _q_events_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substrate agg demo over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -477,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": _q_resume_anti_join,
         "token_stats": _q_token_stats,
         "dedup_exact": _q_dedup_exact,
+        "dup_components": _q_dup_components,
+        "sample_stratified": _q_sample_stratified,
         "events_metrics": _q_events_metrics,
         "events_window": _q_events_window,
         "quality_scores": _q_quality_scores,
@@ -581,6 +622,23 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM documents GROUP BY md5(text)
         """,
+        "dup_components": """
+            WITH RECURSIVE
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+                WHERE a.doc_id % 10 < 3),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            walk(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+                WHERE s.v <> w.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component
+            FROM walk GROUP BY u
+        """,
+        "sample_stratified": _SAMPLE_ORACLE,
         "events_metrics": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS total_value

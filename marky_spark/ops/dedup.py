@@ -175,6 +175,89 @@ def simhash_dupes(df: DataFrame, col: str = "text",
     return pairs
 
 
+def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, component).
+
+    The transitive-closure step of dedup: near-dup pairs a~b, b~c must
+    collapse into ONE keep-group even when a~c was never emitted. Uses the
+    alternating large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): O(log² n) rounds, each
+    round two shuffles (a groupBy-min and a join) — no collect_list of
+    neighbor sets, so a 10^9-member component cannot blow an executor.
+    ``component`` is the minimum doc_id of the component (the canonical
+    keeper). Every doc incident to a pair appears exactly once.
+
+    Per-round ``localCheckpoint`` truncates the lineage chain — an iterative
+    plan would otherwise grow exponentially and re-run every prior round at
+    each action.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # canonical directed representation: u > v
+    edges = (
+        pairs.where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # large-star: m = min(Γ(u) ∪ {u}); emit (w, m) for neighbors w > u
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on larger→smaller edges: m = min(N(u));
+        # emit (u, m) and (w, m) for w ∈ N(u) \ {m}
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when every edge points at its component root: the edge
+        # set is a star forest iff small-star changed nothing
+        stats = [
+            d.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a long sum of 64-bit hashes overflows
+                # under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            for d in (edges, small)
+        ]
+        edges = small
+        if (stats[0]["n"], stats[0]["h"]) == (stats[1]["n"], stats[1]["h"]):
+            break
+
+    member = edges.select(F.col("u").alias("doc_id"),
+                          F.col("v").alias("component"))
+    return (
+        nodes.join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+
+
 def embedding_dupes(emb: DataFrame, threshold: float = 0.95,
                     max_id: int | None = None) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding table

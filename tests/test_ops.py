@@ -303,3 +303,97 @@ def test_winnow_matches_pure_python(spark):
     a = "the quick brown fox jumps over the lazy dog in the park"
     b = "XXXX quick brown fox jumps YYYY totally different text here"
     assert set(py_winnow(a)) & set(py_winnow(b))
+
+
+def test_dup_components_vs_union_find(spark):
+    """Large-star/small-star connected components vs a driver-side
+    union-find on random graphs (chains, cliques, isolated pairs)."""
+    import random
+
+    from marky_spark.ops.dedup import dup_components
+
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = set()
+    # random sparse graph + a long chain (worst case for transitivity)
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.add((a, b))
+    for i in range(100, 140):
+        edges.add((i, i + 1))
+    # union-find ground truth
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {n: find(n) for n in touched}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in dup_components(pairs).collect()}
+    assert got == want
+
+
+def test_dup_components_self_and_dup_edges(spark):
+    from marky_spark.ops.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in dup_components(pairs).collect()}
+    # self-edge keeps node 1 as a singleton; 2-3-4 collapse to 2
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_sample_stratified_deterministic_and_monotone(spark, docs):
+    from marky_spark.ops.sampling import sample_stratified
+
+    small = sample_stratified(docs, {"en": 0.2}, default_rate=0.1)
+    big = sample_stratified(docs, {"en": 0.6}, default_rate=0.3)
+    s1 = {r["doc_id"] for r in small.select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in small.select("doc_id").collect()}
+    assert s1 == s2                     # deterministic across runs
+    b = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert s1 <= b                      # same salt => nested samples
+    n = docs.count()
+    assert 0 < len(s1) < len(b) < n
+
+    # rates land near targets (md5 uniformity; wide tolerance at n=500)
+    en_total = docs.where(F.col("lang") == "en").count()
+    en_kept = small.where(F.col("lang") == "en").count()
+    assert abs(en_kept / en_total - 0.2) < 0.1
+
+    # rate 1.0 keeps every row; rate 0.0 keeps none
+    assert sample_stratified(docs, {}, default_rate=1.0).count() == n
+    assert sample_stratified(docs, {}, default_rate=0.0).count() == 0
+
+
+def test_sample_stratified_matches_duckdb_twin(spark, docs):
+    """The operator and its SQL oracle select the identical row set."""
+    import duckdb
+
+    from marky_spark.ops.sampling import sample_oracle_sql, sample_stratified
+
+    rates = {"en": 0.5, "de": 0.25}
+    got = {r["doc_id"] for r in
+           sample_stratified(docs, rates, default_rate=0.05)
+           .select("doc_id").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = {r[0] for r in con.execute(
+        sample_oracle_sql(rates, default_rate=0.05)).fetchall()}
+    assert got == want and got
