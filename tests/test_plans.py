@@ -158,3 +158,32 @@ def test_ann_probe_is_join_free(spark):
     plan = plan_of(ann_topk(emb, list(q), k=5, n_planes=4))
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan  # TakeOrderedAndProject needs none
+
+
+def test_sample_stratified_is_shuffle_free_narrow_filter(spark):
+    """Sampling must stay a narrow filter: no Exchange, no Python stage,
+    column pruning reaches the scan."""
+    from marky_spark.ops.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sample_stratified(
+        docs, {"en": 0.5}, default_rate=0.1
+    ).select("doc_id", "lang")
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1]
+
+
+def test_dup_components_rounds_are_bounded_shuffles(spark):
+    """Each large-star/small-star round is groupBy+join shuffles over the
+    (u, v) edge relation only — never a collect_list of neighbor sets
+    (SortAggregate/ObjectHashAggregate with collect_list would appear)."""
+    from marky_spark.ops.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = dup_components(pairs, max_iter=1)
+    plan = plan_of(out)
+    assert "collect_list" not in plan, plan
