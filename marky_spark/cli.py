@@ -1,0 +1,122 @@
+"""Single-file CLI — reference parity: cmd/marky/main.go:15-51.
+
+``python -m marky_spark.cli <input> [-o output]`` converts ONE local file to
+Markdown through the same kernels the Spark pipeline runs, with the
+reference's dispatch semantics: content sniffing first (magic bytes — the Go
+side uses mimetype.DetectFile, marky.go:29), extension fallback, first match
+wins in registry order (lib.go:14-21). ``-o console`` (the default) prints to
+stdout; any other value writes the file. Exit 1 on any error
+(cmd/marky/main.go:23-25, 43).
+
+For corpus-scale conversion use ``scripts/convert_job.py`` (the table-level
+driver); this entry point exists so every reference invocation has a drop-in
+equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import zipfile
+
+BINARY_KINDS = frozenset({"docx", "xlsx", "pptx", "epub", "pdf"})
+
+_EXT_KIND = {
+    "csv": "csv", "docx": "docx", "epub": "epub", "xlsx": "xlsx",
+    "html": "html", "htm": "html", "xhtml": "html", "ipynb": "ipynb",
+    "pdf": "pdf", "pptx": "pptx", "md": "markdown", "markdown": "markdown",
+    "txt": "text",
+}
+
+
+def sniff_kind(path: str, data: bytes) -> str | None:
+    """Content sniffing with extension fallback (marky.go:29, :35-39).
+
+    Magic bytes decide PDF and the four zip containers (distinguished by
+    their well-known member prefixes, as libmagic/mimetype do); textual
+    formats fall back to the extension, then to cheap structure checks.
+    """
+    if data.startswith(b"%PDF-"):
+        return "pdf"
+    if data.startswith(b"PK\x03\x04"):
+        try:
+            names = zipfile.ZipFile(io.BytesIO(data)).namelist()
+        except zipfile.BadZipFile:
+            return None
+        joined = "\n".join(names)
+        if "word/" in joined:
+            return "docx"
+        if "xl/" in joined:
+            return "xlsx"
+        if "ppt/" in joined:
+            return "pptx"
+        if "META-INF/container.xml" in joined or "mimetype" in names:
+            return "epub"
+        return None
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext in _EXT_KIND:
+        return _EXT_KIND[ext]
+    head = data[:256].lstrip()
+    if head.startswith(b"<"):
+        return "html"
+    if head.startswith(b"{"):
+        try:
+            if "cells" in json.loads(data.decode("utf-8", "replace")):
+                return "ipynb"
+        except (ValueError, AttributeError):
+            pass
+    return None
+
+
+def convert_file(path: str) -> str:
+    """path → Markdown string, or raise ConvertError (marky.go:27-41)."""
+    from .kernels import REGISTRY, ConvertError, segments_text
+
+    with open(path, "rb") as f:
+        data = f.read()
+    kind = sniff_kind(path, data)
+    if kind is None or kind not in REGISTRY:
+        # marky.go:41 — no converter found for the detected type
+        raise ConvertError(f"no converter found for {path!r}")
+    if kind in BINARY_KINDS:
+        payload = base64.b64encode(data).decode("ascii")
+    else:
+        payload = data.decode("utf-8", "replace")
+    return segments_text(REGISTRY[kind](payload))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="marky", description="Convert a document to Markdown")
+    ap.add_argument("input", help="path of the file to convert")
+    ap.add_argument("-o", "--output", default="console",
+                    help="output file path, or 'console' for stdout")
+    args = ap.parse_args(argv)
+
+    import os
+
+    if not os.path.exists(args.input):  # cmd/marky/main.go:23-25
+        print(f"error: input file {args.input!r} does not exist",
+              file=sys.stderr)
+        return 1
+    from .kernels import ConvertError
+
+    try:
+        markdown = convert_file(args.input)
+    except ConvertError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    if args.output == "console":  # cmd/marky/main.go:33-42
+        print(markdown)
+    else:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(markdown)
+        print(f"markdown saved to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
