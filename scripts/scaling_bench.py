@@ -5,8 +5,9 @@ N and 4N cores (default N=2; pass N as the second argument). Each measurement ru
 ``taskset`` to exactly that many physical cores — without pinning, a
 ``local[8]`` session still spreads its JVM/GC/Arrow/Python-worker threads
 over all 32 cores and the baseline is overstated. Reports docs/sec at both
-levels plus scaling efficiency ``(T_4N/T_N)/4`` and writes
-``BENCH/BASELINE.md``.
+levels plus scaling efficiency ``(T_4N/T_N)/4`` and writes the raw report to
+``BENCH/last_scaling_run.md`` (the curated evidence doc is
+``BENCH/BASELINE.md``).
 
 Usage: python scripts/scaling_bench.py [n_docs] [N]      (pair = N vs 4N)
        python scripts/scaling_bench.py --worker CORES N_DOCS   (internal)
