@@ -164,6 +164,83 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE = _sample_oracle()
 
 
+def _curate_oracle() -> str:
+    """SQL twin of _q_curate: markdown reconstruction (the four templates) →
+    inline quality/lang scoring → filter → dedup window (Spark orders the
+    window by the STRING doc_id, mirrored with a VARCHAR cast) → hash
+    sample on pred_lang."""
+    from marky_spark.ops.sampling import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN pred_lang = '{s}' THEN '{_hex_threshold(r)}'"
+        for s, r in sorted(_CURATE_RATES.items())
+    )
+    return f"""
+        WITH md AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN {_HTML_MD}
+                     WHEN 1 THEN {_CSV_MD}
+                     WHEN 2 THEN {_IPYNB_MD}
+                     ELSE {_TEXT_MD} END AS markdown
+            FROM documents),
+        feats AS (
+            SELECT doc_id, markdown,
+                   length(markdown)::DOUBLE AS n_chars,
+                   len(string_split(markdown,' '))::DOUBLE AS n_words,
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::BIGINT AS hits_en,
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['el','la','de','que','y','en','los','se'], w)))::BIGINT AS hits_es,
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS hits_de,
+                   length(regexp_replace(markdown, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+                   length(regexp_replace(markdown, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha
+            FROM md),
+        scored AS (
+            SELECT doc_id, markdown,
+                   CASE WHEN greatest(hits_en, hits_es, hits_de) <= 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
+                        WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
+                        ELSE 'de' END AS pred_lang,
+                   CAST(floor(least(1.0, greatest(0.0,
+                        hits_en / n_words * 2.0 + alpha / n_chars
+                        - punct / n_chars * 5.0)) * 10000) AS BIGINT)
+                        AS quality_score_bp
+            FROM feats),
+        filtered AS (
+            SELECT * FROM scored WHERE quality_score_bp >= {_CURATE_MIN_BP}),
+        dedup AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(trim(markdown),
+                                                      '\\s+', ' ', 'g')))
+                ORDER BY doc_id::VARCHAR) AS rn
+            FROM filtered)
+        SELECT doc_id, pred_lang, quality_score_bp, markdown
+        FROM dedup
+        WHERE rn = 1
+          AND substr(md5(doc_id::VARCHAR || ':v1'), 1, 8)
+              < CASE {cases} ELSE '{_hex_threshold(0.25)}' END
+    """
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (ops/curate.py): convert → inline quality/lang
+    scoring → filter → exact-dup window → stratified sample, one shuffle."""
+    from marky_spark.entry_helpers import docs_to_spans, load_documents
+    from marky_spark.ops.curate import curate
+
+    spans = docs_to_spans(load_documents(spark, sf_dir))
+    out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
+                 min_quality_bp=_CURATE_MIN_BP)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "pred_lang", "quality_score_bp", "markdown")
+
+
+_CURATE_RATES = {"en": 0.75, "und": 0.5}
+_CURATE_MIN_BP = 1000
+
+
 def _q_events_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substrate agg demo over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -515,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_metrics": _q_convert_metrics,
         "resume_anti_join": _q_resume_anti_join,
         "token_stats": _q_token_stats,
+        "curate": _q_curate,
         "dedup_exact": _q_dedup_exact,
         "dup_components": _q_dup_components,
         "sample_stratified": _q_sample_stratified,
@@ -622,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM documents GROUP BY md5(text)
         """,
+        "curate": _curate_oracle(),
         "dup_components": """
             WITH RECURSIVE
             pairs AS (

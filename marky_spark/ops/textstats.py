@@ -49,10 +49,16 @@ def _stopword_hits(col: str, words: tuple[str, ...]) -> Column:
     ).cast("long")
 
 
-def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
-    """Shallow quality features (Kohlschütter-style shallow text features):
-    length, mean word length, stopword ratio, punctuation ratio, alpha ratio,
-    and a composite [0,1] score."""
+def _bp(col) -> Column:
+    # basis points via floor: integer outputs are bit-identical across
+    # engines (round() half-up vs half-even would diverge at boundaries)
+    return F.floor(col * 10000).cast("long")
+
+
+def quality_feature_cols(col: str) -> dict[str, Column]:
+    """The shallow-quality feature Columns, reusable as expressions so a
+    composed pipeline (ops/curate.py) can compute them inline without a join
+    back onto its main frame."""
     n_chars = F.length(col).cast("double")
     words = F.split(F.col(col), " ")
     n_words = F.size(words).cast("double")
@@ -73,19 +79,34 @@ def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
             stop_ratio * 2.0 + alpha_ratio - punct_ratio * 5.0,
         ),
     )
-    # basis points via floor: integer outputs are bit-identical across
-    # engines (round() half-up vs half-even would diverge at boundaries)
-    def bp(col) -> Column:
-        return F.floor(col * 10000).cast("long")
+    return {
+        "mean_word_len_bp": _bp(mean_wlen),
+        "stopword_ratio_bp": _bp(stop_ratio),
+        "punct_ratio_bp": _bp(punct_ratio),
+        "alpha_ratio_bp": _bp(alpha_ratio),
+        "quality_score_bp": _bp(score),
+    }
 
-    return df.select(
-        "doc_id",
-        bp(mean_wlen).alias("mean_word_len_bp"),
-        bp(stop_ratio).alias("stopword_ratio_bp"),
-        bp(punct_ratio).alias("punct_ratio_bp"),
-        bp(alpha_ratio).alias("alpha_ratio_bp"),
-        bp(score).alias("quality_score_bp"),
-    )
+
+def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Shallow quality features (Kohlschütter-style shallow text features):
+    length, mean word length, stopword ratio, punctuation ratio, alpha ratio,
+    and a composite [0,1] score."""
+    feats = quality_feature_cols(col)
+    return df.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def lang_pred_col(col: str) -> Column:
+    """Stopword-vote predicted language as a reusable expression (see
+    quality_feature_cols)."""
+    scores = {lang: _stopword_hits(col, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
 
 
 def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
@@ -94,11 +115,7 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     scores = {lang: _stopword_hits(col, words)
               for lang, words in LANG_STOPWORDS.items()}
     langs = list(LANG_STOPWORDS)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in langs:  # first language reaching the max wins
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    out = df.select("doc_id", pred.alias("pred_lang"),
+    out = df.select("doc_id", lang_pred_col(col).alias("pred_lang"),
                     *[scores[lang].alias(f"hits_{lang}") for lang in langs])
     return out
 

@@ -187,3 +187,18 @@ def test_dup_components_rounds_are_bounded_shuffles(spark):
     out = dup_components(pairs, max_iter=1)
     plan = plan_of(out)
     assert "collect_list" not in plan, plan
+
+
+def test_curate_has_single_shuffle(spark, tmp_path):
+    """The composed curation pipeline: scores inline (no join-back), so the
+    only Exchange is the dedup window's hash partitioning."""
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.ops.curate import curate
+
+    path = str(tmp_path / "spans3")
+    spark_corpus(spark, 100, partitions=2).write.parquet(path)
+    out = curate(spark.read.parquet(path), rates={"en": 0.5},
+                 default_rate=0.1, min_quality_bp=0)
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
