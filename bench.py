@@ -86,7 +86,7 @@ def main() -> None:
     # substrate / training-data queries (same callables the driver verifies)
     q = entry_mod.queries()
     for name in ("dedup_exact", "token_stats", "events_window",
-                 "resume_anti_join", "convert_metrics"):
+                 "resume_anti_join", "convert_metrics", "curate"):
         if name in q:
             timed(name, lambda name=name: q[name](spark, sf_dir).count())
 
