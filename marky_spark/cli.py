@@ -106,14 +106,20 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         markdown = convert_file(args.input)
-    except ConvertError as exc:
+    except (ConvertError, OSError) as exc:
+        # OSError: permission denied / directory-as-file — the reference
+        # surfaces these as conversion errors too (pdf_test.go:66-99)
         print(f"error: {exc}", file=sys.stderr)
         return 1
     if args.output == "console":  # cmd/marky/main.go:33-42
         print(markdown)
     else:
-        with open(args.output, "w", encoding="utf-8") as f:
-            f.write(markdown)
+        try:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(markdown)
+        except OSError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
         print(f"markdown saved to {args.output}")
     return 0
 

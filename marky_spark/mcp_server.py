@@ -52,12 +52,16 @@ def handle_tool_call(arguments: dict) -> dict:
                             is_error=True)
     try:
         markdown = convert_file(inp)
-    except ConvertError as exc:
+    except (ConvertError, OSError) as exc:
         return _tool_result(f"conversion failed: {exc}", is_error=True)
     out = arguments.get("output")
     if isinstance(out, str) and out:  # marky-mcp/main.go:57-63
-        with open(out, "w", encoding="utf-8") as f:
-            f.write(markdown)
+        try:
+            with open(out, "w", encoding="utf-8") as f:
+                f.write(markdown)
+        except OSError as exc:
+            return _tool_result(f"failed to write output: {exc}",
+                                is_error=True)
     return _tool_result(markdown)
 
 

@@ -113,3 +113,51 @@ def test_cli_matches_pipeline_kernel_output():
     )
     assert row["status"] == "ok"
     assert convert_file(f"{REF}/test.docx") == row["markdown"]
+
+
+def test_cli_permission_denied_exits_1(tmp_path):
+    import os
+
+    import pytest
+
+    if os.geteuid() == 0:  # root bypasses file modes; the dir case below
+        pytest.skip("permission bits are advisory for root")
+    locked = tmp_path / "locked.csv"
+    locked.write_text("a,b\n1,2\n")
+    locked.chmod(0)
+    try:
+        p = run_cli(str(locked))
+        assert p.returncode == 1
+        assert "error:" in p.stderr
+    finally:
+        locked.chmod(0o644)
+
+
+def test_cli_directory_as_file_exits_1(tmp_path):
+    d = tmp_path / "adir.csv"
+    d.mkdir()
+    p = run_cli(str(d))
+    assert p.returncode == 1
+    assert "error:" in p.stderr
+
+
+def test_mcp_survives_bad_inputs(tmp_path):
+    """OS-level and parse errors come back as isError results, never
+    crash the server loop (poison-pill isolation at the tool boundary)."""
+    adir = tmp_path / "adir.csv"  # IsADirectoryError fires even as root
+    adir.mkdir()
+    bad = tmp_path / "bad.pdf"
+    bad.write_bytes(b"%PDF-not really a pdf at all")
+    responses = _mcp_round_trip([
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "convert_to_markdown",
+                    "arguments": {"input": str(adir)}}},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+         "params": {"name": "convert_to_markdown",
+                    "arguments": {"input": str(bad)}}},
+        {"jsonrpc": "2.0", "id": 3, "method": "ping"},
+    ])
+    by_id = {r["id"]: r for r in responses}
+    assert by_id[1]["result"]["isError"]
+    assert by_id[2]["result"]["isError"]
+    assert by_id[3]["result"] == {}  # server still alive after both errors
