@@ -62,11 +62,12 @@ def main() -> None:
     corpus.count()  # materialize generation outside the timed window
     from pyspark.sql import functions as F
 
-    # best of 2: the sandbox hypervisor has noisy windows (observed 2-3x
-    # drift on identical runs); min-of-2 rejects a single bad window
+    # best of 3: the sandbox hypervisor has noisy windows (observed 2-3x
+    # drift on identical runs); min-of-N rejects bad windows, and the
+    # headline number deserves one more repeat than the sub-queries
     convert_sec = None
     counts: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out = convert(corpus)
         counts = {r["status"]: r["n"] for r in

@@ -219,6 +219,53 @@ def _clean_uncommitted(out_dir: str, pending_buckets: list[int]) -> None:
             shutil.rmtree(d)
 
 
+def compact_output(spark: SparkSession, out_dir: str,
+                   target_file_bytes: int = 512 * 1024 * 1024) -> dict:
+    """Small-file compaction over committed buckets.
+
+    Wave-committed output accumulates one file batch per (wave × task) in
+    every bucket partition; at 1000-executor scale that is millions of tiny
+    parquet files — scan planning and NameNode/object-store metadata become
+    the bottleneck, not bytes. This rewrites each committed bucket to
+    ``ceil(bucket_bytes / target_file_bytes)`` files (Iceberg's
+    ``rewrite_data_files`` is the production twin — this is the parquet
+    stand-in with the same swap-last atomicity).
+
+    Only COMMITTED buckets are touched; the swap is per-bucket
+    directory-rename (write compacted files to a sibling temp dir, then
+    replace), so a crash mid-compaction loses at most one bucket's
+    compaction work, never data, and readers through ``read_output`` see
+    either the old or the new file set.
+    """
+    store = SnapshotStore(out_dir)
+    committed = sorted(store.committed_buckets())
+    base = os.path.join(out_dir, "out_spans")
+    stats = {"buckets": 0, "files_before": 0, "files_after": 0}
+    for b in committed:
+        d = os.path.join(base, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        n_bytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_target = max(1, -(-n_bytes // target_file_bytes))
+        if len(files) <= n_target:
+            continue
+        tmp = d + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(d)
+         .coalesce(n_target)
+         .write.mode("overwrite").parquet(tmp))
+        old = d + ".compact.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        stats["buckets"] += 1
+        stats["files_before"] += len(files)
+        stats["files_after"] += n_target
+    return stats
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed output only (snapshot isolation: uncommitted bucket files
     from a crashed wave are filtered out). Empty result — not an error —

@@ -117,3 +117,38 @@ def test_read_output_empty_before_first_commit(spark, tmp_path):
     df = read_output(spark, str(tmp_path / "never_ran"))
     assert df.count() == 0
     assert "bucket" in df.columns
+
+
+def test_compact_output_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.pipeline import compact_output, read_output, run_convert_job
+
+    out_dir = str(tmp_path / "compactjob")
+    corpus = spark_corpus(spark, 400, partitions=8)
+    run_convert_job(spark, corpus, out_dir, n_buckets=4, waves=4)
+
+    before = read_output(spark, out_dir)
+    rows_before = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+
+    def count_files():
+        base = os.path.join(out_dir, "out_spans")
+        return sum(
+            len([f for f in os.listdir(os.path.join(base, d))
+                 if f.endswith(".parquet")])
+            for d in os.listdir(base) if d.startswith("bucket=")
+        )
+
+    n_before = count_files()
+    stats = compact_output(spark, out_dir, target_file_bytes=1 << 30)
+    n_after = count_files()
+    assert stats["buckets"] == 4
+    assert n_after < n_before
+    assert n_after == 4  # one file per bucket at this tiny size
+    # identical committed row set after the swap
+    after = read_output(spark, out_dir)
+    rows_after = sorted(r["doc_id"] for r in after.select("doc_id").collect())
+    assert rows_after == rows_before
+    # idempotent: second pass is a no-op
+    assert compact_output(spark, out_dir, target_file_bytes=1 << 30)["buckets"] == 0
