@@ -224,6 +224,15 @@ def _curate_oracle() -> str:
     """
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN self-join (top-5 cosine neighbors per vector, exact
+    bounded variant; scale path buckets by LSH/IVF cell first)."""
+    from marky_spark.ops.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(emb, k=5, max_id=200)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation (ops/curate.py): convert → inline quality/lang
     scoring → filter → exact-dup window → stratified sample, one shuffle."""
@@ -609,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dupes": _q_minhash_dupes,
         "cosine_topk": _q_cosine_topk,
         "embedding_dupes": _q_embedding_dupes,
+        "knn_join": _q_knn_join,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
@@ -872,6 +882,24 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000) AS BIGINT) AS cos_ppm
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
+        """,
+        "knn_join": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings WHERE vec_id < 200),
+                 n AS (SELECT vec_id, v,
+                              sqrt(list_dot_product(v, v)) AS norm FROM e),
+                 p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                              CAST(floor(list_dot_product(a.v, b.v)
+                                   / (a.norm * b.norm) * 1000000) AS BIGINT)
+                                   AS cos_ppm
+                       FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank
+                       FROM p)
+            SELECT vec_id, neighbor_id, cos_ppm, rank
+            FROM r WHERE rank <= 5
         """,
         "media_decode": """
             -- COALESCE: the kernel hashes b'' for NULL payloads

@@ -129,6 +129,53 @@ def _probe_filter_lsh(emb: DataFrame, planes, probes: list[int]) -> DataFrame:
     )
 
 
+def knn_join(emb: DataFrame, k: int = 5,
+             max_id: int | None = None) -> DataFrame:
+    """Batch k-NN self-join: top-``k`` cosine neighbors for EVERY vector
+    (the shape embedding-dedup and hard-negative mining consume), as
+    (vec_id, neighbor_id, cos_ppm, rank).
+
+    Exact variant: theta-join + per-vector window — O(n²) compare, one
+    shuffle for the join and one for the window. ``max_id`` bounds it (the
+    oracle path). At corpus scale the same window runs per LSH bucket /
+    IVF cell instead (``lsh_buckets`` / ``ivf_assign`` co-partition both
+    sides, making the join bucket-local).
+
+    Similarity is integer parts-per-million (floor) and the window orders
+    by (cos_ppm DESC, neighbor_id ASC) — bit-stable across engines, where
+    ordering by raw doubles would tie-break nondeterministically.
+    """
+    from pyspark.sql.window import Window
+
+    e = emb
+    if max_id is not None:
+        e = e.where(F.col("vec_id") < max_id)
+    e = e.select("vec_id", _as_double().alias("v")).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+    )
+    cos_ppm = F.floor(
+        dot / (F.col("a.norm") * F.col("b.norm")) * 1_000_000
+    ).cast("long")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos_ppm.alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_ppm"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the k-means-bucketed scale path
 # ---------------------------------------------------------------------------

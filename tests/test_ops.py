@@ -397,3 +397,29 @@ def test_sample_stratified_matches_duckdb_twin(spark, docs):
     want = {r[0] for r in con.execute(
         sample_oracle_sql(rates, default_rate=0.05)).fetchall()}
     assert got == want and got
+
+
+def test_knn_join_matches_numpy(spark, emb):
+    """Exact batch k-NN join vs a numpy brute-force ground truth."""
+    import numpy as np
+
+    from marky_spark.ops.similarity import knn_join
+
+    rows = emb.where(F.col("vec_id") < 60).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+
+    got = knn_join(emb, k=3, max_id=60).collect()
+    by_vec: dict = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_ppm"]))
+    assert set(by_vec) == set(ids.tolist())
+    for i, vid in enumerate(ids):
+        ppm = {int(ids[j]): int(np.floor(cos[i, j] * 1_000_000))
+               for j in range(len(ids)) if j != i}
+        want = sorted(ppm.items(), key=lambda t: (-t[1], t[0]))[:3]
+        have = sorted(by_vec[vid])
+        assert [(n, p) for _, n, p in have] == want, vid
