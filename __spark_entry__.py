@@ -233,6 +233,17 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, k=5, max_id=200)
 
 
+def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (IVF cell-local) batch k-NN join — approximate by
+    construction, so rows-only in the driver; recall vs the exact join is
+    pinned in tests/test_ops.py."""
+    from marky_spark.ops.similarity import knn_join_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join_ivf(emb.where(F.col("vec_id") < 300), k=5,
+                        n_cells=8, nprobe=4)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation (ops/curate.py): convert → inline quality/lang
     scoring → filter → exact-dup window → stratified sample, one shuffle."""
@@ -619,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_dupes": _q_embedding_dupes,
         "knn_join": _q_knn_join,
+        "knn_join_ivf": _q_knn_join_ivf,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,

@@ -227,6 +227,83 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
     )
 
 
+def ivf_assign_multi(emb: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """(vec_id, cell) with each vector fanned out to its ``nprobe`` nearest
+    cells — the query side of the bucketed k-NN join (see knn_join_ivf)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cent ** 2).sum(axis=1)
+    p = min(nprobe, len(cent))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            d2 = cnorm[None, :] - 2.0 * (mat @ cent.T)
+            near = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, p),
+                "cell": near.reshape(-1).astype("int64"),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, cell long"
+    )
+
+
+def knn_join_ivf(emb: DataFrame, k: int = 5, n_cells: int = 16,
+                 nprobe: int = 3, centroids=None) -> DataFrame:
+    """Bucketed batch k-NN join — the scale path of :func:`knn_join`.
+
+    Query vectors fan out to their ``nprobe`` nearest IVF cells; corpus
+    vectors sit in their primary cell only. The join is cell-local
+    (co-partitioned on ``cell``), so compare volume is
+    Σ_cell |queries probing cell| × |cell| instead of n² — and at corpus
+    scale ``cell`` is the Iceberg partition key, making the probe side a
+    partition-pruned scan. Approximate: neighbors outside the probed cells
+    are missed (recall vs the exact join is pinned in tests).
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells=n_cells)
+    e = emb.select(
+        "vec_id", "embedding", _as_double().alias("v")
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))")
+    )
+    qcells = ivf_assign_multi(e, centroids, nprobe)
+    ccells = ivf_assign(e, centroids).withColumnRenamed("cell", "ccell")
+    q = (qcells.join(e, "vec_id")
+         .select("vec_id", "cell", F.col("v").alias("qv"),
+                 F.col("norm").alias("qnorm")))
+    c = (ccells.join(e, "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("ccell").alias("cell"), F.col("v").alias("cv"),
+                 F.col("norm").alias("cnorm")))
+    dot = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0D, (a, p) -> a + p)"
+    )
+    cos_ppm = F.floor(dot / (F.col("qnorm") * F.col("cnorm")) * 1_000_000
+                      ).cast("long")
+    pairs = (
+        q.join(c, "cell")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", cos_ppm.alias("cos_ppm"))
+        .distinct()  # a neighbor reachable through several probed cells
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_ppm"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 16, nprobe: int = 4,
              centroids=None) -> DataFrame:

