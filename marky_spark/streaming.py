@@ -52,6 +52,45 @@ def stream_convert(
     return writer.start()
 
 
+def stream_convert_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming conversion with content-level dedup: documents whose
+    converted markdown already streamed through (same normalized-text
+    fingerprint) within the watermark window are dropped, exactly-once.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the fingerprint and
+    lets the watermark evict it — unbounded-state-safe, unlike a bare
+    ``dropDuplicates`` on a stream. The arrival timestamp only drives state
+    eviction; which duplicate survives is the first to arrive (stable under
+    replay because the file source orders batches by its commit log).
+    """
+    reader = spark.readStream.schema(INPUT_SCHEMA)
+    stream = reader.parquet(input_dir)
+    out = convert(stream)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("markdown")),
+                                        r"\s+", " ")))
+    deduped = (
+        out.withColumn("fingerprint", fp)
+        .withColumn("arrival_ts", F.current_timestamp())
+        .withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("arrival_ts")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_metrics(events: DataFrame,
                            window: str = "1 hour",
                            watermark: str = "30 minutes") -> DataFrame:

@@ -58,3 +58,47 @@ def test_windowed_metrics_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 10
+
+
+def test_stream_convert_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Content-duplicate docs arriving in LATER files are dropped by the
+    keyed state (dropDuplicatesWithinWatermark); distinct docs all pass."""
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.streaming import stream_convert_dedup
+
+    input_dir = tmp_path / "din"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    base = spark_corpus(spark, 60, partitions=1)
+    # wave 1: docs 0-59; wave 2: the same CONTENT under new doc_ids
+    # (content dedup must catch them) plus 20 genuinely new docs
+    base.write.parquet(str(input_dir / "w1"))
+    import pyspark.sql.functions as F
+
+    dup_wave = base.limit(30).withColumn(
+        "doc_id", F.concat(F.lit("copy-"), F.col("doc_id")))
+    fresh = spark_corpus(spark, 80, partitions=1).where(
+        F.col("doc_id") > "doc-0000000059")
+    dup_wave.unionByName(fresh).write.parquet(str(input_dir / "w2"))
+
+    q = stream_convert_dedup(
+        spark, str(input_dir) + "/*", out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # expected = one survivor per distinct converted content across BOTH
+    # waves (the synthetic corpus reuses binary payload variants, so some
+    # "fresh" docs legitimately collide with wave-1 content too)
+    from marky_spark.convert import convert
+
+    all_docs = spark.read.parquet(str(input_dir) + "/*")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("markdown")),
+                                        r"\s+", " ")))
+    n_distinct = (convert(all_docs).select(fp.alias("f"))
+                  .distinct().count())
+    assert got.count() == n_distinct
+    assert got.count() >= 60  # every wave-1 doc survived
+    # the 30 verbatim copies were all dropped
+    assert got.where(F.col("doc_id").startswith("copy-")).count() == 0
