@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list: restrict to these span kinds")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] (default: session from spark-submit)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, compact committed buckets to "
+                         "~512MB files (Iceberg rewrite_data_files twin)")
     args = ap.parse_args(argv)
 
     kinds = ([k.strip() for k in args.kinds.split(",") if k.strip()]
@@ -101,8 +104,14 @@ def main(argv: list[str] | None = None) -> int:
                                   n_buckets=args.buckets, waves=args.waves)
         n_docs = sum(r.n_docs for r in results)
         n_err = sum(r.n_errors for r in results)
+        compaction = None
+        if args.compact:
+            from marky_spark.pipeline import compact_output
+
+            compaction = compact_output(spark, args.output)
         dt = time.time() - t0
         print(json.dumps({
+            **({"compaction": compaction} if compaction is not None else {}),
             "docs": n_docs, "errors": n_err, "seconds": round(dt, 2),
             "docs_per_sec": round(n_docs / dt, 1) if dt > 0 else None,
             "waves": len(results), "output": args.output,
