@@ -207,6 +207,7 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iter):
         # large-star: m = min(Γ(u) ∪ {u}); emit (w, m) for neighbors w > u
         sym = edges.unionByName(
@@ -245,7 +246,17 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ]
         edges = small
         if (stats[0]["n"], stats[0]["h"]) == (stats[1]["n"], stats[1]["h"]):
+            converged = True
             break
+
+    if not converged:
+        # an unconverged star forest yields WRONG components (nodes pointing
+        # at non-roots); refuse rather than silently under-merge — the
+        # caller raises max_iter (rounds needed grow ~log² of the largest
+        # component's diameter)
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} rounds; "
+            "raise max_iter")
 
     member = edges.select(F.col("u").alias("doc_id"),
                           F.col("v").alias("component"))

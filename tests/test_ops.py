@@ -345,6 +345,19 @@ def test_dup_components_vs_union_find(spark):
     assert got == want
 
 
+def test_dup_components_unconverged_raises(spark):
+    import pytest
+
+    from marky_spark.ops.dedup import dup_components
+
+    # a 12-node path cannot finish in 1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(pairs, max_iter=1).collect()
+
+
 def test_dup_components_self_and_dup_edges(spark):
     from marky_spark.ops.dedup import dup_components
 

@@ -184,7 +184,7 @@ def test_dup_components_rounds_are_bounded_shuffles(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3)], "doc_a long, doc_b long"
     )
-    out = dup_components(pairs, max_iter=1)
+    out = dup_components(pairs, max_iter=4)
     plan = plan_of(out)
     assert "collect_list" not in plan, plan
 
