@@ -199,6 +199,15 @@ def _pdf_golden_cases() -> list[dict[str, Any]]:
     ]
 
 
+def _mixed_pdf_b64() -> str:
+    from . import fixtures as fx
+
+    return fx.b64(fx.pdf_bytes([[(72, 700, "hello pdf")]]))
+
+
+_MIXED_PDF_B64 = _mixed_pdf_b64()
+
+
 GOLDEN_CASES: list[dict[str, Any]] = [
     # --- CSV (csv_test.go) ---
     {
@@ -373,6 +382,31 @@ GOLDEN_CASES: list[dict[str, Any]] = [
         "doc_id": "media-only",
         "spans": _spans(("image", "", "media://solo")),
         "expected": [("image", "![](media://solo)", "media://solo")],
+    },
+    # --- mixed converter kinds in ONE document (the interleaved payload
+    # case proper): each span dispatches to its own kernel, order defined
+    # by offset (listed shuffled here to pin the array_sort contract) ---
+    {
+        "doc_id": "mixed-kind-interleave",
+        "spans": [
+            {"kind": "html", "text": "<h2>T</h2><p>x</p>",
+             "media_ref": "", "offset": 2},
+            {"kind": "csv", "text": "a,b\n1,2", "media_ref": "", "offset": 0},
+            {"kind": "pdf", "text": _MIXED_PDF_B64, "media_ref": "",
+             "offset": 3},
+            {"kind": "image", "text": "", "media_ref": "media://mix",
+             "offset": 1},
+        ],
+        "expected": [
+            ("markdown", "| a | b |\n| --- | --- |\n| 1 | 2 |\n", ""),
+            ("image", "![](media://mix)", "media://mix"),
+            ("markdown", "## T\n\nx", ""),
+            ("markdown", "hello pdf", ""),
+        ],
+        "expected_markdown": (
+            "| a | b |\n| --- | --- |\n| 1 | 2 |\n\n\n"
+            "![](media://mix)\n\n## T\n\nx\n\nhello pdf"
+        ),
     },
     # --- DOCX (docx.go; synthetic minimal OOXML zips) ---
     *_docx_golden_cases(),
