@@ -389,13 +389,10 @@ GOLDEN_CASES: list[dict[str, Any]] = [
     {
         "doc_id": "mixed-kind-interleave",
         "spans": [
-            {"kind": "html", "text": "<h2>T</h2><p>x</p>",
-             "media_ref": "", "offset": 2},
-            {"kind": "csv", "text": "a,b\n1,2", "media_ref": "", "offset": 0},
-            {"kind": "pdf", "text": _MIXED_PDF_B64, "media_ref": "",
-             "offset": 3},
-            {"kind": "image", "text": "", "media_ref": "media://mix",
-             "offset": 1},
+            ("html", "<h2>T</h2><p>x</p>", "", 2),
+            ("csv", "a,b\n1,2", "", 0),
+            ("pdf", _MIXED_PDF_B64, "", 3),
+            ("image", "", "media://mix", 1),
         ],
         "expected": [
             ("markdown", "| a | b |\n| --- | --- |\n| 1 | 2 |\n", ""),
