@@ -62,12 +62,15 @@ def test_cli_driver_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, "scripts/convert_job.py",
          "--input", corpus_dir, "--output", out_dir,
-         "--buckets", "8", "--waves", "2", "--local", "4"],
+         "--buckets", "8", "--waves", "2", "--local", "4", "--compact"],
         capture_output=True, text=True, cwd=REPO, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["docs"] == 80 and result["errors"] == 0
+    # --compact rewrote the multi-file wave output down to one file/bucket
+    assert result["compaction"]["buckets"] >= 1
+    assert result["compaction"]["files_after"] < result["compaction"]["files_before"]
 
     # resume: second run is a no-op
     proc2 = subprocess.run(
