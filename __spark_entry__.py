@@ -438,6 +438,25 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (stubbed codec: content-addressed ASCII
+    pseudo-bitmap of exactly width×height bytes — SQL-oracle-able)."""
+    from marky_spark.ops.multimodal import resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/png").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = resize_media(media, width=32, height=32)
+    return out.select(
+        "media_ref", "width", "height", "in_width", "in_height",
+        F.md5("payload").alias("out_md5"),
+        F.length("payload").cast("long").alias("out_bytes"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction plumbing (digest-derived deterministic
     fake embedding; re-expressed as exact byte values for the oracle)."""
@@ -634,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "media_features": _q_media_features,
         "events_rollup": _q_events_rollup,
@@ -923,6 +943,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
                    'ok' AS ok
             FROM documents
+        """,
+        "media_resize": """
+            -- fake resize: payload = md5 hex repeated to exactly 32*32
+            -- chars (ASCII, so Spark's md5-over-binary == md5-over-varchar)
+            WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS d
+                       FROM documents)
+            SELECT 'm' || doc_id AS media_ref,
+                   CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                   CAST(16 + ('0x' || substr(d, 1, 2))::BIGINT % 64 AS INT) AS in_width,
+                   CAST(16 + ('0x' || substr(d, 3, 2))::BIGINT % 64 AS INT) AS in_height,
+                   md5(substr(repeat(d, 32), 1, 1024)) AS out_md5,
+                   CAST(1024 AS BIGINT) AS out_bytes
+            FROM h
         """,
         "frame_sample": """
             WITH m AS (

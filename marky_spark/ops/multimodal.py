@@ -129,6 +129,65 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("in_width", IntegerType()),
+    StructField("in_height", IntegerType()),
+    StructField("payload", BinaryType()),
+    StructField("ok", StringType()),
+])
+
+
+def _real_resize(payload: bytes, mime: str,
+                 width: int, height: int) -> bytes:
+    """Real resize hook — sandbox has no PIL/ffmpeg (see _real_decode)."""
+    raise NotImplementedError("image codecs not present in sandbox")
+
+
+def fake_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in: an ASCII pseudo-bitmap of exactly
+    width×height bytes derived from the payload digest (content-addressed,
+    so downstream dedup/caching over resized media behaves realistically,
+    and the construction is reproducible in ANSI SQL for the oracle)."""
+    h = hashlib.md5(payload or b"").hexdigest()
+    n = width * height
+    return (h * (-(-n // len(h))))[:n].encode("ascii")
+
+
+Resizer = Callable[[bytes, str, int, int], bytes]
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32,
+                 decoder: Decoder = fake_decode,
+                 resizer: Resizer = fake_resize) -> DataFrame:
+    """Arrow-batched resize: binary payload in, (target-dim payload +
+    source dims) out; codec failures isolate per blob (ok column)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, mime, payload in zip(pdf["media_ref"], pdf["mime"],
+                                          pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    in_w, in_h, _ = decoder(blob, mime or "")
+                    out = resizer(blob, mime or "", width, height)
+                    rows.append((ref, width, height, in_w, in_h, out, "ok"))
+                except NotImplementedError:
+                    rows.append((ref, width, height, None, None, None,
+                                 "codec_unavailable"))
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    rows.append((ref, width, height, None, None, None,
+                                 f"error: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = StructType([

@@ -454,3 +454,28 @@ def test_knn_join_ivf_recall(spark, emb):
     # within each probed set the ranking matches the exact cosine order
     for r in approx:
         assert 1 <= r["rank"] <= 3
+
+
+def test_resize_media_fake_and_stub(spark):
+    import hashlib
+
+    from marky_spark.ops.multimodal import _real_resize, resize_media
+
+    media = spark.createDataFrame(
+        [("m1", "image/png", bytearray(b"payload-bytes")),
+         ("m2", "image/png", None)],
+        "media_ref string, mime string, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in
+            resize_media(media, width=8, height=4).collect()}
+    r1 = rows["m1"]
+    assert (r1["width"], r1["height"]) == (8, 4)
+    assert len(r1["payload"]) == 32  # exactly width*height bytes
+    h = hashlib.md5(b"payload-bytes").hexdigest()
+    assert bytes(r1["payload"]) == (h * 1)[:32].encode()
+    assert r1["ok"] == "ok" and r1["in_width"] is not None
+    assert rows["m2"]["ok"] == "ok"  # empty payload still resizes
+
+    # the real-codec stub surfaces as codec_unavailable, not a crash
+    stub = resize_media(media, resizer=_real_resize).collect()
+    assert all(r["ok"] == "codec_unavailable" for r in stub)
