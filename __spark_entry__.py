@@ -141,6 +141,16 @@ def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_components(pairs)
 
 
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash k-gram fingerprints (numpy-vectorized;
+    bounded to doc_id % 20 == 0 so the oracle's O(n·k) SQL twin stays
+    cheap)."""
+    from marky_spark.ops.textstats import rolling_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rolling_hashes(docs.where(F.pmod("doc_id", F.lit(20)) == 0))
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling (shuffle-free
     narrow filter; task-retry-safe, unlike rand(seed))."""
@@ -641,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_id_ngram": _q_lang_id_ngram,
         "fingerprint": _q_fingerprint,
+        "rolling_fp": _q_rolling_fp,
         "winnow": _q_winnow,
         "simhash": _q_simhash,
         "minhash_signature": _q_minhash_signature,
@@ -758,6 +769,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.v <> w.u)
             SELECT u AS doc_id, least(u, min(v)) AS component
             FROM walk GROUP BY u
+        """,
+
+        "rolling_fp": """
+            -- Karp-Rabin polynomial hash, computed directly per gram:
+            -- mathematically identical to the rolled recurrence
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 20 = 0 AND length(text) >= 16),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, length(text) - 14),
+                             i -> CAST(list_sum(list_transform(range(16),
+                                  j -> (unicode(substr(text, (i + j)::INT, 1))::BIGINT
+                                        * [1079017218, 330081243, 1346595130, 1150007217, 1090750511, 1775709275, 483199522, 1213495441, 623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1][j + 1]) % 2147483647))
+                                  % 2147483647 AS BIGINT))) AS hs
+                  FROM d)
+            SELECT doc_id, unnest(hs) AS gram_hash FROM g
         """,
         "sample_stratified": _SAMPLE_ORACLE,
         "events_metrics": """

@@ -231,3 +231,55 @@ def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
         "doc_id", pred.alias("pred_lang"),
         *[scores[lang].alias(f"tri_{lang}") for lang in langs],
     )
+
+
+# Karp-Rabin rolling-hash parameters: base/modulus sized so every
+# intermediate fits signed 64-bit in BOTH engines (term < 2^31 * 2^31 is
+# avoided by reducing each term mod M; the k-term sum < 16 * 2^31 < 2^36)
+RH_BASE = 257
+RH_MOD = (1 << 31) - 1
+RH_K = 16
+
+
+def rolling_hashes(df: DataFrame, col: str = "text",
+                   k: int = RH_K) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprints: the polynomial hash
+    Σ cp(i+j)·B^(k-1-j) mod M of every overlapping ``k``-char gram, distinct
+    per document → (doc_id, gram_hash).
+
+    Vectorized numpy path (Arrow batches): codepoint array + k shifted
+    multiply-adds — O(n·k) elementwise ops, no Python per character. The
+    per-gram value equals the mathematically identical direct polynomial,
+    which is what the ANSI-SQL oracle computes; a production pipeline feeds
+    these into winnowing / LSH banding instead of re-hashing substrings.
+    Documents shorter than ``k`` contribute no rows.
+    """
+    import numpy as np
+
+    powers = np.array(
+        [pow(RH_BASE, k - 1 - j, RH_MOD) for j in range(k)], dtype=np.int64
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids: list = []
+            out_hash: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                s = text or ""
+                n = len(s)
+                if n < k:
+                    continue
+                cp = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                acc = np.zeros(n - k + 1, dtype=np.int64)
+                for j in range(k):
+                    acc += (cp[j:n - k + 1 + j] * powers[j]) % RH_MOD
+                hashes = np.unique(acc % RH_MOD)
+                out_ids.extend([doc_id] * len(hashes))
+                out_hash.extend(hashes.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "gram_hash": out_hash})
+
+    return df.select("doc_id", col).mapInPandas(
+        batches, schema="doc_id long, gram_hash long"
+    )

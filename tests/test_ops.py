@@ -479,3 +479,31 @@ def test_resize_media_fake_and_stub(spark):
     # the real-codec stub surfaces as codec_unavailable, not a crash
     stub = resize_media(media, resizer=_real_resize).collect()
     assert all(r["ok"] == "codec_unavailable" for r in stub)
+
+
+def test_rolling_hashes_match_pure_python(spark, docs):
+    """Vectorized Karp-Rabin grams vs the naive rolled recurrence, plus the
+    shared-substring property."""
+    from marky_spark.ops.textstats import RH_BASE, RH_K, RH_MOD, rolling_hashes
+
+    def py_hashes(s, k=RH_K):
+        out = set()
+        for i in range(len(s) - k + 1):
+            h = 0
+            for ch in s[i:i + k]:
+                h = (h * RH_BASE + ord(ch)) % RH_MOD
+            out.add(h)
+        return out
+
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(30).collect()}
+    got: dict = {}
+    for r in rolling_hashes(docs.limit(30)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    for did, text in sample.items():
+        want = py_hashes(text)
+        assert got.get(did, set()) == want, did
+
+    # any shared >=k-char substring shares a gram hash
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "XXXX quick brown fox jumps XXXX something else"
+    assert py_hashes(a) & py_hashes(b)
