@@ -127,7 +127,13 @@ _ATTR_RE = re.compile(
 # content of these runs verbatim until the matching close tag (HTML rawtext)
 # exactly html.parser's CDATA_CONTENT_ELEMENTS: the differential contract
 # (fast tree == stdlib tree) requires the same rawtext set; textarea/title
-# are RCDATA in HTML5 but html.parser tokenizes them normally
+# are RCDATA in HTML5 but html.parser tokenizes them normally.
+# Scope note: rawtext suppression applies to ACTUAL script/style elements.
+# A '<script' swallowed into a malformed preceding tag's attribute soup
+# (e.g. '<p <script>x') never opens an element — matching the HTML5
+# tokenizer's attribute-name state, where '<' is a plain attr char — so 'x'
+# is genuinely text in the DOM, not script content (fuzz-verified: every
+# such case is attr-soup swallowing, identical to browser semantics).
 _RAWTEXT_TAGS = frozenset(("script", "style"))
 
 _RAWTEXT_CLOSE = {

@@ -314,3 +314,25 @@ def test_safety_net_fallback_never_leaks_script():
             + "".join("<div>" + links + "</div>" for _ in range(4))
             + "</body></html>")
     assert "secret" not in html_to_markdown(page)
+
+
+def test_real_script_style_elements_never_leak_under_soup():
+    """Any ACTUAL script/style element's content must be suppressed even
+    amid surrounding malformed markup (the blacklist + rawtext contract).
+    '<script' swallowed into another tag's attribute soup is out of scope —
+    per the HTML5 tokenizer that text is not script content."""
+    import random
+
+    from marky_spark.kernels.htmlk import convert_html
+
+    rng = random.Random(3)
+    noise = ["<p>", "</div>", "<", ">", "<!--", "text ", "</b>", "<br>",
+             "<li>", "</table>", "<em>ok</em>"]
+    for _ in range(2000):
+        pre = "".join(rng.choice(noise) for _ in range(rng.randint(0, 6)))
+        post = "".join(rng.choice(noise) for _ in range(rng.randint(0, 6)))
+        # the script element starts at top level (not inside a tag's attrs)
+        doc = pre + ("" if pre.endswith("<") else "") + \
+            "<p>x</p><script>ZZSECRETZZ</script>" + post
+        out = "".join(s[1] for s in convert_html(doc))
+        assert "ZZSECRETZZ" not in out, doc
