@@ -133,7 +133,12 @@ def convert_epub(text: str) -> list[Segment]:
                     continue  # skip missing files (epub.go:146-149)
                 try:
                     chapter = zf.read(href).decode("utf-8", errors="replace")
-                    segs = convert_html(chapter)
+                    # blacklist-only strip: a chapter IS content — density
+                    # pruning would drop legitimate link-dense pages (TOC,
+                    # index, title page), which the reference's
+                    # html-to-markdown keeps (epub.go:134-162 applies the
+                    # plain HTML converter); script/style/nav still drop
+                    segs = convert_html(chapter, strip="blacklist")
                 except Exception:  # noqa: BLE001 — skip broken chapters
                     continue
                 if "".join(s[1] for s in segs).strip():

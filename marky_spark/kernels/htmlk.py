@@ -597,10 +597,21 @@ def _quote(parts: list[_Part]) -> list[_Part]:
 # ---------------------------------------------------------------------------
 
 
-def convert_html(text: str, strip: bool = True) -> list[Segment]:
-    """Full HTML→Markdown conversion to ordered segments."""
+def convert_html(text: str,
+                 strip: bool | str = True) -> list[Segment]:
+    """Full HTML→Markdown conversion to ordered segments.
+
+    ``strip``: True → blacklist + density/link-density pruning (web pages,
+    where chrome heuristics earn their keep); ``"blacklist"`` → drop only
+    the hard-blacklist subtrees (script/style/nav/…) without density
+    pruning — for trusted book-like content (EPUB chapters) where a
+    link-dense page IS the content (TOC, index) and the reference's
+    html-to-markdown keeps it; False → raw tree (tests only).
+    """
     root = parse_html(text)
-    if strip:
+    if strip == "blacklist":
+        root = _drop_tags_only(root)
+    elif strip:
         root = strip_boilerplate(root)
     emitter = _Emitter()
     emitter.dispatch(root)
