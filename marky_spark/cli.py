@@ -24,12 +24,23 @@ import zipfile
 
 BINARY_KINDS = frozenset({"docx", "xlsx", "pptx", "epub", "pdf"})
 
-_EXT_KIND = {
-    "csv": "csv", "docx": "docx", "epub": "epub", "xlsx": "xlsx",
-    "html": "html", "htm": "html", "xhtml": "html", "ipynb": "ipynb",
-    "pdf": "pdf", "pptx": "pptx", "md": "markdown", "markdown": "markdown",
-    "txt": "text",
-}
+def _ext_kind_map() -> dict[str, str]:
+    """Extension→kind from the registry's reference-verbatim metadata
+    (kernels.CONVERTER_META), plus text/markdown extras the span table
+    supports natively."""
+    from .kernels import CONVERTER_META
+
+    out = {
+        ext.lstrip("."): kind
+        for kind, meta in CONVERTER_META.items()
+        for ext in meta["extensions"]
+    }
+    out.update({"xhtml": "html", "md": "markdown", "markdown": "markdown",
+                "txt": "text"})
+    return out
+
+
+_EXT_KIND = _ext_kind_map()
 
 
 def sniff_kind(path: str, data: bytes) -> str | None:

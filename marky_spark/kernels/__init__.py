@@ -47,6 +47,74 @@ REGISTRY: dict[str, Kernel] = {
 # Media span kinds that pass through conversion unchanged (FIXTURES.md §1).
 MEDIA_KINDS = frozenset({"image", "media", "audio", "video"})
 
+# Per-converter accepted extensions + MIME types — the reference Converter
+# interface surface (model.go:5-15), lists verbatim from each converter's
+# NewBaseConverter call (csv.go:19-22, docx.go:28-35, epub.go:23-30,
+# excel.go:19-26, html.go:18-21, ipynb.go:18-21, pdf.go:18-21,
+# pptx.go:25-31). Used by the CLI's extension fallback and exposed for API
+# parity (a reference user can query the same metadata).
+CONVERTER_META: dict[str, dict[str, tuple[str, ...]]] = {
+    "csv": {
+        "extensions": (".csv",),
+        "mime_types": ("text/csv", "application/csv"),
+    },
+    "docx": {
+        "extensions": (".docx", ".doc"),
+        "mime_types": (
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.document",
+            "application/vnd.openxmlformats-officedocument.wordprocessingml",
+            "application/msword",
+        ),
+    },
+    "epub": {
+        "extensions": (".epub",),
+        "mime_types": ("application/epub", "application/epub+zip",
+                       "application/x-epub+zip"),
+    },
+    "xlsx": {
+        "extensions": (".xlsx", ".xls"),
+        "mime_types": (
+            "application/vnd.openxmlformats-officedocument."
+            "spreadsheetml.sheet",
+            "application/vnd.openxmlformats-officedocument.spreadsheetml",
+            "application/vnd.ms-excel",
+        ),
+    },
+    "html": {
+        "extensions": (".html", ".htm"),
+        "mime_types": ("text/html",),
+    },
+    "ipynb": {
+        "extensions": (".ipynb",),
+        "mime_types": ("application/x-ipynb+json", "application/json"),
+    },
+    "pdf": {
+        "extensions": (".pdf",),
+        "mime_types": ("application/pdf",),
+    },
+    "pptx": {
+        "extensions": (".pptx",),
+        "mime_types": (
+            "application/vnd.openxmlformats-officedocument."
+            "presentationml.presentation",
+            "application/vnd.openxmlformats-officedocument.presentationml",
+        ),
+    },
+}
+
+
+def accepted_extensions(kind: str) -> tuple[str, ...]:
+    """Converter.AcceptedExtensions parity (model.go:9-10)."""
+    meta = CONVERTER_META.get(kind)
+    return meta["extensions"] if meta else ()
+
+
+def accepted_mime_types(kind: str) -> tuple[str, ...]:
+    """Converter.AcceptedMimeTypes parity (model.go:6-7)."""
+    meta = CONVERTER_META.get(kind)
+    return meta["mime_types"] if meta else ()
+
 
 def register(kind: str, kernel: Kernel) -> None:
     """Extension point — reference parity: Marky.RegisterConverter (marky.go:21-23)."""
@@ -87,6 +155,9 @@ except ImportError:  # pragma: no cover
 __all__ = [
     "REGISTRY",
     "MEDIA_KINDS",
+    "CONVERTER_META",
+    "accepted_extensions",
+    "accepted_mime_types",
     "Kernel",
     "register",
     "ConvertError",

@@ -37,3 +37,56 @@ def test_register_extension_point():
 def test_media_kinds_pass_through():
     assert {"image", "media"} <= set(MEDIA_KINDS)
     assert not (MEDIA_KINDS & set(REGISTRY))
+
+
+def test_accepted_extensions_and_mime_types_match_reference():
+    """Exact-list port of every TestNew*Converter metadata assertion
+    (csv_test.go:11-24 and siblings; lists verbatim from each converter's
+    NewBaseConverter call)."""
+    from marky_spark.kernels import accepted_extensions, accepted_mime_types
+
+    assert accepted_extensions("csv") == (".csv",)
+    assert accepted_mime_types("csv") == ("text/csv", "application/csv")
+    assert accepted_extensions("docx") == (".docx", ".doc")
+    assert accepted_mime_types("docx") == (
+        "application/vnd.openxmlformats-officedocument"
+        ".wordprocessingml.document",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml",
+        "application/msword",
+    )
+    assert accepted_extensions("epub") == (".epub",)
+    assert accepted_mime_types("epub") == (
+        "application/epub", "application/epub+zip",
+        "application/x-epub+zip",
+    )
+    assert accepted_extensions("xlsx") == (".xlsx", ".xls")
+    assert accepted_mime_types("xlsx") == (
+        "application/vnd.openxmlformats-officedocument"
+        ".spreadsheetml.sheet",
+        "application/vnd.openxmlformats-officedocument.spreadsheetml",
+        "application/vnd.ms-excel",
+    )
+    assert accepted_extensions("html") == (".html", ".htm")
+    assert accepted_mime_types("html") == ("text/html",)
+    assert accepted_extensions("ipynb") == (".ipynb",)
+    assert accepted_mime_types("ipynb") == (
+        "application/x-ipynb+json", "application/json")
+    assert accepted_extensions("pdf") == (".pdf",)
+    assert accepted_mime_types("pdf") == ("application/pdf",)
+    assert accepted_extensions("pptx") == (".pptx",)
+    assert accepted_mime_types("pptx") == (
+        "application/vnd.openxmlformats-officedocument"
+        ".presentationml.presentation",
+        "application/vnd.openxmlformats-officedocument.presentationml",
+    )
+    # unknown kinds return empty metadata, not an error (model_test.go
+    # nil/empty-inputs contract)
+    assert accepted_extensions("nope") == ()
+    assert accepted_mime_types("nope") == ()
+
+
+def test_every_registered_binary_or_text_kind_has_metadata():
+    from marky_spark.kernels import CONVERTER_META, REGISTRY
+
+    for kind in list(REGISTRY)[:8]:  # the 8 reference formats
+        assert kind in CONVERTER_META, kind
