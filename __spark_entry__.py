@@ -151,6 +151,14 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hashes(docs.where(F.pmod("doc_id", F.lit(20)) == 0))
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction: email/URL/long-digit-run placeholders, one
+    JVM-side narrow projection (regexp_replace chain)."""
+    from marky_spark.ops.textstats import redact
+
+    return redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling (shuffle-free
     narrow filter; task-retry-safe, unlike rand(seed))."""
@@ -652,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _q_lang_id_ngram,
         "fingerprint": _q_fingerprint,
         "rolling_fp": _q_rolling_fp,
+        "redact": _q_redact,
         "winnow": _q_winnow,
         "simhash": _q_simhash,
         "minhash_signature": _q_minhash_signature,
@@ -785,6 +794,17 @@ def oracle_sql() -> dict[str, str]:
                                   % 2147483647 AS BIGINT))) AS hs
                   FROM d)
             SELECT doc_id, unnest(hs) AS gram_hash FROM g
+        """,
+        "redact": """
+            WITH r AS (SELECT doc_id,
+                              regexp_replace(regexp_replace(regexp_replace(text,
+                                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                                  'https?://[^\\s]+', '<URL>', 'g'),
+                                  '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted
+                       FROM documents)
+            SELECT doc_id, redacted,
+                   len(regexp_extract_all(redacted, '<EMAIL>|<URL>|<NUM>'))::BIGINT AS n_redactions
+            FROM r
         """,
         "sample_stratified": _SAMPLE_ORACLE,
         "events_metrics": """

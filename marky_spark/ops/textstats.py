@@ -283,3 +283,32 @@ def rolling_hashes(df: DataFrame, col: str = "text",
     return df.select("doc_id", col).mapInPandas(
         batches, schema="doc_id long, gram_hash long"
     )
+
+
+# Redaction patterns — deliberately simple fixed regexes (the operator
+# contract is the formula; production swaps in audited patterns). Order is
+# load-bearing: emails first (their hostnames would otherwise half-match
+# the URL pattern), then URLs, then long digit runs.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def redact(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII/noise redaction for training text: emails, URLs, and long digit
+    runs become placeholder tokens. A chain of JVM-side regexp_replace
+    (whole-stage codegen, no shuffle, no Python); redaction counts are
+    derived from length deltas so the operator stays one narrow projection.
+    """
+    out = F.col(col)
+    for pat, token in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    n_redacted = F.size(F.regexp_extract_all(
+        out, F.lit("<EMAIL>|<URL>|<NUM>"), 0)).cast("long")
+    return df.select(
+        "doc_id",
+        out.alias("redacted"),
+        n_redacted.alias("n_redactions"),
+    )

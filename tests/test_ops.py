@@ -507,3 +507,21 @@ def test_rolling_hashes_match_pure_python(spark, docs):
     a = "the quick brown fox jumps over the lazy dog"
     b = "XXXX quick brown fox jumps XXXX something else"
     assert py_hashes(a) & py_hashes(b)
+
+
+def test_redact_placeholders_and_counts(spark):
+    from marky_spark.ops.textstats import redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or https://x.io/p?q=1 call 12345678 now 123"),
+         (2, "clean text, no pii"),
+         (3, "two mails: x@y.org z@w.net")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact(df).collect()}
+    assert rows[1]["redacted"] == \
+        "mail <EMAIL> or <URL> call <NUM> now 123"
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["redacted"] == "clean text, no pii"
+    assert rows[2]["n_redactions"] == 0
+    assert rows[3]["n_redactions"] == 2
