@@ -222,8 +222,9 @@ def _curate_oracle() -> str:
                         WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
                         ELSE 'de' END AS pred_lang,
                    CAST(floor(least(1.0, greatest(0.0,
-                        hits_en / n_words * 2.0 + alpha / n_chars
-                        - punct / n_chars * 5.0)) * 10000) AS BIGINT)
+                        hits_en / n_words * 2.0
+                        + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+                        - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 5.0)) * 10000) AS BIGINT)
                         AS quality_score_bp
             FROM feats),
         filtered AS (
@@ -796,15 +797,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(hs) AS gram_hash FROM g
         """,
         "redact": """
-            WITH r AS (SELECT doc_id,
-                              regexp_replace(regexp_replace(regexp_replace(text,
-                                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                                  'https?://[^\\s]+', '<URL>', 'g'),
-                                  '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted
-                       FROM documents)
-            SELECT doc_id, redacted,
-                   len(regexp_extract_all(redacted, '<EMAIL>|<URL>|<NUM>'))::BIGINT AS n_redactions
-            FROM r
+            -- n_redactions = matches each pattern actually replaced (counted
+            -- on the text that pattern ran against), mirroring ops/textstats
+            WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM s0),
+            s2 AS (SELECT doc_id, t0, t1,
+                          regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted,
+                   (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t1, 'https?://[^\\s]+'))
+                    + len(regexp_extract_all(t2, '\\b\\d{7,}\\b')))::BIGINT AS n_redactions
+            FROM s2
         """,
         "sample_stratified": _SAMPLE_ORACLE,
         "events_metrics": """
@@ -832,10 +839,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(floor((n_chars - (n_words - 1)) / n_words * 10000) AS BIGINT) AS mean_word_len_bp,
                    CAST(floor(stop / n_words * 10000) AS BIGINT) AS stopword_ratio_bp,
-                   CAST(floor(punct / n_chars * 10000) AS BIGINT) AS punct_ratio_bp,
-                   CAST(floor(alpha / n_chars * 10000) AS BIGINT) AS alpha_ratio_bp,
+                   CAST(floor(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 10000) AS BIGINT) AS punct_ratio_bp,
+                   CAST(floor(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END * 10000) AS BIGINT) AS alpha_ratio_bp,
                    CAST(floor(least(1.0, greatest(0.0,
-                        stop / n_words * 2.0 + alpha / n_chars - punct / n_chars * 5.0)) * 10000) AS BIGINT) AS quality_score_bp
+                        stop / n_words * 2.0
+                        + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+                        - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 5.0)) * 10000) AS BIGINT) AS quality_score_bp
             FROM t
         """,
         "lang_id": """

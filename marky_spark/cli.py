@@ -57,14 +57,16 @@ def sniff_kind(path: str, data: bytes) -> str | None:
             names = zipfile.ZipFile(io.BytesIO(data)).namelist()
         except zipfile.BadZipFile:
             return None
-        joined = "\n".join(names)
-        if "word/" in joined:
+        # per-name prefix checks: substring containment over the joined list
+        # would let a member like 'password/x' match 'word/' (and run before
+        # the epub check, misclassifying EPUBs)
+        if any(n.startswith("word/") for n in names):
             return "docx"
-        if "xl/" in joined:
+        if any(n.startswith("xl/") for n in names):
             return "xlsx"
-        if "ppt/" in joined:
+        if any(n.startswith("ppt/") for n in names):
             return "pptx"
-        if "META-INF/container.xml" in joined or "mimetype" in names:
+        if "META-INF/container.xml" in names or "mimetype" in names:
             return "epub"
         return None
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""

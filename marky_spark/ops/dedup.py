@@ -207,6 +207,20 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
 
+    def _digest(d: DataFrame) -> tuple:
+        # one action: count + order-insensitive content hash of the edge set
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # convergence = this round's edge digest equals the previous round's;
+    # caching the previous digest halves the actions (the naive form
+    # re-digests BOTH edge sets every round — 2×O(log² n) full passes)
+    prev = _digest(edges)
     converged = False
     for _ in range(max_iter):
         # large-star: m = min(Γ(u) ∪ {u}); emit (w, m) for neighbors w > u
@@ -235,19 +249,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         # converged when every edge points at its component root: the edge
         # set is a star forest iff small-star changed nothing
-        stats = [
-            d.agg(
-                F.count(F.lit(1)).alias("n"),
-                # decimal accumulator: a long sum of 64-bit hashes overflows
-                # under ANSI mode
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
-            for d in (edges, small)
-        ]
+        cur = _digest(small)
         edges = small
-        if (stats[0]["n"], stats[0]["h"]) == (stats[1]["n"], stats[1]["h"]):
+        if cur == prev:
             converged = True
             break
+        prev = cur
 
     if not converged:
         # an unconverged star forest yields WRONG components (nodes pointing

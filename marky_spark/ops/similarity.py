@@ -188,10 +188,27 @@ def train_ivf_centroids(emb: DataFrame, n_cells: int = 16,
                         dim: int = 64):
     """Deterministic mini k-means on a driver-side sample (the coarse
     quantizer is tiny — centroids broadcast to executors; training data is a
-    bounded sample, never the full corpus)."""
+    bounded sample, never the full corpus).
+
+    The sample is the ``sample`` rows with the smallest md5(vec_id) — a
+    deterministic pseudo-random draw that is independent of storage order
+    (a bare ``limit(sample)`` takes the first partitions' rows, so on a
+    sorted/clustered corpus the centroids would all come from one region
+    and IVF recall would degrade silently). ``orderBy + limit`` compiles to
+    TakeOrderedAndProject (per-partition top-K, no global sort shuffle)."""
     import numpy as np
 
-    rows = emb.select("embedding").limit(sample).collect()
+    rows = (
+        emb.select(
+            "embedding",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":ivf")))
+            .alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .select("embedding")
+        .collect()
+    )
     x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(IVF_SEED)
     centroids = x[rng.choice(len(x), size=min(n_cells, len(x)),

@@ -67,9 +67,12 @@ def quality_feature_cols(col: str) -> dict[str, Column]:
     punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
 
-    stop_ratio = stop / n_words
-    punct_ratio = punct / n_chars
-    alpha_ratio = alpha / n_chars
+    stop_ratio = stop / n_words  # n_words >= 1 always: split('') -> ['']
+    # n_chars = 0 would make these 0.0/0.0 = NaN, and NaN sorts above every
+    # double, so least(1.0, NaN) = 1.0 — empty text would score a perfect
+    # 10000 bp and sail through curate()'s quality filter. Guard to 0.
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
     # composite: reward stopword presence + alphabetic mass, punish
     # punctuation soup; clamp to [0,1]
     score = F.least(
@@ -299,14 +302,26 @@ REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
 def redact(df: DataFrame, col: str = "text") -> DataFrame:
     """PII/noise redaction for training text: emails, URLs, and long digit
     runs become placeholder tokens. A chain of JVM-side regexp_replace
-    (whole-stage codegen, no shuffle, no Python); redaction counts are
-    derived from length deltas so the operator stays one narrow projection.
+    (whole-stage codegen, no shuffle, no Python).
+
+    ``n_redactions`` counts the matches each pattern actually replaced (the
+    match count on the text that pattern ran against — i.e. after the
+    *previous* replacements), so documents that already contain literal
+    '<EMAIL>'/'<URL>'/'<NUM>' tokens do not inflate the count.
+
+    Pattern-order note (documented contract): emails redact before URLs, so
+    a URL with userinfo ('https://user@host.com/x') has its authority
+    rewritten to '<EMAIL>' and the remainder then matches the URL pattern.
     """
     out = F.col(col)
+    counts = []
     for pat, token in REDACT_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).cast("long"))
         out = F.regexp_replace(out, pat, token)
-    n_redacted = F.size(F.regexp_extract_all(
-        out, F.lit("<EMAIL>|<URL>|<NUM>"), 0)).cast("long")
+    n_redacted = counts[0]
+    for c in counts[1:]:
+        n_redacted = n_redacted + c
     return df.select(
         "doc_id",
         out.alias("redacted"),

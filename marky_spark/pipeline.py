@@ -231,15 +231,22 @@ def compact_output(spark: SparkSession, out_dir: str,
     ``rewrite_data_files`` is the production twin — this is the parquet
     stand-in with the same swap-last atomicity).
 
-    Only COMMITTED buckets are touched; the swap is per-bucket
-    directory-rename (write compacted files to a sibling temp dir, then
-    replace), so a crash mid-compaction loses at most one bucket's
-    compaction work, never data, and readers through ``read_output`` see
-    either the old or the new file set.
+    Only COMMITTED buckets are touched. The swap is two renames (bucket dir
+    → saved old dir, compacted temp dir → bucket dir) and is therefore NOT
+    atomic: a crash between them leaves the bucket dir briefly absent. What
+    makes it safe is that (a) temp/old dirs live under ``out_dir/_compact``,
+    OUTSIDE the ``out_spans`` partition-discovery root, so a concurrent or
+    post-crash ``spark.read.parquet`` can never mis-infer the bucket column
+    or double-read, and (b) ``_recover_compaction`` — run at the start of
+    both :func:`compact_output` and :func:`read_output` — restores the saved
+    old dir whenever the bucket dir is missing, so no committed data is ever
+    lost and retries resume cleanly.
     """
     store = SnapshotStore(out_dir)
+    _recover_compaction(out_dir)
     committed = sorted(store.committed_buckets())
     base = os.path.join(out_dir, "out_spans")
+    scratch = os.path.join(out_dir, "_compact")
     stats = {"buckets": 0, "files_before": 0, "files_after": 0}
     for b in committed:
         d = os.path.join(base, f"bucket={b}")
@@ -250,12 +257,13 @@ def compact_output(spark: SparkSession, out_dir: str,
         n_target = max(1, -(-n_bytes // target_file_bytes))
         if len(files) <= n_target:
             continue
-        tmp = d + ".compact.tmp"
+        os.makedirs(scratch, exist_ok=True)
+        tmp = os.path.join(scratch, f"bucket={b}.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         (spark.read.parquet(d)
          .coalesce(n_target)
          .write.mode("overwrite").parquet(tmp))
-        old = d + ".compact.old"
+        old = os.path.join(scratch, f"bucket={b}.old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(d, old)
         os.rename(tmp, d)
@@ -266,6 +274,32 @@ def compact_output(spark: SparkSession, out_dir: str,
     return stats
 
 
+def _recover_compaction(out_dir: str) -> None:
+    """Repair a crash mid-compaction swap (see :func:`compact_output`).
+
+    A leftover ``_compact/bucket={b}.old`` with NO live bucket dir means the
+    crash hit between the two swap renames — restore the old dir (the temp
+    dir holds the same rows compacted; dropping it loses only compaction
+    work, never data). A leftover ``.old`` WITH a live bucket dir means the
+    swap completed — drop the old copy. Leftover ``.tmp`` dirs are always
+    incomplete-or-superseded scratch and are dropped.
+    """
+    scratch = os.path.join(out_dir, "_compact")
+    if not os.path.isdir(scratch):
+        return
+    base = os.path.join(out_dir, "out_spans")
+    for name in os.listdir(scratch):
+        p = os.path.join(scratch, name)
+        if name.endswith(".old"):
+            live = os.path.join(base, name[:-len(".old")])
+            if os.path.isdir(live):
+                shutil.rmtree(p)
+            else:
+                os.rename(p, live)
+        elif name.endswith(".tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed output only (snapshot isolation: uncommitted bucket files
     from a crashed wave are filtered out). Empty result — not an error —
@@ -273,6 +307,7 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     from .schema import OUTPUT_SCHEMA
 
     store = SnapshotStore(out_dir)
+    _recover_compaction(out_dir)
     committed = sorted(store.committed_buckets())
     path = os.path.join(out_dir, "out_spans")
     if not committed or not os.path.isdir(path):

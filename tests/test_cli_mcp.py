@@ -161,3 +161,29 @@ def test_mcp_survives_bad_inputs(tmp_path):
     assert by_id[1]["result"]["isError"]
     assert by_id[2]["result"]["isError"]
     assert by_id[3]["result"] == {}  # server still alive after both errors
+
+
+def test_sniff_zip_member_prefix_not_substring():
+    """Zip container sniffing keys on member-name *prefixes*: 'password/x'
+    must not read as 'word/' (docx), nor 'xxl/…' as 'xl/' (xlsx) — an EPUB
+    carrying such members classifies as epub."""
+    import io
+    import zipfile
+
+    from marky_spark.cli import sniff_kind
+
+    def zip_bytes(names):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n in names:
+                z.writestr(n, "x")
+        return buf.getvalue()
+
+    tricky_epub = zip_bytes(
+        ["mimetype", "META-INF/container.xml", "password/x.txt", "xxl/a"])
+    assert sniff_kind("book.bin", tricky_epub) == "epub"
+    assert sniff_kind("a.bin", zip_bytes(["password/x.txt"])) is None
+    assert sniff_kind("a.bin", zip_bytes(["xxl/sheet.xml"])) is None
+    assert sniff_kind("d.bin", zip_bytes(["word/document.xml"])) == "docx"
+    assert sniff_kind("x.bin", zip_bytes(["xl/workbook.xml"])) == "xlsx"
+    assert sniff_kind("p.bin", zip_bytes(["ppt/slides/slide1.xml"])) == "pptx"

@@ -525,3 +525,58 @@ def test_redact_placeholders_and_counts(spark):
     assert rows[2]["redacted"] == "clean text, no pii"
     assert rows[2]["n_redactions"] == 0
     assert rows[3]["n_redactions"] == 2
+
+
+def test_redact_adversarial_literals_and_userinfo(spark):
+    """Counts are per-pattern match counts, not placeholder occurrences:
+    pre-existing literal tokens don't inflate, and the documented email→URL
+    interaction on userinfo URLs counts both replacements."""
+    from marky_spark.ops.textstats import redact
+
+    df = spark.createDataFrame(
+        [(1, "already has <EMAIL> and <NUM> literal tokens"),
+         (2, "see https://user@host.com/x page")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact(df).collect()}
+    assert rows[1]["n_redactions"] == 0
+    assert rows[1]["redacted"] == "already has <EMAIL> and <NUM> literal tokens"
+    # userinfo URL: email pattern rewrites the authority first, then the URL
+    # pattern takes the remainder — two real replacements
+    assert rows[2]["redacted"] == "see <URL> page"
+    assert rows[2]["n_redactions"] == 2
+
+
+def test_quality_scores_empty_text_scores_zero(spark):
+    """Empty text must not NaN its way to a perfect score (0/0 ratios; NaN
+    orders above all doubles, so least(1.0, NaN) = 1.0 → 10000 bp)."""
+    from marky_spark.ops.textstats import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_score_bp"]
+           for r in quality_scores(df).collect()}
+    assert got[1] == 0
+    assert got[2] == 0
+
+
+def test_ivf_centroids_unbiased_on_sorted_corpus(spark):
+    """train_ivf_centroids must hash-sample, not take the first N rows: on a
+    corpus clustered by storage order, a head sample sees only one region."""
+    import numpy as np
+
+    from marky_spark.ops.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(512):
+        base = 1.0 if i < 256 else -1.0  # low ids cluster A, high ids B
+        v = (rng.standard_normal(8) * 0.05).tolist()
+        v[0] = base
+        rows.append((i, [float(x) for x in v]))
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+          .coalesce(1).sortWithinPartitions("vec_id"))
+    cents = train_ivf_centroids(df, n_cells=4, sample=256)
+    first = [c[0] for c in cents]
+    assert any(x > 0.5 for x in first), f"no cluster-A centroid: {first}"
+    assert any(x < -0.5 for x in first), f"no cluster-B centroid: {first}"

@@ -152,3 +152,43 @@ def test_compact_output_reduces_files_preserves_rows(spark, tmp_path):
     assert rows_after == rows_before
     # idempotent: second pass is a no-op
     assert compact_output(spark, out_dir, target_file_bytes=1 << 30)["buckets"] == 0
+
+
+def test_compact_crash_recovery_restores_bucket(spark, tmp_path):
+    """A crash between the two swap renames leaves the bucket dir absent and
+    the data saved under _compact/; read_output and compact_output must
+    restore it (and drop stale scratch) before reading."""
+    import os
+    import shutil
+
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.pipeline import compact_output, read_output, run_convert_job
+
+    out_dir = str(tmp_path / "crashcompact")
+    run_convert_job(spark, spark_corpus(spark, 200, partitions=4),
+                    out_dir, n_buckets=4, waves=2)
+    rows_before = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+
+    # simulate the mid-swap crash: bucket=0 moved to scratch, never replaced
+    scratch = os.path.join(out_dir, "_compact")
+    os.makedirs(scratch, exist_ok=True)
+    base = os.path.join(out_dir, "out_spans")
+    os.rename(os.path.join(base, "bucket=0"),
+              os.path.join(scratch, "bucket=0.old"))
+    os.makedirs(os.path.join(scratch, "bucket=1.tmp"))  # stale scratch too
+
+    after = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+    assert after == rows_before  # bucket restored, nothing lost or doubled
+    assert os.path.isdir(os.path.join(base, "bucket=0"))
+    assert not os.path.isdir(os.path.join(scratch, "bucket=1.tmp"))
+
+    # a completed swap leaves only a stale .old: recovery drops it
+    shutil.copytree(os.path.join(base, "bucket=2"),
+                    os.path.join(scratch, "bucket=2.old"))
+    compact_output(spark, out_dir, target_file_bytes=1 << 30)
+    assert not os.path.isdir(os.path.join(scratch, "bucket=2.old"))
+    final = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+    assert final == rows_before
