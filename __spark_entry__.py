@@ -499,6 +499,38 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end (ops/pngcodec): encode deterministic pixel
+    content → chunk-walk/inflate/unfilter decode → dims + raw-sample digest.
+    The oracle reconstructs the expected samples from doc_id arithmetic
+    WITHOUT a PNG library, so encoder and decoder must both be
+    spec-correct for the md5s to line up."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_png_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_pixels(synth_png_media(docs)).select(
+        "media_ref", "width", "height", "channels", "n_pixel_bytes",
+        "pixel_md5", "ok",
+    )
+
+
+def _q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG resize: decode → nearest-neighbor resample → re-encode →
+    decode again; the oracle recomputes the integer-arithmetic resample
+    over the reconstructed source samples in pure SQL."""
+    from marky_spark.ops.multimodal import (
+        decode_pixels,
+        resize_media,
+        synth_png_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = resize_media(synth_png_media(docs), width=8, height=8)
+    return decode_pixels(resized.select("media_ref", "payload")).select(
+        "media_ref", "width", "height", "channels", "pixel_md5",
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation (grouping-sets substrate; SURVEY.md §2.2)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -674,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
+        "png_decode": _q_png_decode,
+        "png_resize": _q_png_resize,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "media_features": _q_media_features,
@@ -999,6 +1033,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
                    'ok' AS ok
             FROM documents
+        """,
+        "png_decode": """
+            -- independent reconstruction of the decoded samples: pixel
+            -- content is md5(doc_id) hex repeated (ASCII), dims are doc_id
+            -- arithmetic — no PNG library needed on the oracle side
+            WITH m AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       4 + doc_id % 7 AS h
+                FROM documents),
+            p AS (
+                SELECT doc_id, w, h,
+                       substr(repeat(md5(doc_id::VARCHAR), ((w*h*3) // 32 + 1)::INT),
+                              1, (w*h*3)::INT) AS px
+                FROM m)
+            SELECT 'p' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(w*h*3 AS BIGINT) AS n_pixel_bytes,
+                   md5(px) AS pixel_md5,
+                   'ok' AS ok
+            FROM p
+        """,
+        "png_resize": """
+            -- nearest-neighbor in integer arithmetic: out (x,y) samples
+            -- src (x*w//8, y*h//8); rebuilt over the reconstructed source
+            WITH m AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       4 + doc_id % 7 AS h
+                FROM documents),
+            p AS (
+                SELECT doc_id, w, h,
+                       substr(repeat(md5(doc_id::VARCHAR), ((w*h*3) // 32 + 1)::INT),
+                              1, (w*h*3)::INT) AS px
+                FROM m),
+            r AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(0, 64), i ->
+                           substr(px,
+                                  (((i // 8) * h // 8) * w
+                                   + ((i % 8) * w // 8)) * 3 + 1,
+                                  3)), '') AS rpx
+                FROM p)
+            SELECT 'p' || doc_id AS media_ref,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   md5(rpx) AS pixel_md5
+            FROM r
         """,
         "media_resize": """
             -- fake resize: payload = md5 hex repeated to exactly 32*32

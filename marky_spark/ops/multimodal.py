@@ -1,14 +1,22 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shape, ``mapInPandas`` signatures; the codec step is STUBBED because
-the sandbox has no image/audio libraries. ``decoder=`` accepts a real codec
-(e.g. PIL-based) in production; the default deterministic fake derives
-"decoded" metadata from the payload bytes so tests pin the full dataflow.
+batch shape, ``mapInPandas`` signatures. The codec layer is split:
+
+- **PNG is a real codec** (ops/pngcodec: pure stdlib+numpy — chunk walk,
+  CRC verify, inflate, filter reconstruction, palette expansion, nearest-
+  neighbor resize). PNG payloads (signature-sniffed) decode/resize for
+  real by default.
+- Formats with no in-sandbox library (JPEG, audio, video) keep the
+  deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
+  ``decoder=``/``resizer=`` accept real codecs (e.g. PIL-based) in
+  production through the same batch shape.
 
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
 - ``decode_media``      — binary → (width, height, channels, ok) per blob
+- ``decode_pixels``     — PNG → dims + md5 of raw decoded samples
+- ``resize_media``      — binary → target-dim payload + source dims
 - ``frame_sample``      — "video" payloads → N evenly-spaced frame rows
 - ``media_features``    — fixed-width float feature vector per blob
 """
@@ -50,12 +58,17 @@ DECODED_SCHEMA = StructType([
 
 
 def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec hook — not available in this sandbox (no PIL/ffmpeg).
+    """Real codec: PNG is fully implemented in pure stdlib+numpy
+    (ops/pngcodec — chunk walk, inflate, filter reconstruction, palette
+    expansion); other formats (JPEG/audio/video) have no in-sandbox codec
+    and raise NotImplementedError, which the operators surface as
+    ``codec_unavailable`` rows."""
+    from .pngcodec import PNG_SIGNATURE, png_decode
 
-    Production: swap in a PIL/torchvision/pyav decoder here; everything
-    around it (batching, schema, partitioning) is already exercised.
-    """
-    raise NotImplementedError("image/audio codecs not present in sandbox")
+    if payload.startswith(PNG_SIGNATURE):
+        width, height, channels, _ = png_decode(payload)
+        return width, height, channels
+    raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
 
 def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
@@ -67,11 +80,23 @@ def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """Default decoder: real PNG decode when the payload IS a PNG
+    (signature sniff, not mime trust), digest-derived fake otherwise —
+    non-PNG formats keep the deterministic stand-in until their codecs
+    exist in this environment."""
+    from .pngcodec import PNG_SIGNATURE
+
+    if payload.startswith(PNG_SIGNATURE):
+        return _real_decode(payload, mime)
+    return fake_decode(payload, mime)
+
+
 Decoder = Callable[[bytes, str], tuple[int, int, int]]
 
 
 def decode_media(media: DataFrame,
-                 decoder: Decoder = fake_decode) -> DataFrame:
+                 decoder: Decoder = auto_decode) -> DataFrame:
     """Arrow-batched decode: binary column in, typed metadata out."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,8 +167,23 @@ RESIZED_SCHEMA = StructType([
 
 def _real_resize(payload: bytes, mime: str,
                  width: int, height: int) -> bytes:
-    """Real resize hook — sandbox has no PIL/ffmpeg (see _real_decode)."""
-    raise NotImplementedError("image codecs not present in sandbox")
+    """Real resize: PNG decode → nearest-neighbor resample → PNG re-encode
+    (ops/pngcodec); other formats raise (see _real_decode)."""
+    from .pngcodec import PNG_SIGNATURE, png_resize_nearest
+
+    if payload.startswith(PNG_SIGNATURE):
+        return png_resize_nearest(payload, width, height)
+    raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
+
+
+def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
+    """Default resizer: real PNG resample for PNG payloads, deterministic
+    fake otherwise (see auto_decode)."""
+    from .pngcodec import PNG_SIGNATURE
+
+    if payload.startswith(PNG_SIGNATURE):
+        return _real_resize(payload, mime, width, height)
+    return fake_resize(payload, mime, width, height)
 
 
 def fake_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
@@ -160,8 +200,8 @@ Resizer = Callable[[bytes, str, int, int], bytes]
 
 
 def resize_media(media: DataFrame, width: int = 32, height: int = 32,
-                 decoder: Decoder = fake_decode,
-                 resizer: Resizer = fake_resize) -> DataFrame:
+                 decoder: Decoder = auto_decode,
+                 resizer: Resizer = auto_resize) -> DataFrame:
     """Arrow-batched resize: binary payload in, (target-dim payload +
     source dims) out; codec failures isolate per blob (ok column)."""
 
@@ -186,6 +226,46 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32,
             )
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+PIXELS_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_pixel_bytes", LongType()),
+    StructField("pixel_md5", StringType()),
+    StructField("ok", StringType()),
+])
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """Full real decode: PNG payload → dimensions + a content digest of the
+    raw decoded samples (the image-content identity exact image dedup keys
+    on — two differently-compressed PNGs of the same pixels collide here,
+    while byte-level md5 of the files would not). Arrow-batched; per-blob
+    failures isolate into the ``ok`` column."""
+    from .pngcodec import PngError, png_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, c, px = png_decode(blob)
+                    rows.append((ref, w, h, c, len(px),
+                                 hashlib.md5(px).hexdigest(), "ok"))
+                except PngError as exc:
+                    rows.append((ref, None, None, None, None, None,
+                                 f"error: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXELS_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, schema=PIXELS_SCHEMA
+    )
 
 
 FEATURE_DIM = 16
@@ -215,6 +295,34 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.select("media_ref", "payload").mapInPandas(
         batches, schema=FEATURES_SCHEMA
     )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG media table derived from doc ids (the test /
+    bench corpus for the real codec path). Dimensions are doc_id arithmetic
+    (w = 4 + id%13, h = 4 + id%7, RGB) and the pixel samples are the
+    doc_id's md5 hex repeated (ASCII) — so an independent SQL engine can
+    reconstruct the expected decoded bytes WITHOUT a PNG library, which is
+    exactly what the driver oracle for ``decode_pixels``/``resize_media``
+    does: the encoder's zlib+filter output must survive a real decode back
+    to those samples for the oracle to match."""
+    from .pngcodec import png_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 4 + i % 7
+                n = w * h * 3
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                px = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
+                rows.append((f"p{i}", "image/png", png_encode(px, w, h, 3)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def attach_media(docs_out: DataFrame, media: DataFrame,

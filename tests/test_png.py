@@ -1,0 +1,144 @@
+"""Real PNG codec (ops/pngcodec) + its wiring into the multimodal operators.
+
+The encoder cycles all five row filters, so round-trip equality exercises
+every decoder filter path; the external-fixture test pins spec conformance
+against a PNG this codebase did not produce.
+"""
+
+import base64
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from marky_spark.ops.pngcodec import (
+    PngError,
+    png_decode,
+    png_encode,
+    png_resize_nearest,
+)
+
+# The canonical 1×1 semi-transparent red PNG (RGBA), produced by an
+# external encoder — spec-conformance pin, not a round-trip tautology.
+EXTERNAL_1PX = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 7), (16, 9), (31, 13)])
+def test_round_trip_all_filters(channels, dims):
+    w, h = dims
+    rng = np.random.default_rng(w * 1000 + h * 10 + channels)
+    px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+    got = png_decode(png_encode(px, w, h, channels))
+    assert got == (w, h, channels, px)
+
+
+def test_external_png_decodes():
+    w, h, c, px = png_decode(EXTERNAL_1PX)
+    assert (w, h, c) == (1, 1, 4)
+    assert list(px) == [255, 0, 0, 127]  # semi-transparent red
+
+
+def test_palette_expansion():
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 1])  # two filter-0 rows of indices
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert png_decode(data) == (
+        2, 2, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]))
+
+
+def test_garbage_raises_png_error():
+    good = png_encode(b"\x00" * 12, 2, 2, 3)
+    corrupt_crc = bytearray(good)
+    corrupt_crc[-1] ^= 0xFF  # flip a CRC byte
+    for bad in (b"not a png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,
+                bytes(corrupt_crc), good[:30]):
+        with pytest.raises(PngError):
+            png_decode(bad)
+
+
+def test_resize_nearest_mapping():
+    w, h, ch = 8, 4, 3
+    px = bytes(((y * w + x) * 3 + c) & 0xFF
+               for y in range(h) for x in range(w) for c in range(ch))
+    out = png_decode(png_resize_nearest(png_encode(px, w, h, ch), 4, 2))
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    exp = arr[(np.arange(2) * h // 2)][:, (np.arange(4) * w // 4)].tobytes()
+    assert out == (4, 2, 3, exp)
+
+
+def test_decode_media_auto_uses_real_codec(spark):
+    """decode_media's default decoder sniffs the PNG signature: real dims
+    for PNG payloads, digest-fake for everything else, in the same batch."""
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, decode_media, fake_decode
+
+    real = png_encode(bytes(range(60)), 5, 4, 3)
+    rows = [("png", "image/png", bytearray(real)),
+            ("jpg", "image/jpeg", bytearray(b"JPEGISH-BYTES"))]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in decode_media(media).collect()}
+    assert (got["png"]["width"], got["png"]["height"],
+            got["png"]["channels"]) == (5, 4, 3)
+    fw, fh, fc = fake_decode(b"JPEGISH-BYTES", "image/jpeg")
+    assert (got["jpg"]["width"], got["jpg"]["height"],
+            got["jpg"]["channels"]) == (fw, fh, fc)
+
+
+def test_resize_media_auto_real_png(spark):
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, resize_media
+
+    px = bytes(i & 0xFF for i in range(10 * 6 * 3))
+    media = spark.createDataFrame(
+        [("m", "image/png", bytearray(png_encode(px, 10, 6, 3)))],
+        schema=MEDIA_SCHEMA)
+    row = resize_media(media, width=4, height=4).collect()[0]
+    assert row["ok"] == "ok"
+    assert (row["in_width"], row["in_height"]) == (10, 6)
+    w, h, c, out = png_decode(bytes(row["payload"]))
+    assert (w, h, c) == (4, 4, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(6, 10, 3)
+    exp = arr[(np.arange(4) * 6 // 4)][:, (np.arange(4) * 10 // 4)].tobytes()
+    assert out == exp
+
+
+def test_decode_pixels_digest_and_poison(spark):
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, decode_pixels
+
+    px = hashlib.md5(b"7").hexdigest().encode("ascii")[:24]  # 2x4 RGB
+    media = spark.createDataFrame(
+        [("ok", "image/png", bytearray(png_encode(px, 2, 4, 3))),
+         ("bad", "image/png", bytearray(b"\x89PNG\r\n\x1a\n" + b"junk"))],
+        schema=MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in decode_pixels(media).collect()}
+    assert got["ok"]["pixel_md5"] == hashlib.md5(px).hexdigest()
+    assert got["ok"]["n_pixel_bytes"] == 24
+    assert got["bad"]["ok"].startswith("error:")  # poison isolates per blob
+
+
+def test_synth_png_media_matches_oracle_construction(spark):
+    """The generated corpus is the documented doc_id-arithmetic shape the
+    driver oracle reconstructs."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_png_media
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 17)], "doc_id long")
+    got = {r["media_ref"]: r
+           for r in decode_pixels(synth_png_media(docs)).collect()}
+    for i in (0, 5, 17):
+        w, h = 4 + i % 13, 4 + i % 7
+        n = w * h * 3
+        hexs = hashlib.md5(str(i).encode()).hexdigest()
+        px = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
+        r = got[f"p{i}"]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["pixel_md5"] == hashlib.md5(px).hexdigest()
