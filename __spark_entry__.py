@@ -254,8 +254,8 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed (IVF cell-local) batch k-NN join — approximate by
-    construction, so rows-only in the driver; recall vs the exact join is
-    pinned in tests/test_ops.py."""
+    construction but deterministic, so the oracle is the frozen sf0.01
+    output; recall vs the exact join is pinned in tests/test_ops.py."""
     from marky_spark.ops.similarity import knn_join_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -412,8 +412,9 @@ def _q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force is
-    pinned in tests/test_ops.py)."""
+    """LSH-bucketed approximate top-10. Deterministic (PLANE_SEED), so the
+    oracle is the frozen sf0.01 output (see _ann_oracle); recall vs brute
+    force is separately pinned in tests/test_ops.py."""
     from marky_spark.ops.similarity import ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -645,12 +646,14 @@ def _q_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_convert_binary_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6/O10-O23: binary-format kernels (docx/xlsx/pptx/epub/pdf) over a
-    deterministic generated slice (rows-only: binary payloads are not
-    SQL-reconstructible; byte-level contracts live in the golden suite)."""
+    deterministic generated slice, aggregated per kind. Oracled against the
+    FROZEN golden table (marky_spark/frozen_golden.py — committed literals,
+    so a kernel regression flips this row red)."""
     from marky_spark.convert import convert
     from marky_spark.corpus import spark_corpus
+    from marky_spark.frozen_golden import N_CORPUS
 
-    corpus = spark_corpus(spark, 2000, partitions=8)
+    corpus = spark_corpus(spark, N_CORPUS, partitions=8)
     out = convert(corpus, kinds=["docx", "xlsx", "pptx", "epub", "pdf"])
     return out.groupBy("conv_kind", "status").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -658,11 +661,84 @@ def _q_convert_binary_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_convert_binary(kind: str):
+    """Per-kind binary-kernel conversion query: (doc_id, md5(markdown),
+    md_chars) over the deterministic corpus slice. The DuckDB oracle is the
+    frozen literal VALUES table — SQL cannot parse zip/PDF containers, but
+    it CAN compare per-document content digests, which pins the kernels'
+    byte-exact output through the driver's hard correctness gate
+    (reference contracts: docx.go:220-604, excel.go:41-64, pptx.go:184-449,
+    epub.go:80-255, pdf.go:31-50)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from marky_spark.convert import convert
+        from marky_spark.corpus import spark_corpus
+        from marky_spark.frozen_golden import N_CORPUS
+
+        corpus = spark_corpus(spark, N_CORPUS, partitions=8)
+        out = convert(corpus, kinds=[kind])
+        return out.where(F.col("conv_kind") == kind).select(
+            "doc_id",
+            F.md5("markdown").alias("md_md5"),
+            F.col("md_chars").cast("long").alias("md_chars"),
+        )
+
+    return q
+
+
+def _binary_oracle(kind: str) -> str:
+    from marky_spark.frozen_golden import BINARY_GOLDEN
+
+    rows = ",\n                ".join(
+        f"('{d}', '{h}', {n})" for d, h, n in BINARY_GOLDEN[kind])
+    return f"""
+            SELECT doc_id, md_md5, CAST(md_chars AS BIGINT) AS md_chars
+            FROM (VALUES
+                {rows}
+            ) AS t(doc_id, md_md5, md_chars)
+    """
+
+
+def _ann_oracle(name: str) -> str:
+    """VALUES oracle from the frozen sf0.01 ANN outputs
+    (marky_spark/frozen_ann.py): the operators are approximate but fully
+    deterministic (fixed seeds, md5-ordered centroid sample, integer
+    tie-breaks), so their exact output at the driver's correctness scale is
+    a stable, committable contract."""
+    from marky_spark.frozen_ann import ANN_GOLDEN
+
+    cols, rows = ANN_GOLDEN[name]
+    vals = ",\n                ".join(
+        "(" + ", ".join(str(v) for v in row) + ")" for row in rows)
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"""
+            SELECT {sel}
+            FROM (VALUES
+                {vals}
+            ) AS t({", ".join(cols)})
+    """
+
+
+def _binary_kinds_oracle() -> str:
+    from marky_spark.frozen_golden import BINARY_GOLDEN
+
+    rows = ", ".join(
+        f"('{k}', 'ok', {len(v)}, {sum(n for _, _, n in v)})"
+        for k, v in BINARY_GOLDEN.items())
+    return f"""
+            SELECT conv_kind, status, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_md_chars AS BIGINT) AS total_md_chars
+            FROM (VALUES {rows})
+                 AS t(conv_kind, status, n_docs, total_md_chars)
+    """
+
+
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (k-means coarse quantizer, nprobe cells, exact
-    re-rank; rows-only — recall vs brute force pinned in tests)."""
+    re-rank). Deterministic (IVF_SEED + md5-ordered centroid sample) → the
+    oracle is the frozen sf0.01 output; recall pinned in tests."""
     from marky_spark.ops.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -717,6 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_style": _q_tpch_q1_style,
         "orders_join": _q_orders_join,
         "convert_binary_kinds": _q_convert_binary_kinds,
+        "convert_docx": _q_convert_binary("docx"),
+        "convert_xlsx": _q_convert_binary("xlsx"),
+        "convert_pptx": _q_convert_binary("pptx"),
+        "convert_epub": _q_convert_binary("epub"),
+        "convert_pdf": _q_convert_binary("pdf"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
         "ship_window": _q_ship_window,
@@ -1191,4 +1272,13 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
             GROUP BY l_returnflag
         """,
+        "ann_topk": _ann_oracle("ann_topk"),
+        "ivf_topk": _ann_oracle("ivf_topk"),
+        "knn_join_ivf": _ann_oracle("knn_join_ivf"),
+        "convert_binary_kinds": _binary_kinds_oracle(),
+        "convert_docx": _binary_oracle("docx"),
+        "convert_xlsx": _binary_oracle("xlsx"),
+        "convert_pptx": _binary_oracle("pptx"),
+        "convert_epub": _binary_oracle("epub"),
+        "convert_pdf": _binary_oracle("pdf"),
     }

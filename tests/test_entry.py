@@ -52,6 +52,14 @@ def test_entry_smoke(spark):
 def test_query_vs_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
+    if sql is not None:
+        # the ANN oracles are FROZEN outputs valid only at the driver's
+        # correctness scale (sf0.01); at other scales run rows-only
+        from marky_spark.frozen_ann import ANN_GOLDEN
+        from marky_spark.frozen_ann import SF_DIR as FROZEN_SF
+
+        if name in ANN_GOLDEN and SF_DIR != FROZEN_SF:
+            sql = None
     sdf = q(spark, SF_DIR)
     srows = sdf.collect()
     if sql is None:
