@@ -182,17 +182,41 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE = _sample_oracle()
 
 
-def _curate_oracle() -> str:
-    """SQL twin of _q_curate: markdown reconstruction (the four templates) →
-    inline quality/lang scoring → filter → dedup window (Spark orders the
-    window by the STRING doc_id, mirrored with a VARCHAR cast) → hash
-    sample on pred_lang."""
+def _curate_oracle(lang_model: str = "stopword") -> str:
+    """SQL twin of _q_curate / _q_curate_ngram: markdown reconstruction (the
+    four templates) → inline quality/lang scoring → filter → dedup window
+    (Spark orders the window by the STRING doc_id, mirrored with a VARCHAR
+    cast) → hash sample on pred_lang. ``lang_model`` mirrors curate()'s:
+    stopword vote or character-trigram profiles (the trigram lists are
+    generated from the same LANG_TRIGRAMS constant the Spark side uses)."""
     from marky_spark.ops.sampling import _hex_threshold
+    from marky_spark.ops.textstats import LANG_TRIGRAMS
 
     cases = " ".join(
         f"WHEN pred_lang = '{s}' THEN '{_hex_threshold(r)}'"
         for s, r in sorted(_CURATE_RATES.items())
     )
+
+    def tri(lang: str) -> str:
+        arr = ", ".join(f"'{t}'" for t in LANG_TRIGRAMS[lang])
+        return (
+            "len(list_filter(list_transform("
+            "range(1, greatest(length(lower(markdown)) - 2, 1) + 1), "
+            "i -> substr(lower(markdown), i::INT, 3)), "
+            f"t -> list_contains([{arr}], t)))::BIGINT"
+        )
+
+    if lang_model == "ngram":
+        lang_cols = (f"{tri('en')} AS s_en, {tri('es')} AS s_es, "
+                     f"{tri('de')} AS s_de,")
+    else:
+        lang_cols = """
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::BIGINT AS s_en,
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['el','la','de','que','y','en','los','se'], w)))::BIGINT AS s_es,
+                   len(list_filter(string_split(markdown,' '),
+                       w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS s_de,"""
     return f"""
         WITH md AS (
             SELECT doc_id,
@@ -206,20 +230,17 @@ def _curate_oracle() -> str:
             SELECT doc_id, markdown,
                    length(markdown)::DOUBLE AS n_chars,
                    len(string_split(markdown,' '))::DOUBLE AS n_words,
+                   {lang_cols}
                    len(list_filter(string_split(markdown,' '),
                        w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::BIGINT AS hits_en,
-                   len(list_filter(string_split(markdown,' '),
-                       w -> list_contains(['el','la','de','que','y','en','los','se'], w)))::BIGINT AS hits_es,
-                   len(list_filter(string_split(markdown,' '),
-                       w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS hits_de,
                    length(regexp_replace(markdown, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
                    length(regexp_replace(markdown, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha
             FROM md),
         scored AS (
             SELECT doc_id, markdown,
-                   CASE WHEN greatest(hits_en, hits_es, hits_de) <= 0 THEN 'und'
-                        WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
-                        WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
+                   CASE WHEN greatest(s_en, s_es, s_de) <= 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
                         ELSE 'de' END AS pred_lang,
                    CAST(floor(least(1.0, greatest(0.0,
                         hits_en / n_words * 2.0
@@ -272,6 +293,20 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = docs_to_spans(load_documents(spark, sf_dir))
     out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
                  min_quality_bp=_CURATE_MIN_BP)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "pred_lang", "quality_score_bp", "markdown")
+
+
+def _q_curate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the character-trigram language model (the composition
+    a production 100 TB run prefers — ops/curate.py lang_model='ngram');
+    same single-shuffle plan, pred_lang swapped to the trigram expression."""
+    from marky_spark.entry_helpers import docs_to_spans, load_documents
+    from marky_spark.ops.curate import curate
+
+    spans = docs_to_spans(load_documents(spark, sf_dir))
+    out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
+                 min_quality_bp=_CURATE_MIN_BP, lang_model="ngram")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "pred_lang", "quality_score_bp", "markdown")
 
@@ -759,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": _q_resume_anti_join,
         "token_stats": _q_token_stats,
         "curate": _q_curate,
+        "curate_ngram": _q_curate_ngram,
         "dedup_exact": _q_dedup_exact,
         "dup_components": _q_dup_components,
         "sample_stratified": _q_sample_stratified,
@@ -879,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "curate": _curate_oracle(),
+        "curate_ngram": _curate_oracle("ngram"),
         "dup_components": """
             WITH RECURSIVE
             pairs AS (

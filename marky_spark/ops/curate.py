@@ -27,20 +27,30 @@ from pyspark.sql.window import Window
 
 from ..convert import convert
 from .sampling import sample_stratified
-from .textstats import lang_pred_col, quality_feature_cols
+from .textstats import lang_pred_col, lang_pred_ngram_col, quality_feature_cols
 
 
 def curate(docs: DataFrame, rates: dict[str, float],
            default_rate: float = 0.0, min_quality_bp: int = 1500,
            keep_langs: tuple[str, ...] | None = None,
-           salt: str = "v1") -> DataFrame:
+           salt: str = "v1", lang_model: str = "stopword") -> DataFrame:
     """Span documents → curated Markdown training rows.
 
     Returns (doc_id, pred_lang, quality_score_bp, markdown): converted OK,
     quality ≥ ``min_quality_bp`` basis points, language in ``keep_langs``
     (None = all, incl. 'und'), exact-dup collapsed to the smallest doc_id,
     stratified-sampled by predicted language at ``rates``.
+
+    ``lang_model`` selects the language-ID expression: ``"stopword"``
+    (3-language stopword vote) or ``"ngram"`` (character-trigram profiles —
+    the model a production run prefers; markup-heavy or short documents
+    rarely hit the tiny stopword lists). Either way it is an inline JVM
+    expression: no extra stage, no join, no Python.
     """
+    if lang_model not in ("stopword", "ngram"):
+        raise ValueError(f"unknown lang_model {lang_model!r}")
+    pred_col = (lang_pred_col if lang_model == "stopword"
+                else lang_pred_ngram_col)
     converted = (
         convert(docs)
         .where(F.col("status") == "ok")
@@ -49,7 +59,7 @@ def curate(docs: DataFrame, rates: dict[str, float],
     scored = converted.select(
         "doc_id",
         "markdown",
-        lang_pred_col("markdown").alias("pred_lang"),
+        pred_col("markdown").alias("pred_lang"),
         quality_feature_cols("markdown")["quality_score_bp"]
         .alias("quality_score_bp"),
     )

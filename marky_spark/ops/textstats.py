@@ -210,11 +210,8 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
-    """Character-trigram language ID: count how many of the document's
-    trigrams (lowercased, overlapping) appear in each language's fixed
-    profile; argmax wins, ties break by language order, zero hits → 'und'.
-    One trigram extraction + one JVM-side filter per language (no Python)."""
+def _trigram_scores(col: str) -> dict[str, Column]:
+    """Per-language trigram hit counts as reusable JVM expressions."""
     grams = (
         f"transform(sequence(1, greatest(length(lower({col})) - 2, 1)), "
         f"i -> substring(lower({col}), i, 3))"
@@ -225,13 +222,32 @@ def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
         scores[lang] = F.expr(
             f"size(filter({grams}, t -> array_contains(array({arr}), t)))"
         ).cast("long")
+    return scores
+
+
+def lang_pred_ngram_col(col: str) -> Column:
+    """Character-trigram predicted language as a reusable expression (the
+    composition hook curate() uses — the trigram model beats the 3-language
+    stopword vote on short/markup-heavy text, so a production 100 TB curation
+    run prefers it)."""
+    scores = _trigram_scores(col)
     langs = list(LANG_TRIGRAMS)
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
+def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
+    """Character-trigram language ID: count how many of the document's
+    trigrams (lowercased, overlapping) appear in each language's fixed
+    profile; argmax wins, ties break by language order, zero hits → 'und'.
+    One trigram extraction + one JVM-side filter per language (no Python)."""
+    scores = _trigram_scores(col)
+    langs = list(LANG_TRIGRAMS)
     return df.select(
-        "doc_id", pred.alias("pred_lang"),
+        "doc_id", lang_pred_ngram_col(col).alias("pred_lang"),
         *[scores[lang].alias(f"tri_{lang}") for lang in langs],
     )
 

@@ -580,3 +580,20 @@ def test_ivf_centroids_unbiased_on_sorted_corpus(spark):
     first = [c[0] for c in cents]
     assert any(x > 0.5 for x in first), f"no cluster-A centroid: {first}"
     assert any(x < -0.5 for x in first), f"no cluster-B centroid: {first}"
+
+
+def test_curate_ngram_lang_model(spark):
+    """curate(lang_model='ngram') swaps the inline language expression for
+    the trigram model; unknown models refuse."""
+    import pytest as _pytest
+
+    from marky_spark.entry_helpers import docs_to_spans, load_documents
+    from marky_spark.ops.curate import curate
+
+    spans = docs_to_spans(load_documents(spark, SF))
+    with _pytest.raises(ValueError):
+        curate(spans, rates={}, lang_model="nope")
+    out = curate(spans, rates={"en": 1.0}, default_rate=1.0,
+                 min_quality_bp=0, lang_model="ngram").collect()
+    assert len(out) > 0
+    assert {r["pred_lang"] for r in out} <= {"en", "es", "de", "und"}
