@@ -91,6 +91,21 @@ def main() -> None:
         if name in q:
             timed(name, lambda name=name: q[name](spark, sf_dir).count())
 
+    # adversarial byte skew: every 50th doc is 100x the median (~2% of docs
+    # hold ~2/3 of all bytes) — exercises pipeline.skew_balanced's p99 split
+    # + round-robin isolation of the mega tail, the path that keeps a 100 TB
+    # wave from serializing multi-GB documents into one hash partition
+    from marky_spark.pipeline import skew_balanced
+
+    skew_n = max(n_docs // 10, 2000)
+    skewed = spark_corpus(spark, skew_n, mega_every=50,
+                          mega_factor=100).persist()
+    skewed.count()  # materialize generation outside the timed window
+    timed("convert_skewed",
+          lambda: convert(skew_balanced(skewed, cpus * 2))
+          .where("status = 'ok'").count())
+    skewed.unpersist()
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "total wall seconds: full span-corpus conversion + "

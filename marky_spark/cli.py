@@ -43,6 +43,52 @@ def _ext_kind_map() -> dict[str, str]:
 _EXT_KIND = _ext_kind_map()
 
 
+# magic-byte table for common UNSUPPORTED types: the reference's mimetype
+# library (marky.go:29) detects a large type set, so its "no converter found"
+# error names the actual type; this table reproduces that specificity for
+# the types most likely to hit a document pipeline. Detection only — none of
+# these gain converters.
+_UNSUPPORTED_MAGIC: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"Rar!\x1a\x07", "application/x-rar-compressed"),
+    (b"\x25\x21PS", "application/postscript"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x00\x00\x00\x1cftyp", "video/mp4"),
+    (b"\x00\x00\x00\x18ftyp", "video/mp4"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"%!", "application/postscript"),
+    (b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    (b"\x7fELF", "application/x-executable"),
+    (b"MZ", "application/x-msdownload"),
+)
+
+
+def sniff_mime_unsupported(data: bytes) -> str | None:
+    """Best-effort mime of a payload we can detect but not convert — used
+    to make the no-converter error as specific as the reference's
+    (mimetype.DetectFile names the type; marky.go:41)."""
+    if data[:4] == b"RIFF" and len(data) >= 12:
+        sub = data[8:12]
+        if sub == b"WEBP":
+            return "image/webp"
+        if sub == b"WAVE":
+            return "audio/wav"
+        if sub == b"AVI ":
+            return "video/x-msvideo"
+    for magic, mime in _UNSUPPORTED_MAGIC:
+        if data.startswith(magic):
+            return mime
+    return None
+
+
 def sniff_kind(path: str, data: bytes) -> str | None:
     """Content sniffing with extension fallback (marky.go:29, :35-39).
 
@@ -92,8 +138,11 @@ def convert_file(path: str) -> str:
         data = f.read()
     kind = sniff_kind(path, data)
     if kind is None or kind not in REGISTRY:
-        # marky.go:41 — no converter found for the detected type
-        raise ConvertError(f"no converter found for {path!r}")
+        # marky.go:41 — no converter found for the detected type; name the
+        # detected mime when we can (reference: mimetype.DetectFile)
+        mime = sniff_mime_unsupported(data)
+        detail = f"detected type {mime}" if mime else f"file {path!r}"
+        raise ConvertError(f"no converter found for {detail}")
     if kind in BINARY_KINDS:
         payload = base64.b64encode(data).decode("ascii")
     else:
@@ -127,13 +176,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.output == "console":  # cmd/marky/main.go:33-42
         print(markdown)
     else:
+        from .mcp_server import _write_file_0644
+
         try:
-            with open(args.output, "w", encoding="utf-8") as f:
-                f.write(markdown)
+            _write_file_0644(args.output, markdown)  # WriteFile(..., 0o644)
         except OSError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
-        print(f"markdown saved to {args.output}")
+        print(f"Content written to {args.output}")  # cmd/marky/main.go:41
     return 0
 
 

@@ -537,11 +537,16 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def make_synth_doc(i: int) -> dict[str, Any]:
-    """Deterministic doc #i (same output for the same i, everywhere)."""
+def make_synth_doc(i: int, mega_every: int = MEGA_DOC_EVERY,
+                   mega_factor: int = MEGA_FACTOR) -> dict[str, Any]:
+    """Deterministic doc #i (same output for the same i, everywhere).
+
+    ``mega_every``/``mega_factor`` shape the skew tail; the defaults are the
+    frozen-golden corpus contract (frozen_golden.py) — benchmarks pass
+    denser/heavier values to build adversarial byte-skew corpora."""
     rng = random.Random(0xC0FFEE + i)
     kind = _pick_kind(i)
-    scale = MEGA_FACTOR if (i > 0 and i % MEGA_DOC_EVERY == 0) else 1
+    scale = mega_factor if (i > 0 and mega_every and i % mega_every == 0) else 1
     spans: list[dict[str, Any]]
 
     if kind == "csv":
@@ -582,15 +587,22 @@ def make_synth_doc(i: int) -> dict[str, Any]:
     return {"doc_id": f"doc-{i:010d}", "spans": spans}
 
 
-def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = [make_synth_doc(int(i)) for i in pdf["id"]]
-        yield pd.DataFrame(rows, columns=["doc_id", "spans"])
-
-
 def spark_corpus(spark: SparkSession, n_docs: int,
-                 partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic corpus of ``n_docs`` documents."""
+                 partitions: int | None = None,
+                 mega_every: int = MEGA_DOC_EVERY,
+                 mega_factor: int = MEGA_FACTOR) -> DataFrame:
+    """Distributed deterministic corpus of ``n_docs`` documents.
+
+    Pass a dense ``mega_every`` (e.g. 50) + heavy ``mega_factor`` to build
+    an adversarial byte-skew corpus where a few percent of documents carry
+    most of the bytes — the shape ``pipeline.skew_balanced`` exists for."""
     parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_synth_doc(int(i), mega_every, mega_factor)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
     rng_df = spark.range(0, n_docs, numPartitions=parts)
-    return rng_df.mapInPandas(_gen_batches, schema=INPUT_SCHEMA)
+    return rng_df.mapInPandas(gen, schema=INPUT_SCHEMA)

@@ -54,15 +54,27 @@ def handle_tool_call(arguments: dict) -> dict:
         markdown = convert_file(inp)
     except (ConvertError, OSError) as exc:
         return _tool_result(f"conversion failed: {exc}", is_error=True)
+    # GetString("output", "console") — marky-mcp/main.go:50: absent OR
+    # 'console' means no file write; the markdown text is returned either way
     out = arguments.get("output")
-    if isinstance(out, str) and out:  # marky-mcp/main.go:57-63
+    if isinstance(out, str) and out and out != "console":
         try:
-            with open(out, "w", encoding="utf-8") as f:
-                f.write(markdown)
+            _write_file_0644(out, markdown)  # os.WriteFile(..., 0o644)
         except OSError as exc:
             return _tool_result(f"failed to write output: {exc}",
                                 is_error=True)
     return _tool_result(markdown)
+
+
+def _write_file_0644(path: str, text: str) -> None:
+    """Parity with Go's os.WriteFile(path, data, 0o644)
+    (marky-mcp/main.go:58, cmd/marky/main.go:38): create with mode 0644
+    (umask still applies, as in Go), truncate if present."""
+    import os
+
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(text)
 
 
 def handle_message(msg: dict) -> dict | None:

@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def worker(cores: int, n_docs: int, repeats: int = 3) -> dict:
+def worker(cores: int, n_docs: int, repeats: int = 3,
+           skew: bool = False) -> dict:
     from marky_spark.convert import convert
     from marky_spark.corpus import spark_corpus
     from marky_spark.session import get_spark
@@ -43,28 +44,45 @@ def worker(cores: int, n_docs: int, repeats: int = 3) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     # identical input across runs: fixed partition count so task granularity
     # is identical at both levels; the only variable is the core count
-    corpus = spark_corpus(spark, n_docs, partitions=256).persist()
+    if skew:
+        # adversarial byte skew: every 50th doc 100x the median (~2% of
+        # docs, ~2/3 of bytes) — the timed job includes skew_balanced's
+        # p99 quantile + tail isolation, as a production wave would
+        corpus = spark_corpus(spark, n_docs, partitions=256,
+                              mega_every=50, mega_factor=100).persist()
+    else:
+        corpus = spark_corpus(spark, n_docs, partitions=256).persist()
     corpus.count()
     convert(corpus.limit(2048)).count()  # warm all Python workers
+
+    def job():
+        df = corpus
+        if skew:
+            from marky_spark.pipeline import skew_balanced
+
+            df = skew_balanced(corpus, cores * 2)
+        return convert(df).where("status = 'ok'").count()
 
     best = None
     n_ok = 0
     for _ in range(repeats):
         t0 = time.time()
-        n_ok = convert(corpus).where("status = 'ok'").count()
+        n_ok = job()
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
     corpus.unpersist()
     spark.stop()
     return {"cores": cores, "n_docs": n_docs, "n_ok": n_ok,
-            "seconds": round(best, 3),
+            "skew": skew, "seconds": round(best, 3),
             "docs_per_sec": round(n_ok / best, 1)}
 
 
-def run_pinned(cores: int, n_docs: int) -> dict:
+def run_pinned(cores: int, n_docs: int, skew: bool = False) -> dict:
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
            os.path.abspath(__file__), "--worker", str(cores), str(n_docs)]
+    if skew:
+        cmd.append("--skew")
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("{"):
@@ -77,15 +95,18 @@ def run_pinned(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        print(json.dumps(worker(int(sys.argv[2]), int(sys.argv[3]))))
+        print(json.dumps(worker(int(sys.argv[2]), int(sys.argv[3]),
+                                skew="--skew" in sys.argv)))
         return
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    r8 = run_pinned(n, n_docs)
-    r32 = run_pinned(4 * n, n_docs)
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv
+    n_docs = int(args[0]) if args else 200000
+    n = int(args[1]) if len(args) > 1 else 2
+    r8 = run_pinned(n, n_docs, skew=skew)
+    r32 = run_pinned(4 * n, n_docs, skew=skew)
     efficiency = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
-    result = {f"local{n}": r8, f"local{4 * n}": r32,
+    result = {f"local{n}": r8, f"local{4 * n}": r32, "skew": skew,
               "scaling_efficiency": round(efficiency, 3)}
     print(json.dumps(result))
 

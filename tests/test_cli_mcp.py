@@ -29,7 +29,7 @@ def test_cli_file_output(tmp_path):
     out = tmp_path / "out.md"
     p = run_cli(f"{REF}/test.ipynb", "-o", str(out))
     assert p.returncode == 0, p.stderr
-    assert "saved to" in p.stdout
+    assert "Content written to" in p.stdout  # cmd/marky/main.go:41
     assert "```python" in out.read_text()
 
 
