@@ -91,3 +91,52 @@ def test_multi_span_order_stable(texts):
     forward = convert_document("d", spans)
     backward = convert_document("d", list(reversed(spans)))
     assert forward["markdown"] == backward["markdown"]  # offset defines order
+
+
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+@FAST
+def test_png_codec_round_trip_property(w, h, channels, seed):
+    """Any pixel buffer survives encode→decode bit-exactly."""
+    import numpy as np
+
+    from marky_spark.ops.pngcodec import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+    assert png_decode(png_encode(px, w, h, channels)) == (w, h, channels, px)
+
+
+@given(blob=st.binary(max_size=400))
+@FAST
+def test_png_decode_never_escapes_png_error(blob):
+    """Arbitrary bytes either decode or raise PngError — never any other
+    exception (same poison-pill contract as the kernels)."""
+    from marky_spark.ops.pngcodec import PngError, png_decode
+
+    try:
+        png_decode(blob)
+    except PngError:
+        pass
+
+
+@given(pos=st.integers(0, 200), bit=st.integers(0, 7), seed=st.integers(0, 99))
+@FAST
+def test_png_decode_bitflip_never_escapes(pos, bit, seed):
+    """Single-bit corruption of a VALID png either still decodes (flips in
+    unchecked slack are fine) or raises PngError."""
+    import numpy as np
+
+    from marky_spark.ops.pngcodec import PngError, png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=6 * 5 * 3, dtype=np.uint8).tobytes()
+    data = bytearray(png_encode(px, 6, 5, 3))
+    data[pos % len(data)] ^= 1 << bit
+    try:
+        png_decode(bytes(data))
+    except PngError:
+        pass

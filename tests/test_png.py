@@ -142,3 +142,49 @@ def test_synth_png_media_matches_oracle_construction(spark):
         r = got[f"p{i}"]
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         assert r["pixel_md5"] == hashlib.md5(px).hexdigest()
+
+
+def test_docx_embedded_real_png_roundtrip():
+    """Reference parity end-to-end: docx.go:196-198 embeds the REAL image
+    bytes as a base64 data URI. Build a docx carrying an actual PNG, convert
+    through the kernel, and decode the emitted data URI back to the exact
+    pixels with the real codec."""
+    import re
+
+    from marky_spark import fixtures as fx
+    from marky_spark.kernels import REGISTRY
+
+    px = bytes(((x * 7 + y * 13 + c) & 0xFF)
+               for y in range(6) for x in range(9) for c in range(3))
+    png = png_encode(px, 9, 6, 3)
+    doc = fx.b64(fx.docx_zip(
+        fx.docx_image("rId7"),
+        rels={"rId7": "media/pic.png"},
+        media={"media/pic.png": png},
+    ))
+    segs = REGISTRY["docx"](doc)
+    img = next(s for s in segs if s[0] == "image")
+    assert img[2] == "word/media/pic.png"
+    m = re.match(r"!\[.*\]\(data:image/png;base64,([A-Za-z0-9+/=]+)\)", img[1])
+    assert m, img[1]
+    assert png_decode(base64.b64decode(m.group(1))) == (9, 6, 3, px)
+
+
+def test_pptx_embedded_real_png_roundtrip():
+    """Same contract for pptx.go:342-343 picture embeds."""
+    import re
+
+    from marky_spark import fixtures as fx
+    from marky_spark.kernels import REGISTRY
+
+    px = bytes(range(4 * 4 * 3))
+    png = png_encode(px, 4, 4, 3)
+    deck = fx.b64(fx.pptx_zip(
+        slides=[fx.pptx_pic(name="P", descr="real png")],
+        media={"ppt/media/image1.png": png},
+    ))
+    segs = REGISTRY["pptx"](deck)
+    img = next(s for s in segs if s[0] == "image")
+    m = re.search(r"data:image/png;base64,([A-Za-z0-9+/=]+)\)", img[1])
+    assert m, img[1]
+    assert png_decode(base64.b64decode(m.group(1))) == (4, 4, 3, px)
