@@ -202,3 +202,43 @@ def test_curate_has_single_shuffle(spark, tmp_path):
     plan = plan_of(out)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_png_pipeline_is_fully_narrow(spark):
+    """PNG generate → decode is a chain of Arrow maps over the scan — zero
+    Exchange: the 100 TB shape for per-blob media work (decode never
+    justifies a shuffle)."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_png_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(decode_pixels(synth_png_media(docs)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+
+
+def test_binary_convert_query_is_narrow_plus_single_agg(spark):
+    """The frozen-golden conversion queries are filter + map + project —
+    no shuffle at all for the per-doc form."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["convert_docx"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_skew_balanced_does_not_shuffle_the_bulk(spark, tmp_path):
+    """Only the over-threshold tail may hit an Exchange; the bulk branch
+    must flow narrowly (a corpus-wide shuffle to fix a <1% tail was the
+    measured 4→16 scaling bottleneck)."""
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.pipeline import skew_balanced
+
+    path = str(tmp_path / "skewspans")
+    spark_corpus(spark, 300, partitions=8, mega_every=50,
+                 mega_factor=100).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = skew_balanced(df, partitions=4)  # input parts (>=8) >= target 4
+    plan = plan_of(out)
+    # union of two branches: exactly ONE exchange — the numbered round-robin
+    # repartition of the tail; the bulk branch contributes none
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
