@@ -461,8 +461,10 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column -> typed decode metadata
-    (deterministic digest-derived fake codec; real codec is a stub here)."""
+    """Multimodal plumbing: binary payload column -> typed decode metadata.
+    These payloads are text bytes (not PNGs), so the signature-sniffing
+    default decoder takes the deterministic digest-fake path — the REAL
+    codec path is exercised by png_decode/png_resize."""
     from marky_spark.ops.multimodal import decode_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -494,8 +496,9 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing (stubbed codec: content-addressed ASCII
-    pseudo-bitmap of exactly width×height bytes — SQL-oracle-able)."""
+    """Multimodal resize plumbing over non-PNG payloads (digest-fake path:
+    content-addressed ASCII pseudo-bitmap of exactly width×height bytes —
+    SQL-oracle-able; the real resample path is png_resize)."""
     from marky_spark.ops.multimodal import resize_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

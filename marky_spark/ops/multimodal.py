@@ -297,6 +297,35 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
+def extract_embedded_media(docs_out: DataFrame) -> DataFrame:
+    """Conversion output → media table of the EMBEDDED images.
+
+    The docx/pptx kernels emit embedded pictures as base64 data URIs inside
+    image spans (reference parity: docx.go:196-198, pptx.go:342-343 embed
+    the real bytes inline). This recovers them as binary payloads
+    (doc_id, media_ref, mime, payload) — the bridge from extraction to the
+    multimodal operators (decode_pixels / resize_media / media_features)
+    WITHOUT re-reading or re-parsing the source documents. Fully JVM-side
+    (explode + regexp_extract + unbase64): narrow, codegen, no Python."""
+    spans = (
+        docs_out.select("doc_id", F.explode("out_spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"),
+                F.col("s.text").alias("t"))
+    )
+    uri_re = r"\(data:([a-z0-9.+/-]+);base64,([A-Za-z0-9+/=]+)\)"
+    return (
+        spans.select(
+            "doc_id", "media_ref",
+            F.regexp_extract("t", uri_re, 1).alias("mime"),
+            F.regexp_extract("t", uri_re, 2).alias("b64"),
+        )
+        .where(F.col("b64") != "")
+        .select("doc_id", "media_ref", "mime",
+                F.unbase64("b64").alias("payload"))
+    )
+
+
 def synth_png_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-PNG media table derived from doc ids (the test /
     bench corpus for the real codec path). Dimensions are doc_id arithmetic
