@@ -87,7 +87,8 @@ def main() -> None:
     # substrate / training-data queries (same callables the driver verifies)
     q = entry_mod.queries()
     for name in ("dedup_exact", "token_stats", "events_window",
-                 "resume_anti_join", "convert_metrics", "curate"):
+                 "resume_anti_join", "convert_metrics", "curate",
+                 "minhash_dupes", "knn_join_ivf", "sessionize"):
         if name in q:
             timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -120,13 +120,19 @@ def test_minhash_signature_fully_jvm(spark):
     assert "Exchange" not in plan  # signature computation is shuffle-free
 
 
-def test_minhash_pairs_single_shuffle_per_side(spark):
-    """The LSH candidate join shuffles on (band_idx, band_key) only."""
+def test_minhash_pairs_one_scan_one_group_shuffle(spark):
+    """LSH candidates are ONE signature scan + a groupBy on (band_idx,
+    band_key) + in-array pair expansion — no self-join (the join form ran
+    the signature scan once per side) and no second corpus shuffle before
+    the final distinct."""
     from marky_spark.ops.dedup import minhash_candidate_pairs
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = optimized_of(minhash_candidate_pairs(docs))
-    assert "Join" in plan
+    assert "Join" not in plan, plan
+    exec_plan = plan_of(minhash_candidate_pairs(docs))
+    # bucket groupBy + the distinct over emitted pairs — nothing else
+    assert exec_plan.count("Exchange") == 2, exec_plan
 
 
 def test_supplier_region_broadcasts_both_dims(spark):
