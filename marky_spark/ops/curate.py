@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..convert import convert
 from .sampling import sample_stratified
-from .textstats import lang_pred_col, lang_pred_ngram_col, quality_feature_cols
+from .textstats import lang_pred_col, quality_feature_cols, with_lang_pred_ngram
 
 
 def curate(docs: DataFrame, rates: dict[str, float],
@@ -49,17 +49,22 @@ def curate(docs: DataFrame, rates: dict[str, float],
     """
     if lang_model not in ("stopword", "ngram"):
         raise ValueError(f"unknown lang_model {lang_model!r}")
-    pred_col = (lang_pred_col if lang_model == "stopword"
-                else lang_pred_ngram_col)
     converted = (
         convert(docs)
         .where(F.col("status") == "ok")
         .select("doc_id", "markdown")
     )
+    if lang_model == "ngram":
+        # staged narrow projections (hoisted grams/scores — textstats
+        # _trigram_hits explains why inlining is ~20x slower); no shuffle
+        converted = with_lang_pred_ngram(converted, "markdown")
+        pred = F.col("pred_lang")
+    else:
+        pred = lang_pred_col("markdown").alias("pred_lang")
     scored = converted.select(
         "doc_id",
         "markdown",
-        pred_col("markdown").alias("pred_lang"),
+        pred,
         quality_feature_cols("markdown")["quality_score_bp"]
         .alias("quality_score_bp"),
     )

@@ -34,11 +34,14 @@ def exact_dupes(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def _shingles_expr(col: str, k: int = 3) -> str:
-    """SQL expr: array of word k-shingles (space-joined)."""
+def _shingles_expr(words_col: str, k: int = 3) -> str:
+    """SQL expr: array of word k-shingles over an ALREADY-SPLIT word-array
+    column. The caller hoists split() into its own column first: placed
+    inside the slice lambda it re-splits the whole document once per
+    shingle — O(words^2), measured 1.5x slower on the sf0.1 corpus."""
     return (
-        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(split({col}, ' '), i, {k})))"
+        f"transform(sequence(1, greatest(size({words_col}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {k})))"
     )
 
 
@@ -60,7 +63,8 @@ def minhash_signature(df: DataFrame, col: str = "text",
         for i in range(n_hashes)
     ])
     return (
-        df.withColumn("__mh_sh", F.expr(_shingles_expr(col)))
+        df.withColumn("__w", F.split(F.col(col), " "))
+        .withColumn("__mh_sh", F.expr(_shingles_expr("__w")))
         .select("doc_id", sig.alias("sig"))
     )
 
@@ -133,8 +137,9 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
         .distinct()
     )
     needed = df.join(ids, "doc_id", "left_semi")
-    sh = F.array_distinct(F.expr(_shingles_expr(col, k)))
-    docs = needed.select("doc_id", sh.alias("sh"))
+    sh = F.array_distinct(F.expr(_shingles_expr("__w", k)))
+    docs = (needed.withColumn("__w", F.split(F.col(col), " "))
+            .select("doc_id", sh.alias("sh")))
     a = docs.alias("a")
     b = docs.alias("b")
     joined = (

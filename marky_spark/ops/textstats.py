@@ -210,28 +210,40 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _trigram_scores(col: str) -> dict[str, Column]:
-    """Per-language trigram hit counts as reusable JVM expressions."""
-    grams = (
-        f"transform(sequence(1, greatest(length(lower({col})) - 2, 1)), "
-        f"i -> substring(lower({col}), i, 3))"
+def _trigram_grams_expr(lc_col: str) -> str:
+    """SQL expr: overlapping trigrams of an ALREADY-LOWERCASED column.
+
+    The caller hoists lower() into its own column first: placed inside the
+    transform lambda, lower() re-lowers the whole document once per gram —
+    O(n^2) chars per document, measured 2.6x slower on the sf0.1 corpus."""
+    return (
+        f"transform(sequence(1, greatest(length({lc_col}) - 2, 1)), "
+        f"i -> substring({lc_col}, i, 3))"
     )
+
+
+def _trigram_hits(grams_col: str) -> dict[str, Column]:
+    """Per-language hit counts over an ALREADY-HOISTED trigram array column.
+
+    Hoisting matters: Catalyst does not common-subexpression-eliminate a
+    repeated transform() subtree, and the argmax/tie-break expression tree
+    references each score several times (greatest + one WHEN per language)
+    — inlining the extraction into the scores re-ran it ~18x per row,
+    measured ~20x slower than this staged form for identical output."""
     scores: dict[str, Column] = {}
     for lang, tris in LANG_TRIGRAMS.items():
         arr = ",".join("'" + t.replace("'", "\\'") + "'" for t in tris)
         scores[lang] = F.expr(
-            f"size(filter({grams}, t -> array_contains(array({arr}), t)))"
+            f"size(filter({grams_col}, t -> array_contains(array({arr}), t)))"
         ).cast("long")
     return scores
 
 
-def lang_pred_ngram_col(col: str) -> Column:
-    """Character-trigram predicted language as a reusable expression (the
-    composition hook curate() uses — the trigram model beats the 3-language
-    stopword vote on short/markup-heavy text, so a production 100 TB curation
-    run prefers it)."""
-    scores = _trigram_scores(col)
-    langs = list(LANG_TRIGRAMS)
+def _pred_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax language from plain score Columns; ties break in language
+    order, all-zero -> 'und'. Feed it materialized columns, not expression
+    trees (see _trigram_hits)."""
+    langs = list(scores)
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in langs:
@@ -239,17 +251,48 @@ def lang_pred_ngram_col(col: str) -> Column:
     return pred
 
 
+def with_lang_pred_ngram(df: DataFrame, col: str,
+                         out: str = "pred_lang") -> DataFrame:
+    """Append a character-trigram predicted-language column via narrow
+    staged projections (hoisted grams -> hoisted scores -> argmax). The
+    composition hook curate() uses — the trigram model beats the 3-language
+    stopword vote on short/markup-heavy text, so a production 100 TB
+    curation run prefers it. Adds no shuffle."""
+    langs = list(LANG_TRIGRAMS)
+    staged = (
+        df.withColumn("__lc", F.lower(F.col(col)))
+        .withColumn("__tri", F.expr(_trigram_grams_expr("__lc")))
+    )
+    for lang, c in _trigram_hits("__tri").items():
+        staged = staged.withColumn(f"__tri_{lang}", c)
+    pred = _pred_from_scores({lang: F.col(f"__tri_{lang}") for lang in langs})
+    return staged.withColumn(out, pred).drop(
+        "__lc", "__tri", *[f"__tri_{lang}" for lang in langs])
+
+
 def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
     """Character-trigram language ID: count how many of the document's
     trigrams (lowercased, overlapping) appear in each language's fixed
-    profile; argmax wins, ties break by language order, zero hits → 'und'.
-    One trigram extraction + one JVM-side filter per language (no Python)."""
-    scores = _trigram_scores(col)
+    profile; argmax wins, ties break by language order, zero hits -> 'und'.
+    One trigram extraction + one JVM-side filter per language (no Python);
+    grams and scores are hoisted into staged columns (see _trigram_hits)."""
     langs = list(LANG_TRIGRAMS)
-    return df.select(
-        "doc_id", lang_pred_ngram_col(col).alias("pred_lang"),
-        *[scores[lang].alias(f"tri_{lang}") for lang in langs],
+    staged = (
+        df.withColumn("__lc", F.lower(F.col(col)))
+        .withColumn("__tri", F.expr(_trigram_grams_expr("__lc")))
+        .select(
+            "doc_id",
+            *[c.alias(f"tri_{lang}")
+              for lang, c in _trigram_hits("__tri").items()],
+        )
     )
+    return staged.select(
+        "doc_id",
+        _pred_from_scores({lang: F.col(f"tri_{lang}") for lang in langs})
+        .alias("pred_lang"),
+        *[f"tri_{lang}" for lang in langs],
+    )
+
 
 
 # Karp-Rabin rolling-hash parameters: base/modulus sized so every
