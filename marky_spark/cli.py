@@ -150,6 +150,18 @@ def convert_file(path: str) -> str:
     return segments_text(REGISTRY[kind](payload))
 
 
+def _write_file_0644(path: str, text: str) -> None:
+    """Parity with Go's os.WriteFile(path, data, 0o644)
+    (marky-mcp/main.go:58, cmd/marky/main.go:38): create with mode 0644
+    (umask still applies, as in Go), truncate if present. Shared by the CLI
+    ``-o`` path and the MCP ``output`` param."""
+    import os
+
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="marky", description="Convert a document to Markdown")
@@ -176,8 +188,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.output == "console":  # cmd/marky/main.go:33-42
         print(markdown)
     else:
-        from .mcp_server import _write_file_0644
-
         try:
             _write_file_0644(args.output, markdown)  # WriteFile(..., 0o644)
         except OSError as exc:

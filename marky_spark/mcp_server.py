@@ -38,7 +38,7 @@ def _tool_result(text: str, is_error: bool = False) -> dict:
 
 def handle_tool_call(arguments: dict) -> dict:
     """convert_to_markdown handler (marky-mcp/main.go:43-64)."""
-    from .cli import convert_file
+    from .cli import _write_file_0644, convert_file
     from .kernels import ConvertError
 
     inp = arguments.get("input")
@@ -64,17 +64,6 @@ def handle_tool_call(arguments: dict) -> dict:
             return _tool_result(f"failed to write output: {exc}",
                                 is_error=True)
     return _tool_result(markdown)
-
-
-def _write_file_0644(path: str, text: str) -> None:
-    """Parity with Go's os.WriteFile(path, data, 0o644)
-    (marky-mcp/main.go:58, cmd/marky/main.go:38): create with mode 0644
-    (umask still applies, as in Go), truncate if present."""
-    import os
-
-    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(text)
 
 
 def handle_message(msg: dict) -> dict | None:

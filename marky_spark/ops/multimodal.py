@@ -199,11 +199,35 @@ def fake_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
 Resizer = Callable[[bytes, str, int, int], bytes]
 
 
+def _auto_resize_once(blob: bytes, mime: str, width: int,
+                      height: int) -> tuple[int, int, bytes]:
+    """Fused default path: one PNG decode feeds BOTH the source dims and
+    the resample (the split decoder/resizer pair would run the full
+    inflate+unfilter twice per blob)."""
+    from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
+
+    if blob.startswith(PNG_SIGNATURE):
+        import numpy as np
+
+        in_w, in_h, channels, pixels = png_decode(blob)
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            in_h, in_w, channels)
+        ys = np.arange(height) * in_h // height
+        xs = np.arange(width) * in_w // width
+        out = png_encode(arr[ys][:, xs].tobytes(), width, height, channels)
+        return in_w, in_h, out
+    in_w, in_h, _ = fake_decode(blob, mime)
+    return in_w, in_h, fake_resize(blob, mime, width, height)
+
+
 def resize_media(media: DataFrame, width: int = 32, height: int = 32,
                  decoder: Decoder = auto_decode,
                  resizer: Resizer = auto_resize) -> DataFrame:
     """Arrow-batched resize: binary payload in, (target-dim payload +
-    source dims) out; codec failures isolate per blob (ok column)."""
+    source dims) out; codec failures isolate per blob (ok column). With
+    the default decoder/resizer pair the PNG path is fused into a single
+    decode per blob."""
+    fused = decoder is auto_decode and resizer is auto_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -212,8 +236,12 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32,
                                           pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 try:
-                    in_w, in_h, _ = decoder(blob, mime or "")
-                    out = resizer(blob, mime or "", width, height)
+                    if fused:
+                        in_w, in_h, out = _auto_resize_once(
+                            blob, mime or "", width, height)
+                    else:
+                        in_w, in_h, _ = decoder(blob, mime or "")
+                        out = resizer(blob, mime or "", width, height)
                     rows.append((ref, width, height, in_w, in_h, out, "ok"))
                 except NotImplementedError:
                     rows.append((ref, width, height, None, None, None,
@@ -259,6 +287,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                 except PngError as exc:
                     rows.append((ref, None, None, None, None, None,
                                  f"error: {exc}"))
+                except Exception as exc:  # noqa: BLE001 — poison isolation:
+                    # the codec's contract is PngError-only, but a decoder
+                    # escape must never become a task failure
+                    rows.append((ref, None, None, None, None, None,
+                                 f"error: {type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PIXELS_SCHEMA.fields]
             )

@@ -19,8 +19,13 @@ This module implements both directions:
   (vectorized numpy index select) → re-encode.
 
 Scale note: these run per-blob inside Arrow-batched ``mapInPandas``
-stages (ops/multimodal) — zlib is C-speed, and the per-row filter math is
-numpy-vectorized across each scanline.
+stages (ops/multimodal) — zlib is C-speed; None/Up/Sub unfiltering is
+numpy-vectorized across each scanline (Sub via wrap-around per-channel
+cumsum) and the sequential Average/Paeth recurrences run as plain-int
+bytearray loops. Hostile inputs are bounded: inflate is capped at the
+size IHDR implies, total pixels at :data:`MAX_PIXELS`, and every malformed
+shape raises :class:`PngError` so the multimodal operators can emit a
+per-blob error row instead of failing the task.
 """
 
 from __future__ import annotations
@@ -29,6 +34,11 @@ import struct
 import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# Decode-side sanity cap (2^28 px ≈ a 16k×16k image): document-embedded
+# images are orders of magnitude smaller, and the cap bounds what a crafted
+# IHDR can make the unfilter/palette stages allocate.
+MAX_PIXELS = 1 << 28
 
 # color type → samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -114,47 +124,63 @@ def png_encode(pixels: bytes, width: int, height: int,
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int,
               stride: int) -> bytes:
-    """Reverse the per-row filters. numpy-vectorized where the recurrence
-    allows (None/Up fully; Sub/Average/Paeth carry a left-to-right
-    dependency, walked per-sample on short rows)."""
+    """Reverse the per-row filters. None/Up are numpy-vectorized; Sub is
+    vectorized per channel via wrap-around ``cumsum`` (uint8 cumsum IS the
+    mod-256 left-recurrence); Average/Paeth carry a genuinely sequential
+    left-to-right dependency and run as plain-int bytearray loops (no
+    per-element numpy scalar boxing)."""
     import numpy as np
 
     if len(raw) != (stride + 1) * height:
         raise PngError(
             f"decompressed stream is {len(raw)} bytes, want "
             f"{(stride + 1) * height}")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int16)
+    out = bytearray(height * stride)
+    prev = bytes(stride)  # reconstructed previous row
     pos = 0
     for y in range(height):
         ft = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8,
-                            count=stride, offset=pos + 1).astype(np.int16)
-        pos += stride + 1
         if ft == 0:
-            rec = row
+            rec = raw[pos + 1:pos + 1 + stride]
+        elif ft == 1:  # Sub: per-channel mod-256 prefix sum
+            row = np.frombuffer(raw, dtype=np.uint8,
+                                count=stride, offset=pos + 1)
+            arr = np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint8)
+            rec = arr.tobytes()
         elif ft == 2:  # Up
-            rec = (row + prev) % 256
-        elif ft in (1, 3, 4):
-            rec = row.copy()
-            if ft == 1:  # Sub
-                for i in range(bpp, stride):
-                    rec[i] = (rec[i] + rec[i - bpp]) % 256
-            elif ft == 3:  # Average
-                for i in range(stride):
-                    left = rec[i - bpp] if i >= bpp else 0
-                    rec[i] = (rec[i] + (int(left) + int(prev[i])) // 2) % 256
-            else:  # Paeth
-                for i in range(stride):
-                    left = int(rec[i - bpp]) if i >= bpp else 0
-                    upleft = int(prev[i - bpp]) if i >= bpp else 0
-                    rec[i] = (rec[i]
-                              + _paeth(left, int(prev[i]), upleft)) % 256
+            row = np.frombuffer(raw, dtype=np.uint8,
+                                count=stride, offset=pos + 1)
+            rec = (row + np.frombuffer(prev, dtype=np.uint8)).tobytes()
+        elif ft == 3:  # Average
+            rb = bytearray(raw[pos + 1:pos + 1 + stride])
+            for i in range(stride):
+                left = rb[i - bpp] if i >= bpp else 0
+                rb[i] = (rb[i] + (left + prev[i]) // 2) & 0xFF
+            rec = bytes(rb)
+        elif ft == 4:  # Paeth (inlined predictor)
+            rb = bytearray(raw[pos + 1:pos + 1 + stride])
+            for i in range(stride):
+                a = rb[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rb[i] = (rb[i] + pred) & 0xFF
+            rec = bytes(rb)
         else:
             raise PngError(f"unknown filter type {ft} on row {y}")
-        out[y] = rec.astype(np.uint8)
+        pos += stride + 1
+        out[y * stride:(y + 1) * stride] = rec
         prev = rec
-    return out.tobytes()
+    return bytes(out)
 
 
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
@@ -184,6 +210,11 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise PngError(f"bad CRC on {tag!r} chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            # length check BEFORE unpack: a CRC-valid IHDR with a short
+            # body must raise PngError (the poison-pill contract), not
+            # struct.error
+            if length != 13:
+                raise PngError(f"IHDR length {length}, want 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             palette = body
@@ -205,11 +236,23 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if color_type not in _CHANNELS:
         raise PngError(f"unknown color type {color_type}")
     channels = _CHANNELS[color_type]
+    stride = width * channels
+    if width * height > MAX_PIXELS:
+        raise PngError(
+            f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel cap")
+    # Bounded inflate: cap at the exact size IHDR implies, so a crafted
+    # few-KB decompression bomb cannot allocate beyond the declared (and
+    # capped) image size — it raises an error row instead of OOMing the
+    # executor.
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            raise PngError(
+                f"IDAT inflates past the {expected} bytes IHDR implies")
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    stride = width * channels
     pixels = _unfilter(raw, width, height, channels, stride)
     if color_type == 3:
         if not palette:

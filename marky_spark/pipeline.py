@@ -250,7 +250,7 @@ def compact_output(spark: SparkSession, out_dir: str,
     lost and retries resume cleanly.
     """
     store = SnapshotStore(out_dir)
-    _recover_compaction(out_dir)
+    _recover_compaction(out_dir, cleanup=True)
     committed = sorted(store.committed_buckets())
     base = os.path.join(out_dir, "out_spans")
     scratch = os.path.join(out_dir, "_compact")
@@ -273,23 +273,39 @@ def compact_output(spark: SparkSession, out_dir: str,
         old = os.path.join(scratch, f"bucket={b}.old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # a concurrent read_output's recovery restored `old` back to
+            # the live dir between our two renames — the live dir again
+            # holds the original rows, so drop the compacted scratch and
+            # leave this bucket for the next compaction pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            continue
+        shutil.rmtree(old, ignore_errors=True)
         stats["buckets"] += 1
         stats["files_before"] += len(files)
         stats["files_after"] += n_target
     return stats
 
 
-def _recover_compaction(out_dir: str) -> None:
+def _recover_compaction(out_dir: str, cleanup: bool = False) -> None:
     """Repair a crash mid-compaction swap (see :func:`compact_output`).
 
     A leftover ``_compact/bucket={b}.old`` with NO live bucket dir means the
     crash hit between the two swap renames — restore the old dir (the temp
     dir holds the same rows compacted; dropping it loses only compaction
     work, never data). A leftover ``.old`` WITH a live bucket dir means the
-    swap completed — drop the old copy. Leftover ``.tmp`` dirs are always
-    incomplete-or-superseded scratch and are dropped.
+    swap completed — dropped only under ``cleanup=True``. Leftover ``.tmp``
+    dirs are incomplete-or-superseded scratch — likewise ``cleanup`` only.
+
+    ``cleanup=False`` (the :func:`read_output` mode) is restore-only and
+    race-tolerant: a reader never deletes scratch a concurrently running
+    :func:`compact_output` may still be mid-swap on, and a restore that
+    loses the rename race (live dir reappeared) is simply skipped.
+    :func:`compact_output` itself runs ``cleanup=True`` — it is the single
+    writer, and its swap handles the one reader-vs-writer rename race.
     """
     scratch = os.path.join(out_dir, "_compact")
     if not os.path.isdir(scratch):
@@ -300,10 +316,14 @@ def _recover_compaction(out_dir: str) -> None:
         if name.endswith(".old"):
             live = os.path.join(base, name[:-len(".old")])
             if os.path.isdir(live):
-                shutil.rmtree(p)
+                if cleanup:
+                    shutil.rmtree(p, ignore_errors=True)
             else:
-                os.rename(p, live)
-        elif name.endswith(".tmp"):
+                try:
+                    os.rename(p, live)
+                except OSError:
+                    pass  # concurrent swap completed or another recovery won
+        elif name.endswith(".tmp") and cleanup:
             shutil.rmtree(p, ignore_errors=True)
 
 

@@ -157,7 +157,9 @@ def test_compact_output_reduces_files_preserves_rows(spark, tmp_path):
 def test_compact_crash_recovery_restores_bucket(spark, tmp_path):
     """A crash between the two swap renames leaves the bucket dir absent and
     the data saved under _compact/; read_output and compact_output must
-    restore it (and drop stale scratch) before reading."""
+    restore it before reading. Readers are restore-only (a reader must never
+    delete scratch a concurrent compactor may be mid-swap on); stale-scratch
+    cleanup belongs to compact_output, the single writer."""
     import os
     import shutil
 
@@ -182,13 +184,16 @@ def test_compact_crash_recovery_restores_bucket(spark, tmp_path):
         r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
     assert after == rows_before  # bucket restored, nothing lost or doubled
     assert os.path.isdir(os.path.join(base, "bucket=0"))
-    assert not os.path.isdir(os.path.join(scratch, "bucket=1.tmp"))
+    # reader is restore-only: stale .tmp is left for the compactor
+    assert os.path.isdir(os.path.join(scratch, "bucket=1.tmp"))
 
-    # a completed swap leaves only a stale .old: recovery drops it
+    # a completed swap leaves only a stale .old: the compactor's cleanup
+    # recovery drops it (and the stale .tmp)
     shutil.copytree(os.path.join(base, "bucket=2"),
                     os.path.join(scratch, "bucket=2.old"))
     compact_output(spark, out_dir, target_file_bytes=1 << 30)
     assert not os.path.isdir(os.path.join(scratch, "bucket=2.old"))
+    assert not os.path.isdir(os.path.join(scratch, "bucket=1.tmp"))
     final = sorted(
         r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
     assert final == rows_before

@@ -68,6 +68,44 @@ def test_garbage_raises_png_error():
             png_decode(bad)
 
 
+def _raw_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def test_crc_valid_malformed_raises_png_error_not_struct_error():
+    """CRC-valid but structurally wrong chunks must stay inside the
+    PngError poison-pill contract (a struct.error would escape
+    decode_pixels' per-blob isolation and fail the whole task)."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR body of 5 bytes with a correct CRC
+    with pytest.raises(PngError, match="IHDR length 5"):
+        png_decode(sig + _raw_chunk(b"IHDR", b"\x00" * 5))
+
+
+def test_decompression_bomb_is_bounded():
+    """IDAT inflating past the size IHDR implies must error, not allocate:
+    a few-KB payload claiming 2x2 but inflating to 10 MB is the classic
+    executor-OOM poison pill."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (sig + _raw_chunk(b"IHDR", ihdr)
+            + _raw_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + _raw_chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="inflates past"):
+        png_decode(bomb)
+
+
+def test_absurd_ihdr_dimensions_capped():
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    huge = (sig + _raw_chunk(b"IHDR", ihdr)
+            + _raw_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _raw_chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="pixel cap"):
+        png_decode(huge)
+
+
 def test_resize_nearest_mapping():
     w, h, ch = 8, 4, 3
     px = bytes(((y * w + x) * 3 + c) & 0xFF
