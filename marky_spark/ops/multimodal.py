@@ -58,15 +58,20 @@ DECODED_SCHEMA = StructType([
 
 
 def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec: PNG is fully implemented in pure stdlib+numpy
-    (ops/pngcodec — chunk walk, inflate, filter reconstruction, palette
-    expansion); other formats (JPEG/audio/video) have no in-sandbox codec
-    and raise NotImplementedError, which the operators surface as
+    """Real codec: PNG and uncompressed BMP are fully implemented in pure
+    stdlib+numpy (ops/pngcodec — chunk walk, inflate, filter
+    reconstruction, palette expansion; ops/bmpcodec — BGR(A) row grid);
+    other formats (JPEG/audio/video) have no in-sandbox codec and raise
+    NotImplementedError, which the operators surface as
     ``codec_unavailable`` rows."""
+    from .bmpcodec import bmp_decode, looks_like_bmp
     from .pngcodec import PNG_SIGNATURE, png_decode
 
     if payload.startswith(PNG_SIGNATURE):
         width, height, channels, _ = png_decode(payload)
+        return width, height, channels
+    if looks_like_bmp(payload):
+        width, height, channels, _ = bmp_decode(payload)
         return width, height, channels
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
@@ -81,13 +86,15 @@ def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
 
 
 def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Default decoder: real PNG decode when the payload IS a PNG
-    (signature sniff, not mime trust), digest-derived fake otherwise —
-    non-PNG formats keep the deterministic stand-in until their codecs
-    exist in this environment."""
+    """Default decoder: real decode when the payload IS a PNG or an
+    uncompressed BMP (signature/structure sniff, not mime trust — the BMP
+    sniff is strict enough that arbitrary text bytes can never take it),
+    digest-derived fake otherwise — other formats keep the deterministic
+    stand-in until their codecs exist in this environment."""
+    from .bmpcodec import looks_like_bmp
     from .pngcodec import PNG_SIGNATURE
 
-    if payload.startswith(PNG_SIGNATURE):
+    if payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
@@ -271,9 +278,12 @@ def decode_pixels(media: DataFrame) -> DataFrame:
     """Full real decode: PNG payload → dimensions + a content digest of the
     raw decoded samples (the image-content identity exact image dedup keys
     on — two differently-compressed PNGs of the same pixels collide here,
-    while byte-level md5 of the files would not). Arrow-batched; per-blob
-    failures isolate into the ``ok`` column."""
-    from .pngcodec import PngError, png_decode
+    while byte-level md5 of the files would not — and a BMP and a PNG of
+    the same pixels collide too, since the digest is over the decoded
+    samples). Arrow-batched; per-blob failures isolate into the ``ok``
+    column."""
+    from .bmpcodec import bmp_decode, looks_like_bmp
+    from .pngcodec import PNG_SIGNATURE, PngError, png_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -281,7 +291,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, c, px = png_decode(blob)
+                    if looks_like_bmp(blob) and not blob.startswith(
+                            PNG_SIGNATURE):
+                        w, h, c, px = bmp_decode(blob)
+                    else:
+                        w, h, c, px = png_decode(blob)
                     rows.append((ref, w, h, c, len(px),
                                  hashlib.md5(px).hexdigest(), "ok"))
                 except PngError as exc:
