@@ -276,12 +276,23 @@ def compact_output(spark: SparkSession, out_dir: str,
         try:
             os.rename(tmp, d)
         except OSError:
-            # a concurrent read_output's recovery restored `old` back to
-            # the live dir between our two renames — the live dir again
-            # holds the original rows, so drop the compacted scratch and
-            # leave this bucket for the next compaction pass
             shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(d):
+                # a concurrent read_output's recovery restored `old` back
+                # to the live dir between our two renames — the live dir
+                # again holds the original rows, so our saved copy is
+                # redundant; leave this bucket for the next pass
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                # rename failed for some OTHER reason while the live dir
+                # is absent: `old` is now the only copy of a committed
+                # bucket — restore it, never delete it
+                try:
+                    os.rename(old, d)
+                except OSError:
+                    pass  # a concurrent recovery won the restore race
+                if not os.path.isdir(d):
+                    raise  # committed data unreachable — fail loudly
             continue
         shutil.rmtree(old, ignore_errors=True)
         stats["buckets"] += 1

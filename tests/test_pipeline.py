@@ -197,3 +197,70 @@ def test_compact_crash_recovery_restores_bucket(spark, tmp_path):
     final = sorted(
         r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
     assert final == rows_before
+
+def test_compact_swap_failure_restores_not_deletes(spark, tmp_path, monkeypatch):
+    """If the tmp→live rename fails for any reason OTHER than the reader
+    race (live dir still absent), the saved .old dir is the only copy of a
+    committed bucket: compact_output must restore it, never rmtree it
+    (ADVICE r2: unconditional delete was permanent data loss)."""
+    import os
+
+    from marky_spark import pipeline
+    from marky_spark.pipeline import compact_output
+
+    out_dir = str(tmp_path / "swapfail")
+    run_convert_job(spark, spark_corpus(spark, 200, partitions=4),
+                    out_dir, n_buckets=4, waves=2)
+    rows_before = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.endswith(".tmp"):  # the tmp→live swap rename only
+            raise OSError("injected transient I/O failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(pipeline.os, "rename", failing_rename)
+    stats = compact_output(spark, out_dir, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+
+    assert stats["buckets"] == 0  # every swap failed...
+    rows_after = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+    assert rows_after == rows_before  # ...but every bucket was restored
+    # and the next (unbroken) pass compacts normally
+    assert compact_output(spark, out_dir, target_file_bytes=1 << 30)["buckets"] == 4
+    final = sorted(
+        r["doc_id"] for r in read_output(spark, out_dir).select("doc_id").collect())
+    assert final == rows_before
+
+
+def test_resume_after_compaction_crash_exactly_once(spark, tmp_path):
+    """Composed failure: job crashes between waves AND a compaction swap on a
+    committed bucket crashed mid-rename. Resuming run_convert_job and then
+    read_output must still yield exactly-once output."""
+    import os
+
+    out_dir = str(tmp_path / "composed")
+    corpus = spark_corpus(spark, N_DOCS, partitions=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_convert_job(spark, corpus, out_dir, n_buckets=8, waves=4,
+                        partitions=4, fail_after_wave=2)
+    committed = sorted(SnapshotStore(out_dir).committed_buckets())
+    assert committed and len(committed) < 8
+
+    # mid-compaction crash on a COMMITTED bucket: live dir moved to scratch
+    scratch = os.path.join(out_dir, "_compact")
+    os.makedirs(scratch, exist_ok=True)
+    base = os.path.join(out_dir, "out_spans")
+    b = committed[0]
+    os.rename(os.path.join(base, f"bucket={b}"),
+              os.path.join(scratch, f"bucket={b}.old"))
+
+    # resume the job (processes only pending buckets), then read
+    run_convert_job(spark, corpus, out_dir, n_buckets=8, waves=4, partitions=4)
+    final = read_output(spark, out_dir)
+    assert final.count() == N_DOCS
+    assert final.select("doc_id").distinct().count() == N_DOCS
+    assert os.path.isdir(os.path.join(base, f"bucket={b}"))
