@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 
 N_HASHES = 12
 BAND_SIZE = 2  # 6 bands × 2 rows
+# LSH band-bucket cap: buckets larger than this are dropped from candidate
+# generation (with a counted, logged drop metric — never silent). Rationale:
+# pair volume is quadratic in bucket size, so one degenerate bucket (template
+# boilerplate sharing bands across millions of distinct docs) would otherwise
+# concentrate O(n²) pair structs in a single task. 512 ids ⇒ ≤130,816 pairs
+# per bucket — bounded work per task at any corpus scale.
+MAX_BUCKET = 512
 
 
 def exact_dupes(df: DataFrame, col: str = "text") -> DataFrame:
@@ -89,7 +96,9 @@ def minhash_bands(df: DataFrame, col: str = "text",
     )
 
 
-def minhash_candidate_pairs(df: DataFrame, col: str = "text") -> DataFrame:
+def minhash_candidate_pairs(df: DataFrame, col: str = "text",
+                            max_bucket: int | None = MAX_BUCKET,
+                            drop_stats: dict | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
 
     One signature scan + ONE shuffle: band rows group by (band_idx,
@@ -100,10 +109,20 @@ def minhash_candidate_pairs(df: DataFrame, col: str = "text") -> DataFrame:
     twice; measured 2× slower for identical output.
 
     Pair volume within a bucket is quadratic in bucket size under EITHER
-    formulation — that is inherent to LSH banding. The pipeline contract
-    for web-scale corpora is exact-dedup FIRST (exact_dupes collapses the
-    identical-copy mass that creates degenerate buckets); after that,
-    bucket sizes are bounded by genuine near-dup cluster sizes.
+    formulation — that is inherent to LSH banding. Exact-dedup FIRST
+    (exact_dupes) collapses the identical-copy mass, but template
+    boilerplate (same bands, distinct text) can still create a mega
+    bucket, so buckets over ``max_bucket`` ids are DROPPED from candidate
+    generation — a recall cap, never silent: pass ``drop_stats={}`` to
+    receive ``{'n_dropped_buckets', 'n_dropped_ids'}`` (an extra action
+    over the localCheckpointed bucket set), and :func:`minhash_dupes`
+    logs a warning whenever the count is nonzero. ``max_bucket=None``
+    disables the cap (the bounded oracle path).
+
+    Residual O(bucket) memory note: ``collect_set`` still materializes a
+    dropped bucket's id array once before the size filter — linear, spills,
+    and is ~5 orders of magnitude smaller than the pair explosion the cap
+    prevents.
     """
     bands = minhash_bands(df, col)
     buckets = (
@@ -111,6 +130,16 @@ def minhash_candidate_pairs(df: DataFrame, col: str = "text") -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        if drop_stats is not None:
+            buckets = buckets.localCheckpoint()
+            row = (buckets.where(F.size("ids") > max_bucket)
+                   .agg(F.count(F.lit(1)).alias("nb"),
+                        F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("ni"))
+                   .collect()[0])
+            drop_stats["n_dropped_buckets"] = row["nb"]
+            drop_stats["n_dropped_ids"] = row["ni"]
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     pair_expr = (
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
@@ -157,9 +186,14 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
 
 
 def minhash_dupes(df: DataFrame, col: str = "text",
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float = 0.7,
+                  max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: bands → candidates → exact
     Jaccard verify → pairs ≥ threshold.
+
+    Buckets over ``max_bucket`` ids are excluded from candidate generation
+    (see :func:`minhash_candidate_pairs`); the drop count is computed and
+    logged here so a recall-affecting cap is never silent.
 
     The candidate set is localCheckpointed: the verify stage consumes it
     TWICE (semi-join ids + the pair join), and without materialization each
@@ -167,7 +201,18 @@ def minhash_dupes(df: DataFrame, col: str = "text",
     measured 2× the whole pipeline's cost on the sf0.1 corpus. Candidates
     are tiny relative to the corpus (that is the point of LSH), so
     materializing them is the cheap side of the trade at any scale."""
-    pairs = minhash_candidate_pairs(df, col).localCheckpoint()
+    import logging
+
+    stats: dict = {}
+    pairs = minhash_candidate_pairs(
+        df, col, max_bucket=max_bucket,
+        drop_stats=stats if max_bucket is not None else None,
+    ).localCheckpoint()
+    if stats.get("n_dropped_buckets"):
+        logging.getLogger(__name__).warning(
+            "minhash_dupes: dropped %d LSH buckets (> %d ids, %d id rows) "
+            "from candidate generation — recall is capped for those docs",
+            stats["n_dropped_buckets"], max_bucket, stats["n_dropped_ids"])
     verified = ngram_jaccard(df, pairs, col)
     return verified.where(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
 

@@ -3,10 +3,12 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` signatures. The codec layer is split:
 
-- **PNG is a real codec** (ops/pngcodec: pure stdlib+numpy — chunk walk,
-  CRC verify, inflate, filter reconstruction, palette expansion, nearest-
-  neighbor resize). PNG payloads (signature-sniffed) decode/resize for
-  real by default.
+- **PNG, uncompressed BMP and GIF are real codecs** (ops/pngcodec: chunk
+  walk, CRC verify, inflate, filter reconstruction, palette expansion;
+  ops/bmpcodec: BGR(A) row grid; ops/gifcodec: real LZW, color tables,
+  interlacing — all pure stdlib+numpy). Payloads of those formats
+  (signature/structure-sniffed) decode/resize for real by default, and
+  media_features computes content-derived statistics from their pixels.
 - Formats with no in-sandbox library (JPEG, audio, video) keep the
   deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
   ``decoder=``/``resizer=`` accept real codecs (e.g. PIL-based) in
@@ -15,7 +17,8 @@ batch shape, ``mapInPandas`` signatures. The codec layer is split:
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
 - ``decode_media``      — binary → (width, height, channels, ok) per blob
-- ``decode_pixels``     — PNG → dims + md5 of raw decoded samples
+- ``decode_pixels``     — PNG/BMP/GIF → dims + md5 of raw decoded samples
+- ``pixel_features``    — exact-integer pixel statistics (oracle-checkable)
 - ``resize_media``      — binary → target-dim payload + source dims
 - ``frame_sample``      — "video" payloads → N evenly-spaced frame rows
 - ``media_features``    — fixed-width float feature vector per blob
@@ -65,6 +68,7 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     NotImplementedError, which the operators surface as
     ``codec_unavailable`` rows."""
     from .bmpcodec import bmp_decode, looks_like_bmp
+    from .gifcodec import gif_decode, looks_like_gif
     from .pngcodec import PNG_SIGNATURE, png_decode
 
     if payload.startswith(PNG_SIGNATURE):
@@ -72,6 +76,9 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
         return width, height, channels
     if looks_like_bmp(payload):
         width, height, channels, _ = bmp_decode(payload)
+        return width, height, channels
+    if looks_like_gif(payload):
+        width, height, channels, _ = gif_decode(payload)
         return width, height, channels
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
@@ -92,9 +99,11 @@ def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     digest-derived fake otherwise — other formats keep the deterministic
     stand-in until their codecs exist in this environment."""
     from .bmpcodec import looks_like_bmp
+    from .gifcodec import looks_like_gif
     from .pngcodec import PNG_SIGNATURE
 
-    if payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload):
+    if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
+            or looks_like_gif(payload)):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
@@ -172,23 +181,47 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def _nearest(pixels: bytes, in_w: int, in_h: int, channels: int,
+             out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of raw interleaved samples."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(in_h, in_w, channels)
+    ys = np.arange(out_h) * in_h // out_h
+    xs = np.arange(out_w) * in_w // out_w
+    return arr[ys][:, xs].tobytes()
+
+
 def _real_resize(payload: bytes, mime: str,
                  width: int, height: int) -> bytes:
-    """Real resize: PNG decode → nearest-neighbor resample → PNG re-encode
-    (ops/pngcodec); other formats raise (see _real_decode)."""
+    """Real resize: decode → nearest-neighbor resample → re-encode in the
+    SOURCE format (PNG stays PNG, BMP stays BMP); other formats raise
+    (see _real_decode)."""
+    from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
+    from .gifcodec import gif_resize_nearest, looks_like_gif
     from .pngcodec import PNG_SIGNATURE, png_resize_nearest
 
     if payload.startswith(PNG_SIGNATURE):
         return png_resize_nearest(payload, width, height)
+    if looks_like_bmp(payload):
+        in_w, in_h, ch, px = bmp_decode(payload)
+        return bmp_encode(_nearest(px, in_w, in_h, ch, width, height),
+                          width, height, ch)
+    if looks_like_gif(payload):
+        return gif_resize_nearest(payload, width, height)
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
 
 def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
-    """Default resizer: real PNG resample for PNG payloads, deterministic
-    fake otherwise (see auto_decode)."""
+    """Default resizer: real resample for PNG and BMP payloads (same sniff
+    set as auto_decode, so decode_media and resize_media always agree on
+    which path a blob takes), deterministic fake otherwise."""
+    from .bmpcodec import looks_like_bmp
+    from .gifcodec import looks_like_gif
     from .pngcodec import PNG_SIGNATURE
 
-    if payload.startswith(PNG_SIGNATURE):
+    if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
+            or looks_like_gif(payload)):
         return _real_resize(payload, mime, width, height)
     return fake_resize(payload, mime, width, height)
 
@@ -208,20 +241,33 @@ Resizer = Callable[[bytes, str, int, int], bytes]
 
 def _auto_resize_once(blob: bytes, mime: str, width: int,
                       height: int) -> tuple[int, int, bytes]:
-    """Fused default path: one PNG decode feeds BOTH the source dims and
-    the resample (the split decoder/resizer pair would run the full
-    inflate+unfilter twice per blob)."""
+    """Fused default path: one decode feeds BOTH the source dims and the
+    resample (the split decoder/resizer pair would run the full decode
+    twice per blob). Routes the same format set as auto_decode — PNG and
+    BMP real, everything else the digest fake — so decode_media and
+    resize_media report consistent metadata for every blob."""
+    import numpy as np
+
+    from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
+    from .gifcodec import gif_decode_indexed, gif_encode, looks_like_gif
     from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
 
     if blob.startswith(PNG_SIGNATURE):
-        import numpy as np
-
-        in_w, in_h, channels, pixels = png_decode(blob)
-        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
-            in_h, in_w, channels)
+        in_w, in_h, ch, pixels = png_decode(blob)
+        out = png_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                         width, height, ch)
+        return in_w, in_h, out
+    if looks_like_bmp(blob):
+        in_w, in_h, ch, pixels = bmp_decode(blob)
+        out = bmp_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                         width, height, ch)
+        return in_w, in_h, out
+    if looks_like_gif(blob):
+        in_w, in_h, indices, table = gif_decode_indexed(blob)
+        idx = np.frombuffer(indices, dtype=np.uint8).reshape(in_h, in_w)
         ys = np.arange(height) * in_h // height
         xs = np.arange(width) * in_w // width
-        out = png_encode(arr[ys][:, xs].tobytes(), width, height, channels)
+        out = gif_encode(idx[ys][:, xs].tobytes(), width, height, table)
         return in_w, in_h, out
     in_w, in_h, _ = fake_decode(blob, mime)
     return in_w, in_h, fake_resize(blob, mime, width, height)
@@ -282,8 +328,7 @@ def decode_pixels(media: DataFrame) -> DataFrame:
     the same pixels collide too, since the digest is over the decoded
     samples). Arrow-batched; per-blob failures isolate into the ``ok``
     column."""
-    from .bmpcodec import bmp_decode, looks_like_bmp
-    from .pngcodec import PNG_SIGNATURE, PngError, png_decode
+    from .pngcodec import PngError, png_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -291,11 +336,13 @@ def decode_pixels(media: DataFrame) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 try:
-                    if looks_like_bmp(blob) and not blob.startswith(
-                            PNG_SIGNATURE):
-                        w, h, c, px = bmp_decode(blob)
-                    else:
-                        w, h, c, px = png_decode(blob)
+                    decoded = _try_decode_pixels(blob)
+                    if decoded is None:
+                        # not PNG/BMP/GIF: run the PNG decoder anyway for
+                        # its diagnostic PngError message (parity with the
+                        # pre-GIF behavior of this operator)
+                        decoded = png_decode(blob)
+                    w, h, c, px = decoded
                     rows.append((ref, w, h, c, len(px),
                                  hashlib.md5(px).hexdigest(), "ok"))
                 except PngError as exc:
@@ -323,17 +370,56 @@ FEATURES_SCHEMA = StructType([
 ])
 
 
+def _try_decode_pixels(blob: bytes):
+    """→ (width, height, channels, samples) for formats with a real
+    in-sandbox codec (PNG / uncompressed BMP / GIF), else None."""
+    from .bmpcodec import bmp_decode, looks_like_bmp
+    from .gifcodec import gif_decode, looks_like_gif
+    from .pngcodec import PNG_SIGNATURE, png_decode
+
+    if blob.startswith(PNG_SIGNATURE):
+        return png_decode(blob)
+    if looks_like_bmp(blob):
+        return bmp_decode(blob)
+    if looks_like_gif(blob):
+        return gif_decode(blob)
+    return None
+
+
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Fixed-width feature vector per blob (deterministic digest-based fake;
-    production swaps in a real embedding model via the same batch shape)."""
+    """Fixed-width feature vector per blob.
+
+    For formats the repo can actually decode (PNG / uncompressed BMP / GIF)
+    the vector is computed from the DECODED PIXELS: [w/1024, h/1024, ch/4,
+    global mean/255, 4 per-channel means/255 (zero-padded), 8 brightness-
+    histogram fractions] — a real, content-derived signal (two encodings of
+    the same pixels embed identically). Formats with no in-sandbox codec
+    keep the deterministic digest-based stand-in (production swaps in a
+    real embedding model via the same batch shape)."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(blob).digest()
-                vec = [(digest[i % 32] - 128) / 128.0 for i in range(dim)]
+                try:
+                    decoded = _try_decode_pixels(blob)
+                except Exception:  # noqa: BLE001 — poison isolation
+                    decoded = None
+                if decoded is not None:
+                    w, h, ch, px = decoded
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    means = [float(arr[c::ch].mean()) / 255.0
+                             for c in range(ch)]
+                    hist = np.bincount(arr >> 5, minlength=8) / arr.size
+                    vec = ([w / 1024.0, h / 1024.0, ch / 4.0,
+                            float(arr.mean()) / 255.0]
+                           + (means + [0.0] * 4)[:4] + hist.tolist())
+                    vec = (vec + [0.0] * dim)[:dim]
+                else:
+                    digest = hashlib.sha256(blob).digest()
+                    vec = [(digest[i % 32] - 128) / 128.0 for i in range(dim)]
                 rows.append((ref, vec))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
@@ -341,6 +427,64 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     return media.select("media_ref", "payload").mapInPandas(
         batches, schema=FEATURES_SCHEMA
+    )
+
+
+PIXEL_FEATURES_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sum_c0", LongType()),
+    StructField("sum_c1", LongType()),
+    StructField("sum_c2", LongType()),
+    StructField("sum_c3", LongType()),
+    StructField("hist_0", LongType()),
+    StructField("hist_1", LongType()),
+    StructField("hist_2", LongType()),
+    StructField("hist_3", LongType()),
+    StructField("ok", StringType()),
+])
+
+
+def pixel_features(media: DataFrame) -> DataFrame:
+    """Exact-integer pixel statistics per decodable blob: per-channel sample
+    sums (null for absent channels) and a 4-bucket brightness histogram
+    (sample >> 6). Everything is integer arithmetic over the REAL decoded
+    samples, so an independent engine that can reconstruct the expected
+    pixels (the driver oracle does, from doc_id arithmetic for the synthetic
+    corpus) can verify the whole decode path bit-exactly. Non-decodable or
+    malformed payloads isolate into the ``ok`` column."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    decoded = _try_decode_pixels(blob)
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    rows.append((ref,) + (None,) * 11
+                                + (f"error: {exc}",))
+                    continue
+                if decoded is None:
+                    rows.append((ref,) + (None,) * 11
+                                + ("codec_unavailable",))
+                    continue
+                w, h, ch, px = decoded
+                arr = np.frombuffer(px, dtype=np.uint8)
+                sums = [int(arr[c::ch].sum()) if c < ch else None
+                        for c in range(4)]
+                hist = np.bincount(arr >> 6, minlength=4)
+                rows.append((ref, w, h, ch, *sums,
+                             *(int(x) for x in hist), "ok"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, schema=PIXEL_FEATURES_SCHEMA
     )
 
 

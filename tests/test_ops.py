@@ -135,6 +135,39 @@ def test_minhash_lsh_finds_near_dupes(spark):
     assert all(p == (1, 2) for p in pairs)  # no false positives
 
 
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """Template-boilerplate corpus: N docs share every LSH band (identical
+    text except a unique trailing token that never wins a min-hash), which
+    exact-dedup does NOT remove. Uncapped, one bucket would expand to
+    N*(N-1)/2 pairs; the cap drops the mega bucket, counts the drop in
+    drop_stats, and minhash_dupes still completes."""
+    from marky_spark.ops.dedup import minhash_candidate_pairs, minhash_dupes
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    n = 80
+    rows = [(i, f"{base} uniq{i:04d}") for i in range(n)]
+    rows += [(n, "totally unrelated words here"),
+             (n + 1, "totally unrelated words here junk")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped baseline: the template cluster is all-pairs
+    uncapped = minhash_candidate_pairs(df, max_bucket=None).count()
+    assert uncapped >= n * (n - 1) // 2
+
+    stats: dict = {}
+    capped = minhash_candidate_pairs(df, max_bucket=16, drop_stats=stats)
+    n_capped = capped.count()
+    assert stats["n_dropped_buckets"] >= 1
+    assert stats["n_dropped_ids"] >= n
+    assert n_capped < uncapped  # mega-bucket pairs gone...
+    # ...but small genuine buckets survive the cap
+    small = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_dupes(df.where(F.col("doc_id") >= n),
+                           threshold=0.5, max_bucket=16).collect()}
+    assert (n, n + 1) in small
+
+
 def test_simhash_dupes(spark):
     from marky_spark.ops.dedup import simhash_dupes
 
