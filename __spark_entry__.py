@@ -107,12 +107,17 @@ def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: whitespace token count + char count per doc."""
+    """Text analysis: whitespace token count + char count + normalized-text
+    md5 fingerprint per doc, one narrow projection (fingerprint merged here
+    round 3 to keep the registry at the driver's 50-row cap)."""
+    from marky_spark.ops.textstats import fingerprint_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("text_chars"),
+        fingerprint_col("text").alias("fingerprint"),
     )
 
 
@@ -149,14 +154,6 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return rolling_hashes(docs.where(F.pmod("doc_id", F.lit(20)) == 0))
-
-
-def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII/URL redaction: email/URL/long-digit-run placeholders, one
-    JVM-side narrow projection (regexp_replace chain)."""
-    from marky_spark.ops.textstats import redact
-
-    return redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,29 +283,24 @@ def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation (ops/curate.py): convert → inline quality/lang
-    scoring → filter → exact-dup window → stratified sample, one shuffle."""
+    scoring → filter → exact-dup window → stratified sample, one shuffle
+    per branch. BOTH language models run (stopword vote and the character
+    trigram profile a production 100 TB run prefers), tagged and unioned —
+    merged from the former curate/curate_ngram pair to keep the registry
+    at the driver's 50-row cap; each branch keeps its full SQL oracle."""
     from marky_spark.entry_helpers import docs_to_spans, load_documents
     from marky_spark.ops.curate import curate
 
     spans = docs_to_spans(load_documents(spark, sf_dir))
-    out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
-                 min_quality_bp=_CURATE_MIN_BP)
-    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      "pred_lang", "quality_score_bp", "markdown")
 
+    def run(model: str) -> DataFrame:
+        out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
+                     min_quality_bp=_CURATE_MIN_BP, lang_model=model)
+        return out.select(F.lit(model).alias("lang_model"),
+                          F.col("doc_id").cast("long").alias("doc_id"),
+                          "pred_lang", "quality_score_bp", "markdown")
 
-def _q_curate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation with the character-trigram language model (the composition
-    a production 100 TB run prefers — ops/curate.py lang_model='ngram');
-    same single-shuffle plan, pred_lang swapped to the trigram expression."""
-    from marky_spark.entry_helpers import docs_to_spans, load_documents
-    from marky_spark.ops.curate import curate
-
-    spans = docs_to_spans(load_documents(spark, sf_dir))
-    out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
-                 min_quality_bp=_CURATE_MIN_BP, lang_model="ngram")
-    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      "pred_lang", "quality_score_bp", "markdown")
+    return run("stopword").unionByName(run("ngram"))
 
 
 _CURATE_RATES = {"en": 0.75, "und": 0.5}
@@ -340,31 +332,31 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality features (shallow-text-feature scoring), basis points."""
-    from marky_spark.ops.textstats import quality_scores
+    """Text quality features (shallow-text-feature scoring, basis points)
+    plus PII/URL redaction (email/URL/long-digit-run placeholders) in one
+    narrow JVM-side projection (redact merged here round 3 to keep the
+    registry at the driver's 50-row cap)."""
+    from marky_spark.ops.textstats import quality_feature_cols, redact_cols
 
-    return quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_feature_cols("text")
+    redacted, n_redactions = redact_cols("text")
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        redacted.alias("redacted"),
+        n_redactions.alias("n_redactions"),
+    )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID with per-language hit counts."""
-    from marky_spark.ops.textstats import lang_id
+    """Both language-ID models in one narrow projection: stopword vote
+    (pred_lang + hits_*) and character-trigram profile (pred_lang_tri +
+    tri_*) — the former lang_id/lang_id_ngram pair, merged round 3 to keep
+    the registry at the driver's 50-row cap."""
+    from marky_spark.ops.textstats import lang_id_full
 
-    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-
-
-def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language ID (n-gram heuristic variant)."""
-    from marky_spark.ops.textstats import lang_id_ngram
-
-    return lang_id_ngram(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-
-
-def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-text md5 fingerprint."""
-    from marky_spark.ops.textstats import fingerprint
-
-    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return lang_id_full(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +559,69 @@ def _q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_media(synth_png_media(docs), width=8, height=8)
     return decode_pixels(resized.select("media_ref", "payload")).select(
         "media_ref", "width", "height", "channels", "pixel_md5",
+    )
+
+
+def _q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec end-to-end (ops/gifcodec): encode deterministic
+    palette indices with real LZW → LZW-decode + palette-expand → dims +
+    raw-sample digest. The oracle reconstructs the expected RGB sample
+    stream from doc_id arithmetic WITHOUT a GIF library (256-gray palette:
+    each index hex char repeats 3× in the decoded stream), so compressor
+    and decompressor must both be spec-correct for the md5s to line up."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_gif_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_pixels(synth_gif_media(docs)).select(
+        "media_ref", "width", "height", "channels", "n_pixel_bytes",
+        "pixel_md5", "ok",
+    )
+
+
+def _q_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer statistics over REAL decoded pixels (per-channel
+    sample sums + 4-bucket brightness histogram): the content-derived
+    feature path of media_features, pinned bit-exactly — the oracle
+    recomputes the sums from the reconstructed samples in pure SQL."""
+    from marky_spark.ops.multimodal import pixel_features, synth_png_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sum_c3 is all-NULL for 3-channel media; an all-NULL BIGINT column
+    # round-trips as float NaN through the oracle's pandas bridge, so it is
+    # projected out here (the operator itself still emits it)
+    return pixel_features(synth_png_media(docs)).drop("sum_c3")
+
+
+def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction→multimodal bridge (ops/multimodal.py
+    extract_embedded_media): conversion-output image spans carrying base64
+    data URIs (docx.go:196-198 / pptx.go:342-343 parity) → recovered binary
+    payloads, fully JVM-side (explode + regexp_extract + unbase64). The
+    span payloads here are the documents' own text bytes, so DuckDB can pin
+    the recovered payload digests independently."""
+    from marky_spark.ops.multimodal import extract_embedded_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docs.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("image").alias("kind"),
+            # Spark's base64() emits RFC-2045 MIME chunking (a CRLF every
+            # 76 chars); data URIs are unchunked, so strip the line breaks
+            F.concat(F.lit("![embedded](data:image/png;base64,"),
+                     F.translate(F.base64(F.encode("text", "UTF-8")),
+                                 "\r\n", ""),
+                     F.lit(")")).alias("text"),
+            F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+            .alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("out_spans"),
+    )
+    media = extract_embedded_media(spans)
+    return media.select(
+        "doc_id", "media_ref", "mime",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("n_bytes"),
     )
 
 
@@ -788,6 +843,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the round-2 driver recorded 50 CORRECTNESS rows
+    # for 51 registered queries (the last one, ship_window, got no row), so
+    # the registry is consolidated to the observed 50-row cap. Merged round
+    # 3 (each half keeps its full oracle inside the merged query):
+    #   lang_id       ← lang_id + lang_id_ngram   (one narrow projection)
+    #   token_stats   ← token_stats + fingerprint (one narrow projection)
+    #   quality_scores← quality_scores + redact   (one narrow projection)
+    #   curate        ← curate + curate_ngram     (tagged unionByName)
+    # New round 3: gif_decode (real LZW codec), pixel_features (exact-int
+    # stats over real decoded pixels), embedded_media (extraction→
+    # multimodal bridge).
     return {
         "convert_csv": _q_convert_csv,
         "convert_html": _q_convert_html,
@@ -797,18 +863,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": _q_resume_anti_join,
         "token_stats": _q_token_stats,
         "curate": _q_curate,
-        "curate_ngram": _q_curate_ngram,
         "dedup_exact": _q_dedup_exact,
         "dup_components": _q_dup_components,
         "sample_stratified": _q_sample_stratified,
         "events_metrics": _q_events_metrics,
         "events_window": _q_events_window,
+        "ship_window": _q_ship_window,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
-        "lang_id_ngram": _q_lang_id_ngram,
-        "fingerprint": _q_fingerprint,
         "rolling_fp": _q_rolling_fp,
-        "redact": _q_redact,
         "winnow": _q_winnow,
         "simhash": _q_simhash,
         "minhash_signature": _q_minhash_signature,
@@ -823,6 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "png_decode": _q_png_decode,
         "png_resize": _q_png_resize,
+        "gif_decode": _q_gif_decode,
+        "pixel_features": _q_pixel_features,
+        "embedded_media": _q_embedded_media,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "media_features": _q_media_features,
@@ -839,7 +905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_pdf": _q_convert_binary("pdf"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
-        "ship_window": _q_ship_window,
     }
 
 
@@ -909,7 +974,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
-                   length(text) AS text_chars
+                   length(text) AS text_chars,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
             FROM documents
         """,
         "dedup_exact": """
@@ -917,8 +984,11 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM documents GROUP BY md5(text)
         """,
-        "curate": _curate_oracle(),
-        "curate_ngram": _curate_oracle("ngram"),
+        "curate": f"""
+            SELECT 'stopword' AS lang_model, * FROM ({_curate_oracle()})
+            UNION ALL
+            SELECT 'ngram' AS lang_model, * FROM ({_curate_oracle("ngram")})
+        """,
         "dup_components": """
             WITH RECURSIVE
             pairs AS (
@@ -951,23 +1021,6 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT doc_id, unnest(hs) AS gram_hash FROM g
         """,
-        "redact": """
-            -- n_redactions = matches each pattern actually replaced (counted
-            -- on the text that pattern ran against), mirroring ops/textstats
-            WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
-            s1 AS (SELECT doc_id, t0,
-                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-                   FROM s0),
-            s2 AS (SELECT doc_id, t0, t1,
-                          regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
-                   FROM s1)
-            SELECT doc_id,
-                   regexp_replace(t2, '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted,
-                   (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                    + len(regexp_extract_all(t1, 'https?://[^\\s]+'))
-                    + len(regexp_extract_all(t2, '\\b\\d{7,}\\b')))::BIGINT AS n_redactions
-            FROM s2
-        """,
         "sample_stratified": _SAMPLE_ORACLE,
         "events_metrics": """
             SELECT event_type, count(*) AS n_events,
@@ -983,15 +1036,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": """
             WITH t AS (
-                SELECT doc_id,
+                SELECT doc_id, text,
                        length(text)::DOUBLE AS n_chars,
                        len(string_split(text,' '))::DOUBLE AS n_words,
                        len(list_filter(string_split(text,' '),
                            w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::DOUBLE AS stop,
                        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha
-                FROM documents)
-            SELECT doc_id,
+                FROM documents),
+            -- redaction chain: n_redactions = matches each pattern actually
+            -- replaced (counted on the text that pattern ran against)
+            r1 AS (SELECT doc_id, text AS t0,
+                          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM documents),
+            r2 AS (SELECT doc_id, t0, t1,
+                          regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+                   FROM r1),
+            red AS (SELECT doc_id,
+                           regexp_replace(t2, '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted,
+                           (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                            + len(regexp_extract_all(t1, 'https?://[^\\s]+'))
+                            + len(regexp_extract_all(t2, '\\b\\d{7,}\\b')))::BIGINT AS n_redactions
+                    FROM r2)
+            SELECT t.doc_id,
                    CAST(floor((n_chars - (n_words - 1)) / n_words * 10000) AS BIGINT) AS mean_word_len_bp,
                    CAST(floor(stop / n_words * 10000) AS BIGINT) AS stopword_ratio_bp,
                    CAST(floor(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 10000) AS BIGINT) AS punct_ratio_bp,
@@ -999,38 +1066,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(least(1.0, greatest(0.0,
                         stop / n_words * 2.0
                         + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
-                        - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 5.0)) * 10000) AS BIGINT) AS quality_score_bp
-            FROM t
+                        - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 5.0)) * 10000) AS BIGINT) AS quality_score_bp,
+                   red.redacted, red.n_redactions
+            FROM t JOIN red ON t.doc_id = red.doc_id
         """,
         "lang_id": """
             WITH h AS (
                 SELECT doc_id,
                        len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','in','is','it','that'], w)))::BIGINT AS hits_en,
                        len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','que','y','en','los','se'], w)))::BIGINT AS hits_es,
-                       len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS hits_de
+                       len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ist','von','mit','den'], w)))::BIGINT AS hits_de,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' th', 'the', 'he ', 'ing', 'ng ', 'and', 'nd ', ' an', ' of', 'of ', 'ion', 'ed ', 'er ', ' in', 'ent', 'is ', ' is'], t)))::BIGINT AS tri_en,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' de', 'de ', 'os ', ' la', 'la ', 'es ', 'ar ', ' es', 'que', ' qu', 'el ', ' el', 'ado', ' co', 'ien', 'nte', 'cio'], t)))::BIGINT AS tri_es,
+                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains(['der', ' de', 'ein', 'ich', 'sch', 'die', 'und', 'ung', 'en ', 'ch ', 'gen', ' ge', 'ber', 'ten', 'ie ', 'ne ', ' di'], t)))::BIGINT AS tri_de
                 FROM documents)
             SELECT doc_id,
                    CASE WHEN greatest(hits_en, hits_es, hits_de) <= 0 THEN 'und'
                         WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
                         WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
                         ELSE 'de' END AS pred_lang,
-                   hits_en, hits_es, hits_de
+                   hits_en, hits_es, hits_de,
+                   CASE WHEN greatest(tri_en, tri_es, tri_de) <= 0 THEN 'und'
+                        WHEN tri_en = greatest(tri_en, tri_es, tri_de) THEN 'en'
+                        WHEN tri_es = greatest(tri_en, tri_es, tri_de) THEN 'es'
+                        ELSE 'de' END AS pred_lang_tri,
+                   tri_en, tri_es, tri_de
             FROM h
-        """,
-        "lang_id_ngram": """
-            WITH h AS (
-                SELECT doc_id,
-                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' th', 'the', 'he ', 'ing', 'ng ', 'and', 'nd ', ' an', ' of', 'of ', 'ion', 'ed ', 'er ', ' in', 'ent', 'is ', ' is'], t)))::BIGINT AS tri_en,
-                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains([' de', 'de ', 'os ', ' la', 'la ', 'es ', 'ar ', ' es', 'que', ' qu', 'el ', ' el', 'ado', ' co', 'ien', 'nte', 'cio'], t)))::BIGINT AS tri_es,
-                       len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), i -> substr(lower(text), i::INT, 3)), t -> list_contains(['der', ' de', 'ein', 'ich', 'sch', 'die', 'und', 'ung', 'en ', 'ch ', 'gen', ' ge', 'ber', 'ten', 'ie ', 'ne ', ' di'], t)))::BIGINT AS tri_de
-                FROM documents)
-            SELECT doc_id, CASE WHEN greatest(tri_en, tri_es, tri_de) <= 0 THEN 'und' WHEN tri_en = greatest(tri_en, tri_es, tri_de) THEN 'en' WHEN tri_es = greatest(tri_en, tri_es, tri_de) THEN 'es' WHEN tri_de = greatest(tri_en, tri_es, tri_de) THEN 'de' END AS pred_lang, tri_en, tri_es, tri_de
-            FROM h
-        """,
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-            FROM documents
         """,
         "winnow": """
             WITH g AS (
@@ -1205,6 +1266,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS channels,
                    md5(rpx) AS pixel_md5
             FROM r
+        """,
+        "gif_decode": """
+            -- independent reconstruction of the LZW-decoded samples: the
+            -- palette indices are md5(doc_id) hex repeated (ASCII), the
+            -- palette is 256-gray, so the decoded RGB stream is each hex
+            -- char tripled — no GIF library needed on the oracle side
+            WITH m AS (
+                SELECT doc_id,
+                       4 + doc_id % 11 AS w,
+                       4 + doc_id % 5 AS h
+                FROM documents),
+            p AS (
+                SELECT doc_id, w, h,
+                       substr(repeat(md5(doc_id::VARCHAR), ((w*h) // 32 + 1)::INT),
+                              1, (w*h)::INT) AS idx
+                FROM m),
+            r AS (
+                SELECT doc_id, w, h,
+                       array_to_string(list_transform(range(1, (w*h)::INT + 1),
+                           j -> repeat(substr(idx, j::INT, 1), 3)), '') AS rgb
+                FROM p)
+            SELECT 'g' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(w*h*3 AS BIGINT) AS n_pixel_bytes,
+                   md5(rgb) AS pixel_md5,
+                   'ok' AS ok
+            FROM r
+        """,
+        "pixel_features": """
+            -- exact-integer stats over the reconstructed decoded samples:
+            -- sums of the ASCII codes per channel position, histogram of
+            -- code >> 6 buckets
+            WITH m AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       4 + doc_id % 7 AS h
+                FROM documents),
+            p AS (
+                SELECT doc_id, w, h,
+                       list_transform(range(1, (w*h*3)::INT + 1),
+                           j -> unicode(substr(
+                               substr(repeat(md5(doc_id::VARCHAR),
+                                             ((w*h*3) // 32 + 1)::INT),
+                                      1, (w*h*3)::INT),
+                               j::INT, 1))::BIGINT) AS codes
+                FROM m)
+            SELECT 'p' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(list_sum(list_transform(range(0, len(codes) // 3),
+                        k -> codes[(3*k + 1)::INT])) AS BIGINT) AS sum_c0,
+                   CAST(list_sum(list_transform(range(0, len(codes) // 3),
+                        k -> codes[(3*k + 2)::INT])) AS BIGINT) AS sum_c1,
+                   CAST(list_sum(list_transform(range(0, len(codes) // 3),
+                        k -> codes[(3*k + 3)::INT])) AS BIGINT) AS sum_c2,
+                   CAST(len(list_filter(codes, c -> c // 64 = 0)) AS BIGINT) AS hist_0,
+                   CAST(len(list_filter(codes, c -> c // 64 = 1)) AS BIGINT) AS hist_1,
+                   CAST(len(list_filter(codes, c -> c // 64 = 2)) AS BIGINT) AS hist_2,
+                   CAST(len(list_filter(codes, c -> c // 64 = 3)) AS BIGINT) AS hist_3,
+                   'ok' AS ok
+            FROM p
+        """,
+        "embedded_media": """
+            -- the bridge recovers exactly the bytes the data URI carried:
+            -- payload md5 == md5 of the document's own UTF-8 text bytes
+            SELECT doc_id,
+                   'm' || doc_id AS media_ref,
+                   'image/png' AS mime,
+                   md5(text) AS payload_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "media_resize": """
             -- fake resize: payload = md5 hex repeated to exactly 32*32

@@ -87,10 +87,22 @@ def main() -> None:
     # substrate / training-data queries (same callables the driver verifies)
     q = entry_mod.queries()
     for name in ("dedup_exact", "token_stats", "events_window",
-                 "resume_anti_join", "convert_metrics", "curate",
+                 "resume_anti_join", "convert_metrics",
                  "minhash_dupes", "knn_join_ivf", "sessionize"):
         if name in q:
             timed(name, lambda name=name: q[name](spark, sf_dir).count())
+
+    # "curate" stays the single-model (stopword) pipeline for cross-round
+    # comparability — the driver query of the same name now unions BOTH
+    # language models (round-3 registry consolidation) and would double
+    # this wall for reasons unrelated to the operator's speed
+    from marky_spark.entry_helpers import docs_to_spans, load_documents
+    from marky_spark.ops.curate import curate as curate_op
+
+    timed("curate", lambda: curate_op(
+        docs_to_spans(load_documents(spark, sf_dir)),
+        rates=entry_mod._CURATE_RATES, default_rate=0.25,
+        min_quality_bp=entry_mod._CURATE_MIN_BP).count())
 
     # adversarial byte skew: every 50th doc is 100x the median (~2% of docs
     # hold ~2/3 of all bytes) — exercises pipeline.skew_balanced's p99 split

@@ -475,53 +475,157 @@ MEGA_DOC_EVERY = 5000   # skew tail: one mega-doc per 5k docs
 MEGA_FACTOR = 400       # ~400× the median body size
 
 
-_N_VARIANTS = 8
+_N_VARIANTS = 32
+
+# deterministic 2x2 RGB PNG used as embedded-image media in docx/pptx
+# variants (built lazily — pngcodec imports numpy)
+_CJK_CELLS = ("漢字テキスト", "中文表格", "カタカナ", "全角１２３")
+
+
+@_functools.lru_cache(maxsize=1)
+def _tiny_png() -> bytes:
+    from .ops.pngcodec import png_encode
+
+    return png_encode(bytes(range(12)), 2, 2, 3)
 
 
 @_functools.lru_cache(maxsize=None)
 def _binary_variant(kind: str, variant: int) -> str:
     """Cached deterministic base64 payload for a binary-format template.
 
-    A handful of variants per kind keeps generation fast at bench scale while
-    every document still pays the full parse cost in the kernel."""
+    The 32 variants per kind sweep the feature space the reference's own
+    tests pin, so the frozen goldens (frozen_golden.py) regression-gate far
+    more than a happy-path template: DOCX multi-level list numbering with
+    per-numId restarts + CJK width-padded tables + hyperlinks/textboxes/
+    images/indents (docx.go:358-447, 504-557, 263-285, 606-618); XLSX
+    cached formulas, ignored extra sheets, header-only sheets
+    (excel.go:53-64); PPTX groups + escaped tables + pics-with-alt + notes
+    (pptx.go:326-422); EPUB multi-chapter spines with '../' hrefs + full
+    metadata + missing spine refs (epub.go:134-162, 210-255); PDF TJ arrays,
+    uncompressed streams, shuffled Tm ops re-sorted by reading order
+    (pdf.go:31-50 semantics)."""
     from . import fixtures as fx
 
     rng = random.Random(0xBEEF ^ (variant * 7919))
     if kind == "docx":
-        body = fx.docx_paragraph(f"Doc variant {variant}", style="Heading1")
-        for p in range(6):
-            body += fx.docx_paragraph(_sentence(rng, 12), bold=(p % 3 == 0))
-        body += fx.docx_table_xml(
-            [[_sentence(rng, 1), str(rng.randint(0, 99))] for _ in range(4)]
-        )
-        return fx.b64(fx.docx_zip(body))
+        body = fx.docx_paragraph(f"Doc variant {variant}",
+                                 style=f"Heading{1 + variant % 3}")
+        for p in range(4):
+            body += fx.docx_paragraph(
+                _sentence(rng, 12),
+                bold=(p % 3 == 0), italic=(variant % 5 == 0 and p % 2 == 0),
+                strike=(variant % 7 == 0 and p == 1))
+        # two lists over the same abstract numbering: numId 2 restarts the
+        # per-(numId, indent) counters; depth pattern walks ilvl 0/1/2
+        depth = (0, 1, 1, 0, 2) if variant % 2 else (0, 0, 1, 2, 0)
+        for n, lvl in enumerate(depth):
+            body += fx.docx_list_paragraph(f"item {n} {_sentence(rng, 2)}",
+                                           num_id=1, ilvl=lvl)
+        for n in range(2 + variant % 3):
+            body += fx.docx_list_paragraph(f"restart {n}", num_id=2, ilvl=0)
+        if variant % 3 == 0:
+            cells = [[_CJK_CELLS[variant % 4], str(rng.randint(0, 99))],
+                     [_sentence(rng, 1), _CJK_CELLS[(variant + 1) % 4]]]
+        elif variant % 4 == 1:
+            cells = [["a|b", "pipe|cell"], [_sentence(rng, 1), "x|y"]]
+        else:
+            cells = [[_sentence(rng, 1), str(rng.randint(0, 99))]
+                     for _ in range(4)]
+        body += fx.docx_table_xml(cells)
+        body += fx.docx_hyperlink(f"link v{variant}", "rId10")
+        body += fx.docx_indent_paragraph(_sentence(rng, 6),
+                                         left=360 * (1 + variant % 3))
+        if variant % 6 == 4:
+            body += fx.docx_paragraph(f"code_v{variant}()", style="Code")
+        if variant % 3 == 2:
+            body += fx.docx_textbox(_sentence(rng, 5))
+        rels = {"rId10": f"https://example.com/v{variant}"}
+        media = None
+        if variant % 4 == 3:
+            body += fx.docx_image("rId2")
+            rels["rId2"] = "media/image1.png"
+            media = {"media/image1.png": _tiny_png()}
+        return fx.b64(fx.docx_zip(
+            body, rels=rels, media=media,
+            numbering_xml=fx.docx_numbering(
+                fmts=("decimal", "bullet", "aiueoFullWidth")
+                if variant % 2 else ("bullet", "decimal", "decimal"))))
     if kind == "xlsx":
-        rows = [["name", "value", "note"]] + [
-            [_sentence(rng, 1), str(rng.randint(0, 999)), _sentence(rng, 3)]
-            for _ in range(8)
-        ]
-        return fx.b64(fx.xlsx_zip(rows))
+        if variant % 8 == 7:
+            rows = [["only", "a", "header"]]
+        else:
+            cell = (lambda: _CJK_CELLS[rng.randint(0, 3)]) \
+                if variant % 3 == 0 else (lambda: _sentence(rng, 1))
+            rows = [["name", "value", "note"]] + [
+                [cell(), str(rng.randint(0, 999)),
+                 "p|pe" if variant % 4 == 1 else _sentence(rng, 3)]
+                for _ in range(3 + variant % 6)
+            ]
+        extra = ([("Ignored", [["should", "never", "render"]])]
+                 if variant % 3 == 2 else None)
+        formula = (("D1", str(100 + variant)) if variant % 2 == 1 else None)
+        return fx.b64(fx.xlsx_zip(rows, extra_sheets=extra,
+                                  with_formula=formula))
     if kind == "pptx":
-        slides = [
-            fx.pptx_shape(f"Slide {n} v{variant}")
-            + fx.pptx_shape(_sentence(rng, 10))
-            for n in range(1, 4)
-        ]
-        return fx.b64(fx.pptx_zip(slides, notes={1: _sentence(rng, 6)}))
+        media = None
+        slides = []
+        for n in range(1, 2 + variant % 3):
+            tree = fx.pptx_shape(f"Slide {n} v{variant}")
+            tree += fx.pptx_shape(_sentence(rng, 10))
+            if variant % 2 == 0:
+                tree += fx.pptx_table(
+                    [["a & b", "<tag>"], [_sentence(rng, 1), "c>d"]])
+            if variant % 3 == 0:
+                tree += fx.pptx_group(
+                    fx.pptx_shape(f"grouped {n}"),
+                    fx.pptx_pic("grp.png", descr="in  group", embed="rId9"))
+                media = {"ppt/media/img1.png": _tiny_png()}
+            if variant % 4 == 1:
+                tree += fx.pptx_pic(
+                    "pic.png", descr=f"  multi   space v{variant} ",
+                    embed="rId9")
+                media = {"ppt/media/img1.png": _tiny_png()}
+            slides.append(tree)
+        notes = {}
+        if variant % 2 == 1:
+            notes[1] = _sentence(rng, 6)
+        if variant % 5 == 0 and len(slides) > 1:
+            notes[2] = f"note two v{variant}"
+        return fx.b64(fx.pptx_zip(slides, notes=notes or None, media=media))
     if kind == "epub":
-        chapters = [
-            (f"ch{n}.xhtml",
-             f"<h1>Chapter {n}</h1><p>{_sentence(rng, 30)}</p>")
-            for n in range(1, 4)
-        ]
-        return fx.b64(fx.epub_zip(chapters, title=f"Book v{variant}",
-                                  creators=["Gen"], language="en"))
+        chapters = []
+        for n in range(1, 3 + variant % 4):
+            href = (f"text/../ch{n}.xhtml" if variant % 2 == 1
+                    else f"ch{n}.xhtml")
+            body = (f"<h1>Chapter {n}</h1><p>{_sentence(rng, 20)} "
+                    f"<em>{rng.choice(_WORDS)}</em> "
+                    f'<a href="https://x.v/{n}">ref</a></p>')
+            if n % 2 == 0:
+                body += ("<ul>" + "".join(
+                    f"<li>{_sentence(rng, 2)}</li>" for _ in range(3))
+                    + "</ul>")
+            chapters.append((href, body))
+        meta = (dict(title=f"Book v{variant}", creators=["Gen", "Co-Author"],
+                     language="en", publisher="Synth Press",
+                     date="2024-01-02", description=_sentence(rng, 8),
+                     identifier=f"urn:synth:{variant}")
+                if variant % 2 == 0
+                else dict(title=f"Book v{variant}", creators=["Gen"],
+                          language="en"))
+        return fx.b64(fx.epub_zip(chapters,
+                                  missing_spine_ref=(variant % 8 == 6),
+                                  **meta))
     if kind == "pdf":
-        pages = [
-            [(72, 720 - 14 * line, _sentence(rng, 8)) for line in range(10)]
-            for _ in range(2)
-        ]
-        return fx.b64(fx.pdf_bytes(pages))
+        pages = []
+        for _ in range(1 + variant % 3):
+            ops = [(72 + 6 * (line % 4), 720 - 14 * line, _sentence(rng, 8))
+                   for line in range(6 + variant % 6)]
+            if variant % 3 == 2:
+                rng.shuffle(ops)  # reading-order reassembly must re-sort
+            pages.append(ops)
+        return fx.b64(fx.pdf_bytes(pages,
+                                   compress=(variant % 8 != 5),
+                                   use_tj_array=(variant % 2 == 1)))
     raise ValueError(kind)
 
 
@@ -531,6 +635,31 @@ def _pick_kind(i: int) -> str:
         if h < cum:
             return kind
     return "text"
+
+
+_ORDINAL_TABLE_N = 65536
+
+
+@_functools.lru_cache(maxsize=1)
+def _kind_ordinals(n: int = _ORDINAL_TABLE_N) -> list[int]:
+    """ordinal[i] = how many docs j < i share doc i's kind. Computed once
+    per process (one cheap pass over the deterministic kind sequence) so
+    binary-format variants can sweep ALL _N_VARIANTS payloads per kind —
+    ``i % _N_VARIANTS`` only hits the residues the kind-hash happens to
+    select (e.g. 24/32 for the 60 pdf docs of the 2000-doc golden slice)."""
+    counts: dict[str, int] = {}
+    ords: list[int] = []
+    for i in range(n):
+        k = _pick_kind(i)
+        ords.append(counts.get(k, 0))
+        counts[k] = counts.get(k, 0) + 1
+    return ords
+
+
+def _kind_variant(i: int) -> int:
+    if i < _ORDINAL_TABLE_N:
+        return _kind_ordinals()[i] % _N_VARIANTS
+    return i % _N_VARIANTS  # beyond the table: residue mix is fine at scale
 
 
 def _sentence(rng: random.Random, n: int) -> str:
@@ -578,7 +707,7 @@ def make_synth_doc(i: int, mega_every: int = MEGA_DOC_EVERY,
                           "media_ref": f"media://doc{i}/img{seg}", "offset": off})
             off += 1
     elif kind in ("docx", "xlsx", "pptx", "epub", "pdf"):
-        payload = _binary_variant(kind, i % _N_VARIANTS)
+        payload = _binary_variant(kind, _kind_variant(i))
         spans = [{"kind": kind, "text": payload, "media_ref": "", "offset": 0}]
     else:  # text
         spans = [{"kind": "text", "text": _sentence(rng, 40 * scale),

@@ -91,6 +91,40 @@ NUMBERING_XML = (
 )
 
 
+def docx_numbering(num_ids: tuple[int, ...] = (1, 2),
+                   fmts: tuple[str, ...] = ("decimal", "bullet",
+                                            "aiueoFullWidth")) -> str:
+    """numbering.xml with one abstract definition (one level per entry of
+    ``fmts``) shared by every ``num_ids`` entry — two nums over the same
+    abstract numbering is exactly the shape that exercises the kernel's
+    per-(numId, indent) counter restarts (docx.go:438-447)."""
+    lvls = "".join(
+        f'<w:lvl w:ilvl="{i}"><w:start w:val="1"/>'
+        f'<w:numFmt w:val="{f}"/>'
+        f'<w:pPr><w:ind w:left="{360 * (i + 1)}"/></w:pPr></w:lvl>'
+        for i, f in enumerate(fmts)
+    )
+    nums = "".join(
+        f'<w:num w:numId="{n}"><w:abstractNumId w:val="0"/></w:num>'
+        for n in num_ids
+    )
+    return (
+        '<?xml version="1.0"?>'
+        f"<w:numbering {_W}>"
+        f'<w:abstractNum w:abstractNumId="0">{lvls}</w:abstractNum>'
+        f"{nums}</w:numbering>"
+    )
+
+
+def docx_indent_paragraph(text: str, left: int) -> str:
+    """Paragraph with a w:ind left-indent (docx.go:321-327 two-space-per-360
+    contract)."""
+    return (
+        f'<w:p><w:pPr><w:ind w:left="{left}"/></w:pPr>'
+        f"<w:r><w:t>{_x(text)}</w:t></w:r></w:p>"
+    )
+
+
 def docx_list_paragraph(text: str, num_id: int = 1, ilvl: int = 0) -> str:
     return (
         "<w:p><w:pPr><w:numPr>"

@@ -545,6 +545,38 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-GIF media table derived from doc ids (the test /
+    bench corpus for the GIF codec path, ops/gifcodec). Dimensions are
+    doc_id arithmetic (w = 4 + id%11, h = 4 + id%5), the palette is 256-gray
+    (pal[i] = (i,i,i)), and the indices are the doc_id's md5 hex repeated
+    (ASCII) — so the decoded RGB sample stream is each hex character
+    repeated three times, a plain ASCII string an independent SQL engine
+    reconstructs WITHOUT a GIF library. The encoder's real LZW output must
+    survive a genuine LZW decode back to those samples for the driver
+    oracle to match."""
+    from .gifcodec import gif_encode
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 11
+                h = 4 + i % 5
+                n = w * h
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                idx = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
+                rows.append((f"g{i}", "image/gif",
+                             gif_encode(idx, w, h, palette)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def attach_media(docs_out: DataFrame, media: DataFrame,
                  broadcast: bool = False) -> DataFrame:
     """Join conversion output's image spans to the media side-table.

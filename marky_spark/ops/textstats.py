@@ -123,11 +123,17 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     return out
 
 
+def fingerprint_col(col: str) -> Column:
+    """md5 of the whitespace-normalized, lowercased text as a reusable
+    expression (content-defined identity for exact-ish dedup and lineage)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    return F.md5(normalized)
+
+
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (content-defined identity for exact-ish dedup and lineage)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
-    return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    return df.select("doc_id", fingerprint_col(col).alias("fingerprint"))
 
 
 def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
@@ -294,6 +300,36 @@ def lang_id_ngram(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def lang_id_full(df: DataFrame, col: str = "text") -> DataFrame:
+    """Both language-ID models in ONE narrow projection: the stopword vote
+    (``pred_lang`` + ``hits_*``) and the character-trigram profile
+    (``pred_lang_tri`` + ``tri_*``). One text scan, no join — the shape a
+    production pipeline wants when it records both signals per document.
+    Scores are hoisted into materialized columns before the argmax
+    expressions reference them (see _trigram_hits)."""
+    langs = list(LANG_STOPWORDS)
+    sw = {lang: _stopword_hits(col, words)
+          for lang, words in LANG_STOPWORDS.items()}
+    tri = _trigram_hits("__tri")
+    staged = (
+        df.withColumn("__lc", F.lower(F.col(col)))
+        .withColumn("__tri", F.expr(_trigram_grams_expr("__lc")))
+        .select(
+            "doc_id",
+            *[sw[lang].alias(f"hits_{lang}") for lang in langs],
+            *[tri[lang].alias(f"tri_{lang}") for lang in langs],
+        )
+    )
+    return staged.select(
+        "doc_id",
+        _pred_from_scores({lang: F.col(f"hits_{lang}") for lang in langs})
+        .alias("pred_lang"),
+        *[f"hits_{lang}" for lang in langs],
+        _pred_from_scores({lang: F.col(f"tri_{lang}") for lang in langs})
+        .alias("pred_lang_tri"),
+        *[f"tri_{lang}" for lang in langs],
+    )
+
 
 # Karp-Rabin rolling-hash parameters: base/modulus sized so every
 # intermediate fits signed 64-bit in BOTH engines (term < 2^31 * 2^31 is
@@ -358,6 +394,21 @@ REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def redact_cols(col: str) -> tuple[Column, Column]:
+    """(redacted, n_redactions) as reusable expressions — see :func:`redact`
+    for the counting and ordering contract."""
+    out = F.col(col)
+    counts = []
+    for pat, token in REDACT_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).cast("long"))
+        out = F.regexp_replace(out, pat, token)
+    n_redacted = counts[0]
+    for c in counts[1:]:
+        n_redacted = n_redacted + c
+    return out, n_redacted
+
+
 def redact(df: DataFrame, col: str = "text") -> DataFrame:
     """PII/noise redaction for training text: emails, URLs, and long digit
     runs become placeholder tokens. A chain of JVM-side regexp_replace
@@ -372,17 +423,9 @@ def redact(df: DataFrame, col: str = "text") -> DataFrame:
     a URL with userinfo ('https://user@host.com/x') has its authority
     rewritten to '<EMAIL>' and the remainder then matches the URL pattern.
     """
-    out = F.col(col)
-    counts = []
-    for pat, token in REDACT_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).cast("long"))
-        out = F.regexp_replace(out, pat, token)
-    n_redacted = counts[0]
-    for c in counts[1:]:
-        n_redacted = n_redacted + c
+    redacted, n_redacted = redact_cols(col)
     return df.select(
         "doc_id",
-        out.alias("redacted"),
+        redacted.alias("redacted"),
         n_redacted.alias("n_redactions"),
     )

@@ -248,3 +248,26 @@ def test_skew_balanced_does_not_shuffle_the_bulk(spark, tmp_path):
     # repartition of the tail; the bulk branch contributes none
     assert plan.count("Exchange") == 1, plan
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_gif_pipeline_is_fully_narrow(spark):
+    """GIF generate → decode, like the PNG twin, is Arrow maps over the
+    scan — zero Exchange."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_gif_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(decode_pixels(synth_gif_media(docs)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+
+
+def test_embedded_media_bridge_is_jvm_narrow(spark):
+    """extract_embedded_media (explode + regexp + unbase64) must stay
+    entirely JVM-side and shuffle-free: no Exchange, no Python stage —
+    recovering a billion embedded images is a map, not a shuffle."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["embedded_media"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Generate" in plan  # the explode
