@@ -215,3 +215,49 @@ def test_media_features_fake_path_unchanged_for_non_images(spark):
     digest = hashlib.sha256(blob).digest()
     want = [(digest[i % 32] - 128) / 128.0 for i in range(16)]
     assert got == pytest.approx(want)
+
+
+# Real-world pins: every GIF embedded in the reference's own test.epub
+# (24 Alice-in-Wonderland illustrations — real encoder output with local
+# color tables, long LZW streams, varied dimensions). Hash-locked decoded
+# pixels; any decoder regression flips these red.
+_REAL_GIF_PINS = [
+    ("images/alice01a.gif", 440, 633, "58bb7c42dedb2b7dd7e009c709b09003"),
+    ("images/alice02a.gif", 320, 480, "1c79b9b621470a1c84f8fa1150751acb"),
+    ("images/alice03a.gif", 644, 610, "221b20c291ffb9dd93ad0c2d23a2fc96"),
+    ("images/alice04a.gif", 301, 448, "b61d628bbdbc971e55f1284a71f0f09f"),
+    ("images/alice05a.gif", 202, 480, "70eea43d7c535bb0dbb46becdee72036"),
+    ("images/alice06a.gif", 392, 480, "3ca7f40194fd131737519313024d6ec2"),
+    ("images/alice07a.gif", 640, 503, "d6061e69308fc2bfb377620287577963"),
+    ("images/alice08a.gif", 640, 419, "aee1fcbe3b1c5bd497894c4c75fa7253"),
+    ("images/alice09a.gif", 427, 480, "e74d8a6fc7f082b174dbf64e3140d022"),
+    ("images/alice10a.gif", 640, 487, "aef3eeb44af6c1ef6f97c1c549355a8b"),
+    ("images/alice11a.gif", 640, 448, "ceac74165a2391a0ecd88d614200a545"),
+    ("images/alice12a.gif", 334, 480, "9dff14aadb10d408217de07a9de27971"),
+    ("images/alice13a.gif", 174, 480, "f0aa6b5150887b45d83d4023f5c5a9ba"),
+    ("images/alice14a.gif", 407, 480, "7e3d61e8cffa33360532bc2ba1abc0e9"),
+    ("images/alice15a.gif", 363, 480, "d35302a49bc009ce925dd057e911adf4"),
+    ("images/alice16a.gif", 640, 477, "c84a42ee3e91f2ef0accd7997405756c"),
+    ("images/alice17a.gif", 640, 480, "6b68d343aa3fb9a8b9df07af5c22e78b"),
+    ("images/alice18a.gif", 640, 482, "cb4a6f0b92bad8eb6c511cbb6b2cd457"),
+    ("images/alice19a.gif", 640, 483, "9ba641d0f28c58ee8174a4b9df67b029"),
+    ("images/alice20a.gif", 398, 480, "f4f56f2178bb95497a82845ad98e8952"),
+    ("images/alice21a.gif", 640, 530, "1dc9a3d708f4502773d00227e83931ef"),
+    ("images/alice22a.gif", 329, 482, "4cab3230e0ccb17824291a886085a9c0"),
+    ("images/alice23a.gif", 342, 480, "78d022dae5029d2e568aff365124ab62"),
+    ("images/alice24a.gif", 640, 435, "da31b3ac447be7e68c5c90660f642a58"),
+]
+
+_EPUB_PATH = "/root/reference/test_files/test.epub"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_EPUB_PATH),
+                    reason="reference fixture not present")
+def test_real_world_gifs_decode_pinned():
+    import zipfile
+
+    z = zipfile.ZipFile(_EPUB_PATH)
+    for name, w, h, md5 in _REAL_GIF_PINS:
+        gw, gh, gc, px = gif_decode(z.read(name))
+        assert (gw, gh, gc) == (w, h, 3), name
+        assert hashlib.md5(px).hexdigest() == md5, name
