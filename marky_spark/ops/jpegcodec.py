@@ -1,0 +1,583 @@
+"""Pure numpy baseline JPEG decoder/encoder — the fourth real image codec
+behind ops/multimodal (after PNG, BMP, GIF).
+
+Baseline sequential DCT (SOF0), 8-bit samples, 1- or 3-component scans,
+arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 / grayscale),
+restart markers, JFIF YCbCr color. Decoding is honestly structural: marker
+walk, quantization/Huffman table management, entropy-decoded MCU stream
+(bit reader over the byte-unstuffed scan), dequantize → de-zigzag → 2-D
+IDCT (numpy matrix form) → plane assembly → chroma upsample → color
+convert. Progressive (SOF2), arithmetic coding, 12-bit precision and
+hierarchical modes raise :class:`JpegError` (surfaced by the multimodal
+operators as per-blob error rows, never task failures).
+
+The encoder (test-fixture inverse) emits baseline 4:4:4 with the standard
+Annex-K quantization (libjpeg-style quality scaling) and Huffman tables —
+real entropy coding, so decoder round-trips exercise the full bit path.
+
+Hostile-input hardening mirrors the other codecs: pixel-count cap before
+any allocation, every malformed structure → JpegError.
+
+Reference parity note: marky itself never decodes embedded images (it
+base64s bytes verbatim, docx.go:196-198 / pptx.go:342-343); this codec
+serves the training-data side (decode_pixels / media_features /
+pixel_features) where JPEG is what office documents actually embed
+(e.g. ppt/media/image1.jpeg in the reference's own test.pptx).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .pngcodec import MAX_PIXELS
+
+JPEG_SOI = b"\xff\xd8"
+
+
+class JpegError(ValueError):
+    """Malformed or unsupported JPEG payload."""
+
+
+def looks_like_jpeg(data: bytes) -> bool:
+    return len(data) > 3 and data[:2] == JPEG_SOI and data[2] == 0xFF
+
+
+# zigzag order: index i of the scan → (row, col) in the 8x8 block
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m  # coef = M @ spatial @ M.T ; spatial = M.T @ coef @ M
+
+
+class _BitReader:
+    """MSB-first bit reader over the byte-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JpegError("entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """(length, code) → symbol, canonical JPEG assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise JpegError("Huffman table symbol underrun")
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map magnitude bits to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """JPEG bytes → (width, height, channels, raw interleaved 8-bit
+    samples, rows top-down) — the same contract as ``png_decode``.
+    channels is 3 (YCbCr→RGB) or 1 (grayscale)."""
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != JPEG_SOI:
+        raise JpegError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (w, h, comps) — comps: [(cid, hs, vs, tq)]
+    scan = None
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise JpegError("truncated segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(body):
+                    raise JpegError("truncated DQT")
+                if pq:
+                    vals = np.frombuffer(body[i:i + n], dtype=">u2")
+                else:
+                    vals = np.frombuffer(body[i:i + n], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.float64)
+                q[_ZIGZAG] = vals
+                qtables[tq] = q.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1:i + 17]
+                n = sum(counts)
+                symbols = body[i + 17:i + 17 + n]
+                if len(symbols) != n:
+                    raise JpegError("truncated DHT")
+                t = _build_huffman(counts, symbols)
+                (ac_tables if tc else dc_tables)[th] = t
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise JpegError(f"unsupported precision {prec}")
+            if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                raise JpegError(f"bad dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise JpegError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise JpegError(f"unsupported sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"unsupported JPEG mode (SOF{marker - 0xC0}) — baseline only")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            scan = (sel, pos + 2 + seg_len)
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+
+    if frame is None or scan is None:
+        raise JpegError("missing SOF/SOS")
+    w, h, comps = frame
+    sel, entropy_start = scan
+
+    # byte-unstuff the entropy segment, recording restart-marker positions
+    raw = data[entropy_start:]
+    out = bytearray()
+    rst_points = []  # unstuffed offsets where a restart marker sat
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            if i + 1 >= len(raw):
+                break
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_points.append(len(out))
+                i += 2
+                continue
+            break  # EOI or next marker
+        out.append(b)
+        i += 1
+    reader = _BitReader(bytes(out))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    M = _dct_matrix()
+    planes = []
+    for cid, hs, vs, tq in comps:
+        pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    preds = [0] * len(comps)
+    rst_iter = iter(rst_points)
+    next_rst = next(rst_iter, None)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # align to the recorded restart boundary
+                reader.align()
+                if next_rst is not None:
+                    if reader.pos > next_rst:
+                        raise JpegError("restart marker overrun")
+                    reader.pos = next_rst
+                    next_rst = next(rst_iter, None)
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if cid not in sel:
+                    raise JpegError(f"component {cid} missing from scan")
+                td, ta = sel[cid]
+                if td not in dc_tables or ta not in ac_tables:
+                    raise JpegError("scan references undefined Huffman table")
+                if tq not in qtables:
+                    raise JpegError("undefined quantization table")
+                q = qtables[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = _huff_decode(reader, dc_tables[td])
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tables[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            coef[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = M.T @ (coef.reshape(8, 8) * q) @ M + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            n_mcu += 1
+
+    # upsample subsampled planes to full resolution and crop
+    full = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:h, :w])
+
+    if len(comps) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline 4:4:4, standard Annex-K tables)
+# ---------------------------------------------------------------------------
+
+_STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_STD_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# Annex K.3 standard Huffman specifications: (counts, symbols)
+_STD_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+_STD_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _encode_huffman_codes(counts: bytes, symbols: bytes) -> dict:
+    """symbol → (code, length) — inverse of _build_huffman."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+
+
+def _quality_scale(q: list, quality: int):
+    import numpy as np
+
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.maximum(1, np.minimum(255, (np.array(q) * s + 50) // 100))
+    return t.astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode(pixels: bytes, width: int, height: int,
+                channels: int = 3, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """Raw interleaved RGB (or single-channel gray) samples, rows top-down
+    → baseline 4:4:4 JFIF JPEG — the test-fixture inverse of
+    :func:`jpeg_decode` (lossy: round-trips are close, not exact).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (exercises the decoder's restart resynchronization)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise JpegError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise JpegError(
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"want {width * height * channels}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    else:
+        comps = [arr[..., 0]]
+
+    ql = _quality_scale(_STD_LUMA_Q, quality)
+    qc = _quality_scale(_STD_CHROMA_Q, quality)
+    qmat = []
+    for qz in ([ql, qc] if channels == 3 else [ql]):
+        m = np.zeros(64, dtype=np.float64)
+        m[_ZIGZAG] = qz
+        qmat.append(m.reshape(8, 8))
+
+    M = _dct_matrix()
+    bw = 8 * (-(-width // 8))
+    bh = 8 * (-(-height // 8))
+
+    dc_enc = [_encode_huffman_codes(*_STD_DC_LUMA),
+              _encode_huffman_codes(*_STD_DC_CHROMA)]
+    ac_enc = [_encode_huffman_codes(*_STD_AC_LUMA),
+              _encode_huffman_codes(*_STD_AC_CHROMA)]
+
+    writer = _BitWriter()
+    preds = [0] * channels
+    n_mcu = 0
+    rst_idx = 0
+    # pad planes by edge replication to full blocks
+    padded = []
+    for p in comps:
+        pp = np.empty((bh, bw), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1:width]
+        padded.append(pp - 128.0)
+
+    inv_zz = np.array(_ZIGZAG)
+    for my in range(bh // 8):
+        for mx in range(bw // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                preds = [0] * channels
+            n_mcu += 1
+            for ci in range(channels):
+                ti = 0 if ci == 0 else 1
+                block = padded[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                coef = M @ block @ M.T
+                qz = np.round(coef / qmat[ti]).astype(np.int64)
+                zz = qz.reshape(-1)[inv_zz]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                t = _category(diff)
+                code, ln = dc_enc[ti][t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(diff if diff >= 0 else
+                                 diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[ti][0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_enc[ti][(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_enc[ti][0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zl = bytes(int(ql[z]) for z in range(64))
+    out += seg(0xDB, b"\x00" + zl)
+    if channels == 3:
+        zc = bytes(int(qc[z]) for z in range(64))
+        out += seg(0xDB, b"\x01" + zc)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + _STD_DC_LUMA[0] + _STD_DC_LUMA[1])
+    out += seg(0xC4, b"\x10" + _STD_AC_LUMA[0] + _STD_AC_LUMA[1])
+    if channels == 3:
+        out += seg(0xC4, b"\x01" + _STD_DC_CHROMA[0] + _STD_DC_CHROMA[1])
+        out += seg(0xC4, b"\x11" + _STD_AC_CHROMA[0] + _STD_AC_CHROMA[1])
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

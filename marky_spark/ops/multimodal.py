@@ -3,13 +3,15 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` signatures. The codec layer is split:
 
-- **PNG, uncompressed BMP and GIF are real codecs** (ops/pngcodec: chunk
+- **PNG, uncompressed BMP, GIF and baseline JPEG are real codecs** (ops/pngcodec: chunk
   walk, CRC verify, inflate, filter reconstruction, palette expansion;
   ops/bmpcodec: BGR(A) row grid; ops/gifcodec: real LZW, color tables,
-  interlacing — all pure stdlib+numpy). Payloads of those formats
+  interlacing; ops/jpegcodec: baseline DCT, Huffman, 4:2:0 — all pure
+  stdlib+numpy). Payloads of those formats
   (signature/structure-sniffed) decode/resize for real by default, and
   media_features computes content-derived statistics from their pixels.
-- Formats with no in-sandbox library (JPEG, audio, video) keep the
+- Formats with no in-sandbox library (audio, video, progressive JPEG)
+  keep the
   deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
   ``decoder=``/``resizer=`` accept real codecs (e.g. PIL-based) in
   production through the same batch shape.
@@ -17,7 +19,7 @@ batch shape, ``mapInPandas`` signatures. The codec layer is split:
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
 - ``decode_media``      — binary → (width, height, channels, ok) per blob
-- ``decode_pixels``     — PNG/BMP/GIF → dims + md5 of raw decoded samples
+- ``decode_pixels``     — PNG/BMP/GIF/JPEG → dims + md5 of decoded samples
 - ``pixel_features``    — exact-integer pixel statistics (oracle-checkable)
 - ``resize_media``      — binary → target-dim payload + source dims
 - ``frame_sample``      — "video" payloads → N evenly-spaced frame rows
@@ -61,14 +63,14 @@ DECODED_SCHEMA = StructType([
 
 
 def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec: PNG and uncompressed BMP are fully implemented in pure
-    stdlib+numpy (ops/pngcodec — chunk walk, inflate, filter
-    reconstruction, palette expansion; ops/bmpcodec — BGR(A) row grid);
-    other formats (JPEG/audio/video) have no in-sandbox codec and raise
-    NotImplementedError, which the operators surface as
-    ``codec_unavailable`` rows."""
+    """Real codec: PNG, uncompressed BMP, GIF and baseline JPEG are fully
+    implemented in pure stdlib+numpy (ops/pngcodec, ops/bmpcodec,
+    ops/gifcodec, ops/jpegcodec); other formats (audio/video/progressive
+    JPEG) have no in-sandbox codec and raise NotImplementedError, which
+    the operators surface as ``codec_unavailable`` rows."""
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
+    from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
 
     if payload.startswith(PNG_SIGNATURE):
@@ -79,6 +81,9 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
         return width, height, channels
     if looks_like_gif(payload):
         width, height, channels, _ = gif_decode(payload)
+        return width, height, channels
+    if looks_like_jpeg(payload):
+        width, height, channels, _ = jpeg_decode(payload)
         return width, height, channels
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
@@ -93,17 +98,18 @@ def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
 
 
 def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Default decoder: real decode when the payload IS a PNG or an
-    uncompressed BMP (signature/structure sniff, not mime trust — the BMP
-    sniff is strict enough that arbitrary text bytes can never take it),
-    digest-derived fake otherwise — other formats keep the deterministic
-    stand-in until their codecs exist in this environment."""
+    """Default decoder: real decode when the payload IS a PNG, uncompressed
+    BMP, GIF or baseline JPEG (signature/structure sniff, not mime trust —
+    the sniffs are strict enough that arbitrary text bytes can never take
+    a real path), digest-derived fake otherwise — other formats keep the
+    deterministic stand-in until their codecs exist in this environment."""
     from .bmpcodec import looks_like_bmp
     from .gifcodec import looks_like_gif
+    from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
-            or looks_like_gif(payload)):
+            or looks_like_gif(payload) or looks_like_jpeg(payload)):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
@@ -199,6 +205,7 @@ def _real_resize(payload: bytes, mime: str,
     (see _real_decode)."""
     from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
     from .gifcodec import gif_resize_nearest, looks_like_gif
+    from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_resize_nearest
 
     if payload.startswith(PNG_SIGNATURE):
@@ -209,6 +216,10 @@ def _real_resize(payload: bytes, mime: str,
                           width, height, ch)
     if looks_like_gif(payload):
         return gif_resize_nearest(payload, width, height)
+    if looks_like_jpeg(payload):
+        in_w, in_h, ch, px = jpeg_decode(payload)
+        return jpeg_encode(_nearest(px, in_w, in_h, ch, width, height),
+                           width, height, ch)
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
 
@@ -218,10 +229,11 @@ def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
     which path a blob takes), deterministic fake otherwise."""
     from .bmpcodec import looks_like_bmp
     from .gifcodec import looks_like_gif
+    from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
-            or looks_like_gif(payload)):
+            or looks_like_gif(payload) or looks_like_jpeg(payload)):
         return _real_resize(payload, mime, width, height)
     return fake_resize(payload, mime, width, height)
 
@@ -250,6 +262,7 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
 
     from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
     from .gifcodec import gif_decode_indexed, gif_encode, looks_like_gif
+    from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
 
     if blob.startswith(PNG_SIGNATURE):
@@ -268,6 +281,11 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
         ys = np.arange(height) * in_h // height
         xs = np.arange(width) * in_w // width
         out = gif_encode(idx[ys][:, xs].tobytes(), width, height, table)
+        return in_w, in_h, out
+    if looks_like_jpeg(blob):
+        in_w, in_h, ch, pixels = jpeg_decode(blob)
+        out = jpeg_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                          width, height, ch)
         return in_w, in_h, out
     in_w, in_h, _ = fake_decode(blob, mime)
     return in_w, in_h, fake_resize(blob, mime, width, height)
@@ -372,9 +390,11 @@ FEATURES_SCHEMA = StructType([
 
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
-    in-sandbox codec (PNG / uncompressed BMP / GIF), else None."""
+    in-sandbox codec (PNG / uncompressed BMP / GIF / baseline JPEG),
+    else None."""
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
+    from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
 
     if blob.startswith(PNG_SIGNATURE):
@@ -383,6 +403,8 @@ def _try_decode_pixels(blob: bytes):
         return bmp_decode(blob)
     if looks_like_gif(blob):
         return gif_decode(blob)
+    if looks_like_jpeg(blob):
+        return jpeg_decode(blob)
     return None
 
 
