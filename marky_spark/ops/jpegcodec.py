@@ -61,7 +61,12 @@ def _dct_matrix():
 
 
 class _BitReader:
-    """MSB-first bit reader over the byte-unstuffed entropy segment."""
+    """MSB-first bit reader over the byte-unstuffed entropy segment.
+
+    Buffers whole bytes in an int accumulator; ``peek16`` exposes the next
+    16 bits (zero-padded at stream end) for LUT-based Huffman decoding, and
+    ``consume`` advances — raising only when consumption would pass the
+    true end of data (identical semantics to a bit-at-a-time reader)."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -71,29 +76,50 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise JpegError("entropy data exhausted")
-            self.acc = self.data[self.pos]
+    def peek16(self) -> int:
+        while self.nbits < 16 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise JpegError("entropy data exhausted")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if n > self.nbits:
+            raise JpegError("entropy data exhausted")
+        self.nbits -= n
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align(self) -> None:
+        """Drop the remainder of the partially-read byte and return wholly
+        buffered unread bytes to the stream (pos → next unread byte)."""
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+        self.pos -= self.nbits // 8
+        self.acc = 0
         self.nbits = 0
 
 
-def _build_huffman(counts: bytes, symbols: bytes) -> dict:
-    """(length, code) → symbol, canonical JPEG assignment."""
+def _build_huffman(counts: bytes, symbols: bytes) -> tuple[dict, list]:
+    """Canonical JPEG assignment → ((length, code) → symbol, plus a
+    256-entry fast LUT for codes of ≤8 bits keyed by the next byte)."""
     table: dict[tuple[int, int], int] = {}
+    fast8: list = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
@@ -101,18 +127,27 @@ def _build_huffman(counts: bytes, symbols: bytes) -> dict:
             if k >= len(symbols):
                 raise JpegError("Huffman table symbol underrun")
             table[(length, code)] = symbols[k]
+            if length <= 8:
+                lo = code << (8 - length)
+                for p in range(lo, lo + (1 << (8 - length))):
+                    fast8[p] = (symbols[k], length)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return table, fast8
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+def _huff_decode(reader: _BitReader, huff: tuple[dict, list]) -> int:
+    table, fast8 = huff
+    v16 = reader.peek16()
+    hit = fast8[v16 >> 8]
+    if hit is not None:
+        reader.consume(hit[1])
+        return hit[0]
+    for length in range(9, 17):
+        sym = table.get((length, v16 >> (16 - length)))
         if sym is not None:
+            reader.consume(length)
             return sym
     raise JpegError("invalid Huffman code")
 
@@ -251,66 +286,71 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     mcus_y = -(-h // mcu_h)
 
     M = _dct_matrix()
-    planes = []
+    # entropy-decode every block's coefficients first (serial bit stream),
+    # then dequantize + IDCT all blocks per component in ONE stacked numpy
+    # matmul — identical float64 math to per-block, ~3× less Python time
+    n_mcus = mcus_x * mcus_y
+    coefs = []
     for cid, hs, vs, tq in comps:
-        pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if cid not in sel:
+            raise JpegError(f"component {cid} missing from scan")
+        td, ta = sel[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise JpegError("scan references undefined Huffman table")
+        if tq not in qtables:
+            raise JpegError("undefined quantization table")
+        coefs.append(np.zeros((n_mcus * hs * vs, 64), dtype=np.float64))
 
     preds = [0] * len(comps)
     rst_iter = iter(rst_points)
     next_rst = next(rst_iter, None)
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                # align to the recorded restart boundary
-                reader.align()
-                if next_rst is not None:
-                    if reader.pos > next_rst:
-                        raise JpegError("restart marker overrun")
-                    reader.pos = next_rst
-                    next_rst = next(rst_iter, None)
-                preds = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                if cid not in sel:
-                    raise JpegError(f"component {cid} missing from scan")
-                td, ta = sel[cid]
-                if td not in dc_tables or ta not in ac_tables:
-                    raise JpegError("scan references undefined Huffman table")
-                if tq not in qtables:
-                    raise JpegError("undefined quantization table")
-                q = qtables[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.float64)
-                        t = _huff_decode(reader, dc_tables[td])
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tables[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            coef[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = M.T @ (coef.reshape(8, 8) * q) @ M + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-            n_mcu += 1
+    bi = [0] * len(comps)  # per-component block counter, decode order
+    zz = _ZIGZAG
+    for n_mcu in range(n_mcus):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            # align to the recorded restart boundary
+            reader.align()
+            if next_rst is not None:
+                if reader.pos > next_rst:
+                    raise JpegError("restart marker overrun")
+                reader.pos = next_rst
+                next_rst = next(rst_iter, None)
+            preds = [0] * len(comps)
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            td, ta = sel[cid]
+            dc_t, ac_t = dc_tables[td], ac_tables[ta]
+            carr = coefs[ci]
+            for _ in range(hs * vs):
+                row = carr[bi[ci]]
+                bi[ci] += 1
+                t = _huff_decode(reader, dc_t)
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                preds[ci] += diff
+                row[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    row[zz[k]] = _extend(reader.read_bits(s), s)
+                    k += 1
 
-    # upsample subsampled planes to full resolution and crop
+    # batched dequantize + IDCT + scatter (pure reshape/transpose: blocks
+    # arrive as (my, mx, by, bx) → plane rows (my, by, 8) × cols (mx, bx, 8))
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
+        blocks = coefs[ci].reshape(-1, 8, 8) * qtables[tq]
+        spatial = M.T @ blocks @ M + 128.0
+        p = (spatial.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(mcus_y * vs * 8, mcus_x * hs * 8))
         if hs < hmax:
             p = np.repeat(p, hmax // hs, axis=1)
         if vs < vmax:
