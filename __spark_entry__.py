@@ -288,14 +288,21 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram profile a production 100 TB run prefers), tagged and unioned —
     merged from the former curate/curate_ngram pair to keep the registry
     at the driver's 50-row cap; each branch keeps its full SQL oracle."""
+    from marky_spark.convert import convert
     from marky_spark.entry_helpers import docs_to_spans, load_documents
     from marky_spark.ops.curate import curate
 
     spans = docs_to_spans(load_documents(spark, sf_dir))
+    # convert ONCE and materialize: the two model branches would otherwise
+    # each re-run the conversion kernel (Spark does not share the common
+    # lineage prefix across a union)
+    converted = (convert(spans).where(F.col("status") == "ok")
+                 .select("doc_id", "markdown").localCheckpoint())
 
     def run(model: str) -> DataFrame:
-        out = curate(spans, rates=_CURATE_RATES, default_rate=0.25,
-                     min_quality_bp=_CURATE_MIN_BP, lang_model=model)
+        out = curate(converted, rates=_CURATE_RATES, default_rate=0.25,
+                     min_quality_bp=_CURATE_MIN_BP, lang_model=model,
+                     input_is_converted=True)
         return out.select(F.lit(model).alias("lang_model"),
                           F.col("doc_id").cast("long").alias("doc_id"),
                           "pred_lang", "quality_score_bp", "markdown")

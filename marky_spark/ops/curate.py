@@ -33,7 +33,8 @@ from .textstats import lang_pred_col, quality_feature_cols, with_lang_pred_ngram
 def curate(docs: DataFrame, rates: dict[str, float],
            default_rate: float = 0.0, min_quality_bp: int = 1500,
            keep_langs: tuple[str, ...] | None = None,
-           salt: str = "v1", lang_model: str = "stopword") -> DataFrame:
+           salt: str = "v1", lang_model: str = "stopword",
+           input_is_converted: bool = False) -> DataFrame:
     """Span documents → curated Markdown training rows.
 
     Returns (doc_id, pred_lang, quality_score_bp, markdown): converted OK,
@@ -46,14 +47,24 @@ def curate(docs: DataFrame, rates: dict[str, float],
     the model a production run prefers; markup-heavy or short documents
     rarely hit the tiny stopword lists). Either way it is an inline JVM
     expression: no extra stage, no join, no Python.
+
+    ``input_is_converted=True`` skips the conversion kernel: ``docs`` must
+    already hold (doc_id, markdown) of OK conversions — the seam for a
+    caller that runs several curation configurations over ONE materialized
+    conversion (e.g. ``pipeline.run_convert_job``'s committed output, or a
+    localCheckpointed convert) instead of re-running the heaviest stage
+    per configuration.
     """
     if lang_model not in ("stopword", "ngram"):
         raise ValueError(f"unknown lang_model {lang_model!r}")
-    converted = (
-        convert(docs)
-        .where(F.col("status") == "ok")
-        .select("doc_id", "markdown")
-    )
+    if input_is_converted:
+        converted = docs.select("doc_id", "markdown")
+    else:
+        converted = (
+            convert(docs)
+            .where(F.col("status") == "ok")
+            .select("doc_id", "markdown")
+        )
     if lang_model == "ngram":
         # staged narrow projections (hoisted grams/scores — textstats
         # _trigram_hits explains why inlining is ~20x slower); no shuffle

@@ -206,18 +206,27 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, pal[idx].tobytes()
 
 
-def gif_resize_nearest(data: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resample in the palette-index domain → GIF with the
-    ORIGINAL color table (no color quantization needed)."""
+def gif_resize_indexed(data: bytes, out_w: int,
+                       out_h: int) -> tuple[int, int, bytes]:
+    """Nearest-neighbor resample in the palette-index domain → (source
+    width, source height, GIF bytes with the ORIGINAL color table — no
+    color quantization needed). The source dims come free from the single
+    decode, which is why the fused resize path uses this form."""
     import numpy as np
 
     w, h, indices, table = gif_decode_indexed(data)
-    if out_w <= 0 or out_h <= 0 or out_w * out_h > MAX_PIXELS:
+    if not (0 < out_w <= 65535 and 0 < out_h <= 65535) \
+            or out_w * out_h > MAX_PIXELS:
         raise GifError(f"bad target dimensions {out_w}x{out_h}")
     idx = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
     ys = np.arange(out_h) * h // out_h
     xs = np.arange(out_w) * w // out_w
-    return gif_encode(idx[ys][:, xs].tobytes(), out_w, out_h, table)
+    return w, h, gif_encode(idx[ys][:, xs].tobytes(), out_w, out_h, table)
+
+
+def gif_resize_nearest(data: bytes, out_w: int, out_h: int) -> bytes:
+    """See :func:`gif_resize_indexed`; this form drops the source dims."""
+    return gif_resize_indexed(data, out_w, out_h)[2]
 
 
 def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
@@ -273,6 +282,8 @@ def gif_encode(indices: bytes, width: int, height: int,
     """Palette indices (rows top-down) + RGB palette (≤256×3 bytes, padded
     to a power of two) → single-frame GIF89a — the test-fixture inverse of
     :func:`gif_decode`."""
+    if not (0 < width <= 65535 and 0 < height <= 65535):
+        raise GifError(f"dimensions {width}x{height} exceed u16 fields")
     if len(indices) != width * height:
         raise GifError(
             f"index buffer is {len(indices)} bytes, want {width * height}")

@@ -8,8 +8,10 @@ walk, quantization/Huffman table management, entropy-decoded MCU stream
 (bit reader over the byte-unstuffed scan), dequantize → de-zigzag → 2-D
 IDCT (numpy matrix form) → plane assembly → chroma upsample → color
 convert. Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise :class:`JpegError` (surfaced by the multimodal
-operators as per-blob error rows, never task failures).
+hierarchical modes raise :class:`JpegUnsupportedError` (a
+NotImplementedError, so the multimodal operators classify those blobs as
+``codec_unavailable``); malformed payloads raise plain :class:`JpegError`
+(per-blob ``error:`` rows) — never task failures either way.
 
 The encoder (test-fixture inverse) emits baseline 4:4:4 with the standard
 Annex-K quantization (libjpeg-style quality scaling) and Huffman tables —
@@ -29,13 +31,29 @@ from __future__ import annotations
 
 import struct
 
-from .pngcodec import MAX_PIXELS
+from .pngcodec import MAX_PIXELS  # noqa: F401 — re-exported cap family
 
 JPEG_SOI = b"\xff\xd8"
+
+# JPEG's own pixel cap is far below the PNG one: decoding allocates float64
+# intermediates (coefficient matrices, spatial planes, the stacked RGB) of
+# ~50-100 bytes per pixel plus a pure-Python entropy loop per block, so the
+# 2^28 PNG cap would let a small hostile payload force >10 GB of
+# allocations. 2^24 pixels (e.g. 4096x4096) bounds peak decode memory at
+# ~1.5 GB and the entropy loop at ~260k blocks.
+JPEG_MAX_PIXELS = 1 << 24
 
 
 class JpegError(ValueError):
     """Malformed or unsupported JPEG payload."""
+
+
+class JpegUnsupportedError(JpegError, NotImplementedError):
+    """Recognized JPEG, but a mode this codec does not implement
+    (progressive/arithmetic/12-bit/hierarchical). Subclasses
+    NotImplementedError so the multimodal operators classify these blobs
+    as ``codec_unavailable`` (the payload is fine — the codec is partial),
+    distinct from malformed-payload ``error:`` rows."""
 
 
 def looks_like_jpeg(data: bytes) -> bool:
@@ -216,13 +234,17 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 (ac_tables if tc else dc_tables)[th] = t
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise JpegError("truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise JpegError(f"unsupported precision {prec}")
-            if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                raise JpegUnsupportedError(f"unsupported precision {prec}")
+            if w <= 0 or h <= 0 or w * h > JPEG_MAX_PIXELS:
                 raise JpegError(f"bad dimensions {w}x{h}")
             if nc not in (1, 3):
                 raise JpegError(f"unsupported component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise JpegError("truncated SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -233,13 +255,17 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegError(
+            raise JpegUnsupportedError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}) — baseline only")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("truncated DRI")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise JpegError("truncated SOS header")
             ns = body[0]
             sel = {}
             for c in range(ns):
@@ -499,6 +525,8 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
 
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
+    if not (0 < width <= 65535 and 0 < height <= 65535):
+        raise JpegError(f"dimensions {width}x{height} exceed u16 fields")
     if len(pixels) != width * height * channels:
         raise JpegError(
             f"pixel buffer is {len(pixels)} bytes, "
@@ -514,13 +542,15 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     else:
         comps = [arr[..., 0]]
 
+    # the Annex-K literals above are in NATURAL (raster) order: use them
+    # directly as the quantization matrices, and reorder to zigzag only
+    # when serializing the DQT segments below (a previous revision wrote
+    # them as-if-zigzag, scrambling the effective matrix — self-consistent
+    # round trips hid it, but rate/quality diverged from the standard)
     ql = _quality_scale(_STD_LUMA_Q, quality)
     qc = _quality_scale(_STD_CHROMA_Q, quality)
-    qmat = []
-    for qz in ([ql, qc] if channels == 3 else [ql]):
-        m = np.zeros(64, dtype=np.float64)
-        m[_ZIGZAG] = qz
-        qmat.append(m.reshape(8, 8))
+    qmat = [np.asarray(q, dtype=np.float64).reshape(8, 8)
+            for q in ([ql, qc] if channels == 3 else [ql])]
 
     M = _dct_matrix()
     bw = 8 * (-(-width // 8))
@@ -597,10 +627,10 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
 
     out = bytearray(JPEG_SOI)
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    zl = bytes(int(ql[z]) for z in range(64))
+    zl = bytes(int(ql[_ZIGZAG[i]]) for i in range(64))
     out += seg(0xDB, b"\x00" + zl)
     if channels == 3:
-        zc = bytes(int(qc[z]) for z in range(64))
+        zc = bytes(int(qc[_ZIGZAG[i]]) for i in range(64))
         out += seg(0xDB, b"\x01" + zc)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))

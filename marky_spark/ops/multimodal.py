@@ -10,11 +10,12 @@ batch shape, ``mapInPandas`` signatures. The codec layer is split:
   stdlib+numpy). Payloads of those formats
   (signature/structure-sniffed) decode/resize for real by default, and
   media_features computes content-derived statistics from their pixels.
-- Formats with no in-sandbox library (audio, video, progressive JPEG)
-  keep the
+- Formats with no in-sandbox library (audio, video) keep the
   deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
-  ``decoder=``/``resizer=`` accept real codecs (e.g. PIL-based) in
-  production through the same batch shape.
+  recognized-but-unimplemented JPEG modes (progressive/arithmetic/12-bit)
+  classify as ``codec_unavailable`` rows (JpegUnsupportedError is a
+  NotImplementedError); ``decoder=``/``resizer=`` accept real codecs
+  (e.g. PIL-based) in production through the same batch shape.
 
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
@@ -224,9 +225,10 @@ def _real_resize(payload: bytes, mime: str,
 
 
 def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
-    """Default resizer: real resample for PNG and BMP payloads (same sniff
-    set as auto_decode, so decode_media and resize_media always agree on
-    which path a blob takes), deterministic fake otherwise."""
+    """Default resizer: real resample for PNG/BMP/GIF/baseline-JPEG
+    payloads (same sniff set as auto_decode, so decode_media and
+    resize_media always agree on which path a blob takes), deterministic
+    fake otherwise."""
     from .bmpcodec import looks_like_bmp
     from .gifcodec import looks_like_gif
     from .jpegcodec import looks_like_jpeg
@@ -255,13 +257,12 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
                       height: int) -> tuple[int, int, bytes]:
     """Fused default path: one decode feeds BOTH the source dims and the
     resample (the split decoder/resizer pair would run the full decode
-    twice per blob). Routes the same format set as auto_decode — PNG and
-    BMP real, everything else the digest fake — so decode_media and
-    resize_media report consistent metadata for every blob."""
-    import numpy as np
-
+    twice per blob). Routes the same format set as auto_decode —
+    PNG/BMP/GIF/baseline-JPEG real, everything else the digest fake — so
+    decode_media and resize_media report consistent metadata for every
+    blob."""
     from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
-    from .gifcodec import gif_decode_indexed, gif_encode, looks_like_gif
+    from .gifcodec import gif_resize_indexed, looks_like_gif
     from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
 
@@ -276,12 +277,7 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
                          width, height, ch)
         return in_w, in_h, out
     if looks_like_gif(blob):
-        in_w, in_h, indices, table = gif_decode_indexed(blob)
-        idx = np.frombuffer(indices, dtype=np.uint8).reshape(in_h, in_w)
-        ys = np.arange(height) * in_h // height
-        xs = np.arange(width) * in_w // width
-        out = gif_encode(idx[ys][:, xs].tobytes(), width, height, table)
-        return in_w, in_h, out
+        return gif_resize_indexed(blob, width, height)
     if looks_like_jpeg(blob):
         in_w, in_h, ch, pixels = jpeg_decode(blob)
         out = jpeg_encode(_nearest(pixels, in_w, in_h, ch, width, height),
@@ -363,6 +359,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                     w, h, c, px = decoded
                     rows.append((ref, w, h, c, len(px),
                                  hashlib.md5(px).hexdigest(), "ok"))
+                except NotImplementedError:
+                    # recognized format, unimplemented mode (e.g.
+                    # progressive JPEG) — the payload is fine
+                    rows.append((ref, None, None, None, None, None,
+                                 "codec_unavailable"))
                 except PngError as exc:
                     rows.append((ref, None, None, None, None, None,
                                  f"error: {exc}"))
@@ -411,8 +412,8 @@ def _try_decode_pixels(blob: bytes):
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Fixed-width feature vector per blob.
 
-    For formats the repo can actually decode (PNG / uncompressed BMP / GIF)
-    the vector is computed from the DECODED PIXELS: [w/1024, h/1024, ch/4,
+    For formats the repo can actually decode (PNG / uncompressed BMP /
+    GIF / baseline JPEG) the vector is computed from the DECODED PIXELS: [w/1024, h/1024, ch/4,
     global mean/255, 4 per-channel means/255 (zero-padded), 8 brightness-
     histogram fractions] — a real, content-derived signal (two encodings of
     the same pixels embed identically). Formats with no in-sandbox codec
@@ -486,6 +487,10 @@ def pixel_features(media: DataFrame) -> DataFrame:
                 blob = bytes(payload) if payload is not None else b""
                 try:
                     decoded = _try_decode_pixels(blob)
+                except NotImplementedError:
+                    rows.append((ref,) + (None,) * 11
+                                + ("codec_unavailable",))
+                    continue
                 except Exception as exc:  # noqa: BLE001 — poison isolation
                     rows.append((ref,) + (None,) * 11
                                 + (f"error: {exc}",))

@@ -261,3 +261,12 @@ def test_real_world_gifs_decode_pinned():
         gw, gh, gc, px = gif_decode(z.read(name))
         assert (gw, gh, gc) == (w, h, 3), name
         assert hashlib.md5(px).hexdigest() == md5, name
+
+
+def test_encode_and_resize_u16_dimension_guard():
+    palette = bytes(range(12))
+    good = gif_encode(bytes([0, 1, 2, 3]), 2, 2, palette)
+    with pytest.raises(GifError, match="dimensions"):
+        gif_resize_nearest(good, 70000, 1)
+    with pytest.raises(GifError, match="u16"):
+        gif_encode(bytes(70000), 70000, 1, palette)

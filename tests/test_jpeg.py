@@ -238,3 +238,55 @@ def test_real_pptx_embedded_jpeg_end_to_end(spark):
     assert got["mime"] == "image/png"  # the (wrong) label carried through
     assert (got["width"], got["height"], got["channels"], got["ok"]) == \
         (631, 768, 3, "ok")  # ...but the sniff decoded the actual JPEG
+
+
+def test_progressive_classifies_codec_unavailable(spark):
+    """Progressive JPEG is a recognized-but-unimplemented mode: the
+    operators must classify it codec_unavailable (JpegUnsupportedError is
+    a NotImplementedError), not an error row and never a fake decode."""
+    from pyspark.sql import Row
+
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, decode_media, decode_pixels
+
+    prog = bytearray(jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    media = spark.createDataFrame(
+        [Row(media_ref="pj", mime="image/jpeg", payload=bytes(prog))],
+        schema=MEDIA_SCHEMA)
+    assert decode_media(media).collect()[0]["ok"] == "codec_unavailable"
+    assert decode_pixels(media).collect()[0]["ok"] == "codec_unavailable"
+
+
+def test_jpeg_pixel_cap_is_jpeg_specific():
+    """A small payload declaring huge dimensions must be rejected before
+    any allocation: the JPEG cap (2^24) is far below the PNG cap because
+    decode allocates ~50-100 bytes of float64 intermediates per pixel."""
+    from marky_spark.ops.jpegcodec import JPEG_MAX_PIXELS
+
+    assert JPEG_MAX_PIXELS < (1 << 28)
+    good = bytearray(jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3))
+    idx = bytes(good).find(b"\xff\xc0")
+    struct.pack_into(">HH", good, idx + 5, 16384, 16384)  # 2^28 pixels
+    with pytest.raises(JpegError, match="dimensions"):
+        jpeg_decode(bytes(good))
+
+
+def test_encode_u16_dimension_guard():
+    with pytest.raises(JpegError, match="u16"):
+        jpeg_encode(bytes(70000 * 3), 70000, 1, 3)
+
+
+def test_dqt_segments_are_standard_annex_k():
+    """The emitted DQT must carry the Annex-K table (zigzag-serialized from
+    the natural-order literals): a scrambled matrix round-trips
+    self-consistently but diverges from standard quality semantics."""
+    from marky_spark.ops.jpegcodec import _STD_LUMA_Q, _ZIGZAG
+
+    data = jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3, quality=50)  # scale = 1:1
+    i = data.find(b"\xff\xdb")
+    body = data[i + 5:i + 5 + 64]  # skip marker+len+Pq/Tq byte
+    natural = [0] * 64
+    for k in range(64):
+        natural[_ZIGZAG[k]] = body[k]
+    assert natural == _STD_LUMA_Q
