@@ -144,6 +144,11 @@ def _build_huffman(counts: bytes, symbols: bytes) -> tuple[dict, list]:
         for _ in range(counts[length - 1]):
             if k >= len(symbols):
                 raise JpegError("Huffman table symbol underrun")
+            if code >= (1 << length):
+                # counts claim more codes than fit at this bit length —
+                # not a canonical Huffman table (found by mutation fuzzing:
+                # the overflow previously escaped as IndexError in the LUT)
+                raise JpegError("overfull Huffman table")
             table[(length, code)] = symbols[k]
             if length <= 8:
                 lo = code << (8 - length)

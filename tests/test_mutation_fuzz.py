@@ -88,3 +88,38 @@ def test_mutated_text_payloads_stay_in_contract():
                 "media_ref": "", "offset": 0,
             }])
             assert r["status"] in ("ok", "error", "unsupported"), r
+
+
+def test_image_codec_mutations_stay_typed():
+    """Mutations of VALID image payloads must stay inside each codec's
+    typed-error contract: decode either succeeds or raises the codec's
+    error class (GifError/JpegError/PngError/BmpError, all ValueError, or
+    the NotImplementedError unsupported-mode subclass) — never an untyped
+    escape, never unbounded output."""
+    from marky_spark.ops.bmpcodec import bmp_encode
+    from marky_spark.ops.gifcodec import gif_encode
+    from marky_spark.ops.jpegcodec import jpeg_encode
+    from marky_spark.ops.multimodal import _try_decode_pixels
+    from marky_spark.ops.pngcodec import MAX_PIXELS, png_encode
+
+    rng = random.Random(0xF00D)
+    px = bytes((i * 37) % 256 for i in range(16 * 12 * 3))
+    samples = [
+        gif_encode(bytes(b % 8 for b in px[:16 * 12]), 16, 12,
+                   bytes(range(24))),
+        jpeg_encode(px, 16, 12, 3),
+        png_encode(px, 16, 12, 3),
+        bmp_encode(px, 16, 12, 3),
+    ]
+    n = max(N // 2, 50)
+    for data in samples:
+        for _ in range(n):
+            blob = _mutate(rng, data)
+            try:
+                decoded = _try_decode_pixels(blob)
+            except (ValueError, NotImplementedError):
+                continue  # typed rejection — the contract
+            if decoded is not None:
+                w, h, c, out = decoded
+                assert 0 < w * h <= MAX_PIXELS
+                assert len(out) == w * h * c
