@@ -116,25 +116,34 @@ def _lzw_decode(min_code_size: int, blob: bytes, max_out: int) -> bytearray:
     return out
 
 
-def gif_decode_indexed(data: bytes) -> tuple[int, int, bytes, bytes]:
-    """GIF bytes → (width, height, palette indices rows top-down,
-    RGB color table) of the first frame — the palette-domain form
-    :func:`gif_resize_nearest` resamples in (index resampling cannot
-    invent colors, so the original palette stays valid)."""
+def _iter_frames(data: bytes):
+    """Walk the block stream yielding one tuple per image frame:
+    ``(left, top, w, h, idx ndarray rows top-down, table bytes,
+    disposal, transparent_index_or_None)`` — the shared scanner behind
+    :func:`gif_decode_indexed` (first frame) and
+    :func:`gif_decode_frames` (animation compositing)."""
+    import numpy as np
+
     if len(data) < 13 or data[:6] not in GIF_SIGNATURES:
         raise GifError("not a GIF (bad signature)")
-    sw, sh = struct.unpack_from("<HH", data, 6)
     gct, pos = _color_table(data, 13, data[10])
+    disposal = 0
+    transparent = None
     while True:
         if pos >= len(data):
-            raise GifError("no image descriptor before end of data")
+            raise GifError("no trailer before end of data")
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise GifError("no image descriptor in GIF")
+            return
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(data):
                 raise GifError("truncated extension")
+            label = data[pos]
+            if label == 0xF9 and pos + 6 <= len(data) and data[pos + 1] >= 4:
+                packed = data[pos + 2]
+                disposal = (packed >> 2) & 0x07
+                transparent = data[pos + 5] if packed & 0x01 else None
             pos = _skip_subblocks(data, pos + 1)
             continue
         if block != 0x2C:
@@ -142,7 +151,7 @@ def gif_decode_indexed(data: bytes) -> tuple[int, int, bytes, bytes]:
         # image descriptor
         if pos + 9 > len(data):
             raise GifError("truncated image descriptor")
-        _left, _top, w, h = struct.unpack_from("<HHHH", data, pos)
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
         packed = data[pos + 8]
         pos += 9
         if w <= 0 or h <= 0:
@@ -175,8 +184,6 @@ def gif_decode_indexed(data: bytes) -> tuple[int, int, bytes, bytes]:
         if len(indices) < w * h:
             raise GifError(
                 f"LZW stream yields {len(indices)} indices, want {w * h}")
-        import numpy as np
-
         idx = np.frombuffer(bytes(indices[:w * h]), dtype=np.uint8)
         n_colors = len(table) // 3
         if int(idx.max(initial=0)) >= n_colors:
@@ -190,7 +197,78 @@ def gif_decode_indexed(data: bytes) -> tuple[int, int, bytes, bytes]:
                 out[start::step] = idx[src:src + n_rows]
                 src += n_rows
             idx = out.reshape(-1)
-        return w, h, idx.tobytes(), bytes(table[:n_colors * 3])
+        yield (left, top, w, h, idx, bytes(table[:n_colors * 3]),
+               disposal, transparent)
+        disposal = 0
+        transparent = None
+
+
+def gif_decode_indexed(data: bytes) -> tuple[int, int, bytes, bytes]:
+    """GIF bytes → (width, height, palette indices rows top-down,
+    RGB color table) of the first frame — the palette-domain form
+    :func:`gif_resize_nearest` resamples in (index resampling cannot
+    invent colors, so the original palette stays valid)."""
+    for _left, _top, w, h, idx, table, _disp, _tr in _iter_frames(data):
+        return w, h, idx.tobytes(), table
+    raise GifError("no image descriptor in GIF")
+
+
+def gif_decode_frames(data: bytes,
+                      max_frames: int = 64) -> tuple[int, int, list[bytes]]:
+    """Animated GIF → (screen_w, screen_h, list of composited RGB frames,
+    rows top-down, one ``bytes`` of screen_w*screen_h*3 per frame).
+
+    Real animation semantics: frames draw at their (left, top) offset onto
+    the logical screen, transparent indices leave the underlying canvas
+    visible, and the graphic-control disposal methods are honored
+    (0/1 leave, 2 restore-to-background, 3 restore-to-previous). The
+    canvas starts as the background color (GCT[bg] when a GCT exists,
+    else black). ``max_frames`` bounds decode work on hostile inputs
+    (a million-frame bomb stops at the cap, caller sees the prefix)."""
+    import numpy as np
+
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw <= 0 or sh <= 0 or sw * sh > MAX_PIXELS:
+        raise GifError(f"bad screen dimensions {sw}x{sh}")
+    gct, _ = _color_table(data, 13, data[10])
+    if gct:
+        bg_i = data[11]
+        n_colors = len(gct) // 3
+        bg = gct[3 * bg_i:3 * bg_i + 3] if bg_i < n_colors else b"\x00\x00\x00"
+    else:
+        bg = b"\x00\x00\x00"
+    canvas = np.tile(np.frombuffer(bg, dtype=np.uint8), sw * sh).reshape(
+        sh, sw, 3)
+    frames: list[bytes] = []
+    for left, top, w, h, idx, table, disposal, transparent in \
+            _iter_frames(data):
+        if len(frames) >= max_frames:
+            break
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(
+            len(table) // 3, 3)
+        grid = idx.reshape(h, w)
+        # clip the frame rect to the logical screen
+        cw = min(w, max(sw - left, 0))
+        ch = min(h, max(sh - top, 0))
+        before = canvas.copy() if disposal == 3 else None
+        if cw > 0 and ch > 0:
+            region = canvas[top:top + ch, left:left + cw]
+            clipped = grid[:ch, :cw]
+            rgb = pal[clipped]
+            if transparent is not None:
+                mask = clipped != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+        frames.append(canvas.tobytes())
+        if disposal == 2 and cw > 0 and ch > 0:  # restore background
+            canvas[top:top + ch, left:left + cw] = np.frombuffer(
+                bg, dtype=np.uint8)
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = before
+    if not frames:
+        raise GifError("no image descriptor in GIF")
+    return sw, sh, frames
 
 
 def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
@@ -274,6 +352,56 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     emit(end, code_size)
     if nbits:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode_animated(screen_w: int, screen_h: int, palette: bytes,
+                        frames: list[tuple[bytes, int, int, int, int]],
+                        disposals: list[int] | None = None,
+                        transparents: list[int | None] | None = None
+                        ) -> bytes:
+    """Multi-frame GIF89a: ``frames`` is a list of (palette indices rows
+    top-down, left, top, w, h); per-frame ``disposals`` /
+    ``transparents`` emit graphic control extensions. The test-fixture
+    inverse of :func:`gif_decode_frames` (shared global color table)."""
+    if not frames:
+        raise GifError("no frames")
+    if not (0 < screen_w <= 65535 and 0 < screen_h <= 65535):
+        raise GifError(f"dimensions {screen_w}x{screen_h} exceed u16 fields")
+    if not palette or len(palette) % 3 or len(palette) > 768:
+        raise GifError(f"bad palette size {len(palette)}")
+    n_colors = len(palette) // 3
+    bits = max(1, (max(n_colors - 1, 1)).bit_length())
+    table = palette + b"\x00" * (3 * (2 << (bits - 1)) - len(palette))
+    min_code = max(2, bits)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", screen_w, screen_h, 0x80 | (bits - 1), 0, 0)
+        + table)
+    for fi, (indices, left, top, w, h) in enumerate(frames):
+        if not (0 < w <= 65535 and 0 < h <= 65535):
+            raise GifError(f"dimensions {w}x{h} exceed u16 fields")
+        if len(indices) != w * h:
+            raise GifError(
+                f"frame {fi}: index buffer is {len(indices)} bytes, "
+                f"want {w * h}")
+        if max(indices, default=0) >= n_colors:
+            raise GifError("palette index out of range")
+        disposal = (disposals or [0] * len(frames))[fi]
+        transparent = (transparents or [None] * len(frames))[fi]
+        packed = ((disposal & 0x07) << 2) | (1 if transparent is not None
+                                             else 0)
+        out += (b"\x21\xf9\x04" + bytes([packed]) + b"\x00\x00"
+                + bytes([transparent or 0]) + b"\x00")
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        compressed = _lzw_encode(min_code, indices)
+        out.append(min_code)
+        for i in range(0, len(compressed), 255):
+            part = compressed[i:i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -153,9 +153,18 @@ FRAME_SCHEMA = StructType([
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """'Video' payloads → N evenly spaced frame records (one input row fans
-    out to N output rows — the mapInPandas shape a real ffmpeg sampler has).
-    Frame extraction itself is the stubbed codec: frames are byte slices."""
+    """Moving-image payloads → N evenly spaced frame records (one input row
+    fans out to ≤N output rows — the mapInPandas shape a real ffmpeg
+    sampler has).
+
+    Animated GIFs are sampled FOR REAL (ops/gifcodec.gif_decode_frames:
+    LZW decode + per-frame compositing with disposal/transparency), each
+    sampled frame re-encoded as a standalone PNG in ``frame_bytes`` with
+    ``frame_offset`` = its index in the animation. Formats with no
+    in-sandbox video codec keep the deterministic byte-slice stand-in
+    (same fan-out shape; frame_offset = byte offset)."""
+    from .gifcodec import gif_decode_frames, looks_like_gif
+    from .pngcodec import png_encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -164,6 +173,19 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 blob = bytes(payload) if payload is not None else b""
                 if not blob:
                     continue
+                if looks_like_gif(blob):
+                    try:
+                        w, h, frames = gif_decode_frames(blob)
+                    except Exception:  # noqa: BLE001 — malformed GIF falls
+                        frames = None  # back to the byte-slice path below
+                    if frames is not None:
+                        total = len(frames)
+                        step = max(total // n_frames, 1)
+                        picks = list(range(0, total, step))[:n_frames]
+                        for i, fi in enumerate(picks):
+                            rows.append((ref, i, fi,
+                                         png_encode(frames[fi], w, h, 3)))
+                        continue
                 step = max(len(blob) // n_frames, 1)
                 for i in range(min(n_frames, len(blob))):
                     off = i * step

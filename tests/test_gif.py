@@ -270,3 +270,69 @@ def test_encode_and_resize_u16_dimension_guard():
         gif_resize_nearest(good, 70000, 1)
     with pytest.raises(GifError, match="u16"):
         gif_encode(bytes(70000), 70000, 1, palette)
+
+
+def test_animated_frames_compositing():
+    """gif_decode_frames honors offsets, transparency and disposal: each
+    emitted frame is the full logical screen as a viewer would show it."""
+    from marky_spark.ops.gifcodec import gif_decode_frames, gif_encode_animated
+
+    pal = bytes(v for i in range(8) for v in (i * 30, i * 30, i * 30))
+    base = bytes([1] * 24)         # 6x4 full screen (value 30)
+    patch = bytes([3] * 4)         # 2x2 at (2,1)   (value 90)
+    holes = bytes([7, 0, 7, 0])    # 2x2, idx 0 transparent
+    data = gif_encode_animated(
+        6, 4, pal,
+        [(base, 0, 0, 6, 4), (patch, 2, 1, 2, 2), (holes, 0, 0, 2, 2)],
+        disposals=[1, 3, 0], transparents=[None, None, 0])
+    sw, sh, frames = gif_decode_frames(data)
+    assert (sw, sh, len(frames)) == (6, 4, 3)
+    f1 = np.frombuffer(frames[1], np.uint8).reshape(4, 6, 3)
+    assert (f1[1:3, 2:4] == 90).all()       # patch drawn at offset
+    assert f1[0, 0, 0] == 30                # base persists around it
+    f2 = np.frombuffer(frames[2], np.uint8).reshape(4, 6, 3)
+    assert f2[2, 2, 0] == 30                # disposal 3 restored the patch
+    assert f2[0, 0, 0] == 210               # idx 7 drawn...
+    assert f2[0, 1, 0] == 30                # ...transparent hole shows base
+
+
+def test_frame_sample_real_gif_frames(spark):
+    """frame_sample emits REAL evenly-spaced animation frames for GIF
+    payloads — PNG-encoded full-canvas composites — while non-GIF
+    payloads keep the deterministic byte-slice stand-in."""
+    from pyspark.sql import Row
+
+    from marky_spark.ops.gifcodec import gif_decode_frames, gif_encode_animated
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, frame_sample
+    from marky_spark.ops.pngcodec import png_decode
+
+    pal = bytes(v for i in range(16) for v in (i * 16, 0, 255 - i * 16))
+    frames_in = [(bytes([i] * 12), 0, 0, 4, 3) for i in range(10)]
+    gif = gif_encode_animated(4, 3, pal, frames_in)
+    media = spark.createDataFrame(
+        [Row(media_ref="anim", mime="image/gif", payload=gif),
+         Row(media_ref="blob", mime="video/fake", payload=b"0123456789abcdef")],
+        schema=MEDIA_SCHEMA)
+    rows = {(r["media_ref"], r["frame_idx"]): r
+            for r in frame_sample(media, n_frames=4).collect()}
+    # GIF: 4 evenly spaced real frames (animation indices 0,2,4,6)
+    _, _, expect = gif_decode_frames(gif)
+    for i, fi in enumerate([0, 2, 4, 6]):
+        row = rows[("anim", i)]
+        assert row["frame_offset"] == fi
+        w, h, c, px = png_decode(bytes(row["frame_bytes"]))
+        assert (w, h, c) == (4, 3, 3)
+        assert px == expect[fi]
+    # non-GIF: byte slices unchanged
+    assert bytes(rows[("blob", 0)]["frame_bytes"]) == b"0123"
+
+
+def test_animated_frame_bomb_bounded():
+    """A GIF declaring thousands of frames stops at max_frames."""
+    from marky_spark.ops.gifcodec import gif_decode_frames, gif_encode_animated
+
+    pal = bytes(6)
+    many = [(bytes([0]), 0, 0, 1, 1)] * 500
+    data = gif_encode_animated(1, 1, pal, many)
+    _, _, frames = gif_decode_frames(data, max_frames=16)
+    assert len(frames) == 16
