@@ -476,9 +476,19 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling fan-out (stubbed codec — deterministic
-    byte-slice frames, so the fan-out arithmetic is SQL-oracle-able)."""
-    from marky_spark.ops.multimodal import frame_sample
+    """Frame-sampling fan-out, BOTH paths merged (one oracle row pins each):
+    branch 'g' = REAL animated-GIF frames (ops/gifcodec.gif_decode_frames:
+    LZW decode + full-canvas compositing, PNG re-encode, then decode_pixels
+    back — the oracle reconstructs each sampled frame's decoded RGB from
+    doc_id arithmetic, so LZW round-trip, compositing, and the PNG
+    round-trip must all be correct); branch 'b' = the deterministic
+    byte-slice stand-in for formats with no in-sandbox codec (content_md5 =
+    md5 of the slice, which the oracle recomputes from the text bytes)."""
+    from marky_spark.ops.multimodal import (
+        decode_pixels,
+        frame_sample,
+        synth_agif_media,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
@@ -486,12 +496,33 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("video/fake").alias("mime"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return frame_sample(media, n_frames=4).select(
+    bytes_branch = frame_sample(media, n_frames=4).select(
         "media_ref",
+        F.lit("b").alias("branch"),
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("frame_offset").cast("long").alias("frame_offset"),
-        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame_bytes").alias("content_md5"),
     )
+    sampled = frame_sample(synth_agif_media(docs), n_frames=4)
+    # decode_pixels keeps only (media_ref, payload), so thread the frame
+    # identity through a composite ref and split it back out after decode
+    dec = decode_pixels(sampled.select(
+        F.concat_ws(":", "media_ref",
+                    F.col("frame_idx").cast("string"),
+                    F.col("frame_offset").cast("string")).alias("media_ref"),
+        F.col("frame_bytes").alias("payload"),
+    ))
+    parts = F.split(F.col("media_ref"), ":")
+    gif_branch = dec.select(
+        parts.getItem(0).alias("media_ref"),
+        F.lit("g").alias("branch"),
+        parts.getItem(1).cast("long").alias("frame_idx"),
+        parts.getItem(2).cast("long").alias("frame_offset"),
+        F.col("n_pixel_bytes").alias("n_bytes"),
+        F.col("pixel_md5").alias("content_md5"),
+    )
+    return bytes_branch.unionByName(gif_branch)
 
 
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,19 +1393,60 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "frame_sample": """
+            -- branch 'b': byte-slice stand-in frames; the corpus text is
+            -- pure ASCII so VARCHAR substr == byte slicing and DuckDB's
+            -- md5(VARCHAR) matches Spark's md5 over the binary slice
             WITH m AS (
-                SELECT 'm' || doc_id AS media_ref,
+                SELECT doc_id, 'm' || doc_id AS media_ref, text,
                        strlen(text) AS n
                 FROM documents WHERE strlen(text) > 0),
             f AS (
-                SELECT media_ref, n, greatest(n // 4, 1) AS step,
+                SELECT media_ref, text, n, greatest(n // 4, 1) AS step,
                        unnest(range(least(4, n))) AS i
-                FROM m)
+                FROM m),
+            -- branch 'g': real animated-GIF sampling; frame k of doc i is
+            -- md5('i:k') hex repeated over a w*h 256-gray canvas, so the
+            -- decoded RGB stream is each hex char tripled — reconstructed
+            -- here with no GIF or PNG library on the oracle side
+            g AS (
+                SELECT doc_id,
+                       4 + doc_id % 9 AS w,
+                       4 + doc_id % 6 AS h,
+                       5 + doc_id % 8 AS total
+                FROM documents),
+            gs AS (
+                SELECT doc_id, w, h,
+                       greatest(total // 4, 1) AS step,
+                       unnest(range(4)) AS i
+                FROM g),
+            gp AS (
+                SELECT doc_id, w, h, i, i * step AS fo,
+                       substr(repeat(md5(doc_id::VARCHAR || ':' ||
+                                         (i * step)::VARCHAR),
+                                     ((w*h) // 32 + 1)::INT),
+                              1, (w*h)::INT) AS idx
+                FROM gs),
+            gr AS (
+                SELECT doc_id, w, h, i, fo,
+                       array_to_string(list_transform(range(1, (w*h)::INT + 1),
+                           j -> repeat(substr(idx, j::INT, 1), 3)), '') AS rgb
+                FROM gp)
             SELECT media_ref,
+                   'b' AS branch,
                    i AS frame_idx,
                    i * step AS frame_offset,
-                   least(step, n - i * step) AS frame_len
+                   least(step, n - i * step) AS n_bytes,
+                   md5(substr(text, (i * step + 1)::INT,
+                              least(step, n - i * step)::INT)) AS content_md5
             FROM f
+            UNION ALL
+            SELECT 'a' || doc_id AS media_ref,
+                   'g' AS branch,
+                   i AS frame_idx,
+                   fo AS frame_offset,
+                   CAST(w * h * 3 AS BIGINT) AS n_bytes,
+                   md5(rgb) AS content_md5
+            FROM gr
         """,
         "media_features": """
             SELECT 'm' || doc_id AS media_ref,

@@ -626,6 +626,43 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_agif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated-GIF media table derived from doc ids
+    (the test / bench corpus for the animation path of ``frame_sample``).
+    Screen is w = 4 + id%9 by h = 4 + id%6, the animation has
+    5 + id%8 full-screen frames, the palette is 256-gray, and frame k's
+    palette indices are md5(f"{id}:{k}") hex repeated (ASCII). Full-screen
+    frames with no transparency mean the composited canvas for frame k IS
+    frame k's own content, so an independent SQL engine reconstructs each
+    sampled frame's decoded RGB (hex chars tripled) WITHOUT a GIF
+    library — the real LZW round-trip plus the compositing walk must both
+    be correct for the driver oracle to match. (Offsets, transparency and
+    disposal are exercised by tests/test_gif.py's compositing pins.)"""
+    from .gifcodec import gif_encode_animated
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 9
+                h = 4 + i % 6
+                n = w * h
+                frames = []
+                for k in range(5 + i % 8):
+                    hexs = hashlib.md5(f"{i}:{k}".encode()).hexdigest()
+                    idx = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
+                    frames.append((idx, 0, 0, w, h))
+                rows.append((f"a{i}", "image/gif",
+                             gif_encode_animated(w, h, palette, frames)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def attach_media(docs_out: DataFrame, media: DataFrame,
                  broadcast: bool = False) -> DataFrame:
     """Join conversion output's image spans to the media side-table.
