@@ -460,11 +460,15 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column -> typed decode metadata.
-    These payloads are text bytes (not PNGs), so the signature-sniffing
-    default decoder takes the deterministic digest-fake path — the REAL
-    codec path is exercised by png_decode/png_resize."""
-    from marky_spark.ops.multimodal import decode_media
+    """Multimodal plumbing, decode + resize MERGED (round-3 registry
+    consolidation: the driver caps CORRECTNESS rows at 50, and these two
+    ops pin the same digest-fake path over the same input — one row now
+    pins both). These payloads are text bytes (not PNGs), so the
+    signature-sniffing default decoder/resizer takes the deterministic
+    digest-fake path — the REAL codec paths are exercised by
+    png_decode/png_resize/gif_decode. The join is on the (unique)
+    media_ref key; both sides are the same 1:1 table."""
+    from marky_spark.ops.multimodal import decode_media, resize_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
@@ -472,7 +476,12 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/png").alias("mime"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return decode_media(media)
+    rez = resize_media(media, width=32, height=32).select(
+        "media_ref", "in_width", "in_height",
+        F.md5("payload").alias("out_md5"),
+        F.length("payload").cast("long").alias("out_bytes"),
+    )
+    return decode_media(media).join(rez, "media_ref")
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,23 +534,25 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bytes_branch.unionByName(gif_branch)
 
 
-def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing over non-PNG payloads (digest-fake path:
-    content-addressed ASCII pseudo-bitmap of exactly width×height bytes —
-    SQL-oracle-able; the real resample path is png_resize)."""
-    from marky_spark.ops.multimodal import resize_media
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec end-to-end (ops/wavcodec via ops/audio): encode
+    deterministic 16-bit PCM → RIFF chunk-walk decode → exact-integer
+    statistics (per-channel sums, zero crossings, peak) plus a REAL
+    half-rate linear resample whose grid lands exactly on source samples
+    (even frame counts → exact decimation). The oracle reconstructs every
+    statistic from doc_id arithmetic WITHOUT a WAV library, so encoder and
+    decoder must both be spec-correct for the values to line up. The
+    driver projection coalesces the absent-channel sum (null for mono) to
+    0 — an all/mostly-NULL BIGINT column round-trips as float NaN through
+    the oracle's pandas bridge; the operator itself keeps the null."""
+    from marky_spark.ops.audio import audio_features, synth_wav_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = docs.select(
-        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
-        F.lit("image/png").alias("mime"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    out = resize_media(media, width=32, height=32)
+    out = audio_features(synth_wav_media(docs))
     return out.select(
-        "media_ref", "width", "height", "in_width", "in_height",
-        F.md5("payload").alias("out_md5"),
-        F.length("payload").cast("long").alias("out_bytes"),
+        "media_ref", "sample_rate", "channels", "bits", "n_frames",
+        "sum_c0", F.coalesce("sum_c1", F.lit(0)).alias("sum_c1"),
+        "zc_c0", "peak", "ds_frames", "ds_sum_c0", "ok",
     )
 
 
@@ -891,7 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   curate        ← curate + curate_ngram     (tagged unionByName)
     # New round 3: gif_decode (real LZW codec), pixel_features (exact-int
     # stats over real decoded pixels), embedded_media (extraction→
-    # multimodal bridge).
+    # multimodal bridge), audio_features (real RIFF/WAVE PCM codec; its
+    # slot came from merging media_decode + media_resize, which pin the
+    # same digest-fake path over the same input).
     return {
         "convert_csv": _q_convert_csv,
         "convert_html": _q_convert_html,
@@ -927,7 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": _q_gif_decode,
         "pixel_features": _q_pixel_features,
         "embedded_media": _q_embedded_media,
-        "media_resize": _q_media_resize,
+        "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         "media_features": _q_media_features,
         "events_rollup": _q_events_rollup,
@@ -1244,15 +1257,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         "media_decode": """
-            -- COALESCE: the kernel hashes b'' for NULL payloads
+            -- decode + resize merged (one row pins both ops).
+            -- COALESCE: the kernel hashes b'' for NULL payloads; the fake
+            -- resize payload is the md5 hex repeated to exactly 32*32
+            -- ASCII chars, so Spark's md5-over-binary == md5-over-varchar
+            WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS d,
+                              strlen(coalesce(text, '')) AS n
+                       FROM documents)
             SELECT 'm' || doc_id AS media_ref,
                    'image/png' AS mime,
-                   CAST(16 + ('0x' || substr(md5(coalesce(text, '')), 1, 2))::BIGINT % 64 AS INT) AS width,
-                   CAST(16 + ('0x' || substr(md5(coalesce(text, '')), 3, 2))::BIGINT % 64 AS INT) AS height,
-                   CAST(1 + ('0x' || substr(md5(coalesce(text, '')), 5, 2))::BIGINT % 3 AS INT) AS channels,
-                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
-                   'ok' AS ok
-            FROM documents
+                   CAST(16 + ('0x' || substr(d, 1, 2))::BIGINT % 64 AS INT) AS width,
+                   CAST(16 + ('0x' || substr(d, 3, 2))::BIGINT % 64 AS INT) AS height,
+                   CAST(1 + ('0x' || substr(d, 5, 2))::BIGINT % 3 AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_bytes,
+                   'ok' AS ok,
+                   CAST(16 + ('0x' || substr(d, 1, 2))::BIGINT % 64 AS INT) AS in_width,
+                   CAST(16 + ('0x' || substr(d, 3, 2))::BIGINT % 64 AS INT) AS in_height,
+                   md5(substr(repeat(d, 32), 1, 1024)) AS out_md5,
+                   CAST(1024 AS BIGINT) AS out_bytes
+            FROM h
         """,
         "png_decode": """
             -- independent reconstruction of the decoded samples: pixel
@@ -1379,18 +1402,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
         """,
-        "media_resize": """
-            -- fake resize: payload = md5 hex repeated to exactly 32*32
-            -- chars (ASCII, so Spark's md5-over-binary == md5-over-varchar)
-            WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS d
-                       FROM documents)
-            SELECT 'm' || doc_id AS media_ref,
-                   CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
-                   CAST(16 + ('0x' || substr(d, 1, 2))::BIGINT % 64 AS INT) AS in_width,
-                   CAST(16 + ('0x' || substr(d, 3, 2))::BIGINT % 64 AS INT) AS in_height,
-                   md5(substr(repeat(d, 32), 1, 1024)) AS out_md5,
-                   CAST(1024 AS BIGINT) AS out_bytes
-            FROM h
+        "audio_features": """
+            -- independent reconstruction of the decoded PCM: sample j of
+            -- doc i is (ascii_code_j - 100) * 13 over md5(i) hex repeated,
+            -- interleaved frame-major across 1 + i%2 channels — every
+            -- statistic (sums, zero crossings, peak, half-rate decimation)
+            -- is integer arithmetic, no WAV library on the oracle side
+            WITH m AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS ch,
+                       8000 + (doc_id % 4) * 4000 AS rate,
+                       64 + 2 * (doc_id % 32) AS n
+                FROM documents),
+            s AS (
+                SELECT doc_id, ch, rate, n,
+                       list_transform(range(1, (n*ch)::INT + 1),
+                           j -> (unicode(substr(
+                               substr(repeat(md5(doc_id::VARCHAR),
+                                             ((n*ch) // 32 + 1)::INT),
+                                      1, (n*ch)::INT),
+                               j::INT, 1)) - 100) * 13) AS vals
+                FROM m),
+            c AS (
+                SELECT doc_id, ch, rate, n, vals,
+                       list_transform(range(0, n::INT),
+                           f -> vals[(f*ch + 1)::INT]) AS c0
+                FROM s)
+            SELECT 'w' || doc_id AS media_ref,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(16 AS INT) AS bits,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(list_sum(c0) AS BIGINT) AS sum_c0,
+                   CAST(CASE WHEN ch = 2 THEN
+                        list_sum(list_transform(range(0, n::INT),
+                            f -> vals[(f*ch + 2)::INT]))
+                        ELSE 0 END AS BIGINT) AS sum_c1,
+                   CAST(len(list_filter(range(1, n::INT),
+                        f -> c0[f::INT] * c0[(f+1)::INT] < 0)) AS BIGINT) AS zc_c0,
+                   CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak,
+                   CAST(n // 2 AS BIGINT) AS ds_frames,
+                   CAST(list_sum(list_transform(range(0, (n // 2)::INT),
+                        f -> c0[(2*f + 1)::INT])) AS BIGINT) AS ds_sum_c0,
+                   'ok' AS ok
+            FROM c
         """,
         "frame_sample": """
             -- branch 'b': byte-slice stand-in frames; the corpus text is

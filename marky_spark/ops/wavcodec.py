@@ -1,0 +1,174 @@
+"""Real RIFF/WAVE PCM codec — pure stdlib + numpy, no audio library.
+
+The reference never decodes media (it base64s embedded bytes verbatim,
+docx.go:196-198), so audio support is part of this repo's training-data
+pipeline surface, not reference parity: real sample access is what
+audio features / dedup / windowing key on at corpus scale. Same contract
+as the image codecs (ops/pngcodec, ops/jpegcodec): hostile input raises
+:class:`WavError` (poison-pill — callers isolate it into error rows),
+recognized-but-unimplemented encodings raise :class:`WavUnsupportedError`
+(a ``NotImplementedError`` → ``codec_unavailable`` rows), and decode
+allocations are bounded before they happen.
+
+Scope: canonical PCM (fmt tag 1) at 8-bit unsigned / 16-bit signed
+little-endian, any channel count up to 8. IEEE-float (3) and
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) are recognized and rejected as
+unsupported; everything else malformed is an error.
+"""
+from __future__ import annotations
+
+import struct
+
+MAX_SAMPLES = 1 << 26  # total samples (frames × channels) a decode may allocate
+MAX_CHANNELS = 8
+MAX_RATE = 1_000_000
+
+WAV_SIGNATURE = b"RIFF"
+
+
+class WavError(ValueError):
+    """Malformed / hostile WAV input (the poison-pill contract)."""
+
+
+class WavUnsupportedError(NotImplementedError):
+    """Recognized WAV whose encoding this codec does not implement
+    (float, extensible, ADPCM…) — surfaces as ``codec_unavailable``."""
+
+
+def looks_like_wav(data: bytes) -> bool:
+    """Signature sniff: RIFF container carrying a WAVE form."""
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def _chunks(data: bytes):
+    """Walk the RIFF chunk stream yielding (id, body) — bodies are
+    validated against the declared size, and the walk honors RIFF's
+    16-bit word alignment (odd-sized chunks are followed by a pad byte)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8:pos + 8 + csz]
+        if len(body) < csz:
+            raise WavError(
+                f"chunk {cid!r} declares {csz} bytes, {len(body)} present")
+        yield cid, body
+        pos += 8 + csz + (csz & 1)
+    if pos != len(data) and pos + 8 > len(data):
+        # trailing garbage shorter than a chunk header
+        if len(data) - pos not in (0, 1):  # 1 = final alignment pad
+            raise WavError("trailing bytes are not a RIFF chunk")
+
+
+def wav_decode(data: bytes):
+    """WAV bytes → ``(sample_rate, n_channels, bits, samples)`` where
+    ``samples`` is an int32 ndarray of shape (n_frames, n_channels);
+    8-bit PCM is recentered to signed (stored-128) so both depths share
+    the signed-sample convention."""
+    import numpy as np
+
+    if not looks_like_wav(data):
+        raise WavError("not a WAV (no RIFF/WAVE signature)")
+    fmt = None
+    pcm = None
+    for cid, body in _chunks(data):
+        if cid == b"fmt " and fmt is None:
+            if len(body) < 16:
+                raise WavError(f"fmt chunk is {len(body)} bytes, want >= 16")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data" and pcm is None:
+            pcm = body
+    if fmt is None:
+        raise WavError("no fmt chunk")
+    if pcm is None:
+        raise WavError("no data chunk")
+    tag, channels, rate, _byte_rate, block_align, bits = fmt
+    if tag in (3, 0xFFFE):
+        raise WavUnsupportedError(
+            f"WAV format tag {tag:#x} (float/extensible) not implemented")
+    if tag != 1:
+        raise WavError(f"unknown WAV format tag {tag:#x}")
+    if not (1 <= channels <= MAX_CHANNELS):
+        raise WavError(f"bad channel count {channels}")
+    if not (1 <= rate <= MAX_RATE):
+        raise WavError(f"bad sample rate {rate}")
+    if bits not in (8, 16):
+        raise WavError(f"unsupported PCM bit depth {bits}")
+    if block_align != channels * (bits // 8):
+        raise WavError(
+            f"block align {block_align} != channels*bytes "
+            f"{channels * (bits // 8)}")
+    if len(pcm) % block_align:
+        raise WavError(
+            f"data chunk {len(pcm)} bytes is not a whole number of "
+            f"{block_align}-byte frames")
+    n_frames = len(pcm) // block_align
+    if n_frames * channels > MAX_SAMPLES:
+        raise WavError(
+            f"{n_frames}x{channels} samples exceed cap {MAX_SAMPLES}")
+    if bits == 8:
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
+    return rate, channels, bits, samples.reshape(n_frames, channels)
+
+
+def wav_encode(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """int samples (ndarray shape (n_frames, n_channels) or any nested
+    sequence numpy accepts) → canonical-PCM WAV bytes. The fixture
+    inverse of :func:`wav_decode`; range-checked so a decode of the
+    output always round-trips exactly."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if arr.ndim != 2 or arr.shape[0] < 1:
+        raise WavError(f"samples must be (n_frames, n_channels), got "
+                       f"shape {arr.shape}")
+    n_frames, channels = arr.shape
+    if not (1 <= channels <= MAX_CHANNELS):
+        raise WavError(f"bad channel count {channels}")
+    if not (1 <= sample_rate <= MAX_RATE):
+        raise WavError(f"bad sample rate {sample_rate}")
+    if bits == 8:
+        if arr.min() < -128 or arr.max() > 127:
+            raise WavError("8-bit samples out of [-128, 127]")
+        pcm = (arr + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        if arr.min() < -32768 or arr.max() > 32767:
+            raise WavError("16-bit samples out of [-32768, 32767]")
+        pcm = arr.astype("<i2").tobytes()
+    else:
+        raise WavError(f"unsupported PCM bit depth {bits}")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_resample_linear(samples, src_rate: int, dst_rate: int):
+    """Real linear-interpolation resample (per channel) — the audio
+    counterpart of the image codecs' nearest-neighbor resize. Returns an
+    int32 ndarray of shape (round(n*dst/src), n_channels)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if not (1 <= src_rate <= MAX_RATE and 1 <= dst_rate <= MAX_RATE):
+        raise WavError(f"bad rates {src_rate}->{dst_rate}")
+    n = arr.shape[0]
+    m = max(int(round(n * dst_rate / src_rate)), 1)
+    if m * arr.shape[1] > MAX_SAMPLES:
+        raise WavError(f"resample target {m} frames exceeds cap")
+    src_t = np.arange(n, dtype=np.float64)
+    dst_t = np.arange(m, dtype=np.float64) * (src_rate / dst_rate)
+    out = np.empty((m, arr.shape[1]), dtype=np.int32)
+    for c in range(arr.shape[1]):
+        out[:, c] = np.rint(
+            np.interp(dst_t, src_t, arr[:, c])).astype(np.int32)
+    return out

@@ -1,0 +1,222 @@
+"""WAV codec (ops/wavcodec) + audio_features operator (ops/audio).
+
+Round-trips (8/16-bit, mono → 8 channels), RIFF chunk-walk details (odd
+chunk padding, unknown chunks, LIST before fmt), the strict signature
+sniff (arbitrary text bytes must NEVER take the WAV path), typed hostile-
+input rejection, the exact-decimation property of the linear resampler,
+and the Spark audio_features statistics against hand-computed values.
+"""
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from marky_spark.ops.wavcodec import (
+    MAX_SAMPLES,
+    WavError,
+    WavUnsupportedError,
+    looks_like_wav,
+    wav_decode,
+    wav_encode,
+    wav_resample_linear,
+)
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("channels", [1, 2, 8])
+def test_round_trip(bits, channels):
+    rng = random.Random(bits * 10 + channels)
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    frames = [[rng.randint(lo, hi) for _ in range(channels)]
+              for _ in range(37)]
+    data = wav_encode(frames, 16000, bits=bits)
+    assert looks_like_wav(data)
+    rate, ch, b, samples = wav_decode(data)
+    assert (rate, ch, b) == (16000, channels, bits)
+    assert samples.tolist() == frames
+
+
+def test_8bit_recentered_to_signed():
+    """8-bit PCM is stored unsigned (0..255); decode recenters to
+    stored-128 so both depths share the signed convention."""
+    data = wav_encode([[-128], [0], [127]], 8000, bits=8)
+    # stored bytes are 0, 128, 255
+    assert data[-4:] == bytes([0, 128, 255, 0])  # + final pad (3 is odd)
+    assert wav_decode(data)[3].ravel().tolist() == [-128, 0, 127]
+
+
+def test_odd_data_chunk_is_padded():
+    """RIFF word alignment: odd-sized chunks carry a pad byte the walk
+    must skip (an 8-bit mono frame count that's odd exercises it)."""
+    data = wav_encode([[1], [2], [3]], 8000, bits=8)
+    assert len(data) % 2 == 0
+    assert wav_decode(data)[3].ravel().tolist() == [1, 2, 3]
+
+
+def test_unknown_chunks_are_skipped():
+    """Real WAVs carry LIST/INFO, fact, cue chunks — the walk must skip
+    unknown ids (even BEFORE fmt) and still find fmt + data."""
+    base = wav_encode([[5], [-5]], 8000, bits=16)
+    fmt_and_data = base[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    body = b"WAVE" + extra + fmt_and_data[:]
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_decode(data)[3].ravel().tolist() == [5, -5]
+
+
+def test_sniff_rejects_text_and_short():
+    assert not looks_like_wav(b"")
+    assert not looks_like_wav(b"RIFF")
+    assert not looks_like_wav(b"hello world, this is a document")
+    assert not looks_like_wav(b"RIFF\x00\x00\x00\x00AVI ")  # RIFF, not WAVE
+    with pytest.raises(WavError):
+        wav_decode(b"not a wav at all")
+
+
+@pytest.mark.parametrize("mutate, msg", [
+    (lambda d: d[:30], "declares"),                      # truncated chunk
+    (lambda d: _patch(d, 20, "<H", 2), "unknown WAV format tag"),
+    (lambda d: _patch(d, 22, "<H", 0), "bad channel count"),
+    (lambda d: _patch(d, 22, "<H", 9), "bad channel count"),
+    (lambda d: _patch(d, 24, "<I", 0), "bad sample rate"),
+    (lambda d: _patch(d, 34, "<H", 24), "unsupported PCM bit depth"),
+    (lambda d: _patch(d, 32, "<H", 7), "block align"),
+])
+def test_hostile_inputs_raise_typed(mutate, msg):
+    base = wav_encode([[1, 2], [3, 4]], 8000, bits=16)
+    with pytest.raises(WavError, match=msg):
+        wav_decode(mutate(base))
+
+
+def _patch(data: bytes, off: int, fmt: str, val: int) -> bytes:
+    d = bytearray(data)
+    struct.pack_into(fmt, d, off, val)
+    return bytes(d)
+
+
+def test_float_and_extensible_are_unsupported_not_error():
+    base = wav_encode([[1], [2]], 8000, bits=16)
+    for tag in (3, 0xFFFE):
+        with pytest.raises(WavUnsupportedError):
+            wav_decode(_patch(base, 20, "<H", tag))
+    assert issubclass(WavUnsupportedError, NotImplementedError)
+
+
+def test_partial_frame_rejected():
+    data = bytearray(wav_encode([[1], [2], [3]], 8000, bits=16))
+    # grow the declared data size past the actual payload → chunk walk
+    # catches the lie before frame math runs
+    with pytest.raises(WavError):
+        wav_decode(_patch(bytes(data), 40, "<I", 7))
+
+
+def test_sample_cap_enforced_before_allocation():
+    """A header claiming more samples than MAX_SAMPLES must be rejected
+    by arithmetic (the data would be huge; the decl check fires first)."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    huge = MAX_SAMPLES + 1
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", huge))
+    data = b"RIFF" + struct.pack("<I", len(body) + huge) + body
+    with pytest.raises(WavError):
+        wav_decode(data)
+
+
+def test_encode_range_checks():
+    with pytest.raises(WavError):
+        wav_encode([[200]], 8000, bits=8)
+    with pytest.raises(WavError):
+        wav_encode([[40000]], 8000, bits=16)
+    with pytest.raises(WavError):
+        wav_encode([[1]], 0)
+    with pytest.raises(WavError):
+        wav_encode(np.zeros((0, 1), dtype=int), 8000)
+
+
+def test_resample_half_rate_is_exact_decimation():
+    """Even frame count + half-rate target → the interpolation grid lands
+    exactly on even source indices: out[i] == in[2i], no rounding at all.
+    This is the property the driver oracle reconstructs in SQL."""
+    rng = random.Random(7)
+    frames = [[rng.randint(-1000, 1000), rng.randint(-1000, 1000)]
+              for _ in range(64)]
+    out = wav_resample_linear(frames, 16000, 8000)
+    assert out.tolist() == frames[::2]
+
+
+def test_resample_upsample_interpolates():
+    out = wav_resample_linear([[0], [100]], 8000, 16000)
+    # 4 output frames at t = 0, 0.5, 1.0, 1.5 (clamped) → 0, 50, 100, 100
+    assert out.ravel().tolist() == [0, 50, 100, 100]
+
+
+def test_wav_mutations_stay_typed():
+    """Same contract as the image codecs: mutations of a valid WAV either
+    decode (bounded) or raise WavError/WavUnsupportedError — never an
+    untyped escape."""
+    from tests.test_mutation_fuzz import _mutate
+
+    rng = random.Random(0xA0D10)
+    base = wav_encode([[i % 100 - 50, -(i % 100 - 50)] for i in range(50)],
+                      16000, bits=16)
+    for _ in range(300):
+        blob = _mutate(rng, base)
+        try:
+            _, ch, _, samples = wav_decode(blob)
+        except (WavError, WavUnsupportedError):
+            continue
+        assert samples.size <= MAX_SAMPLES
+        assert samples.shape[1] == ch
+
+
+def test_audio_features_spark(spark):
+    """Drive the full Spark path on the synthetic corpus and check one
+    doc's statistics against a hand computation."""
+    from marky_spark.ops.audio import audio_features, synth_wav_media
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    feats = {r["media_ref"]: r
+             for r in audio_features(synth_wav_media(docs)).collect()}
+    assert len(feats) == 8
+    import hashlib
+    for i in (0, 1, 5):
+        ch = 1 + i % 2
+        n = 64 + 2 * (i % 32)
+        hexs = hashlib.md5(str(i).encode()).hexdigest()
+        stream = (hexs * (-(-(n * ch) // len(hexs))))[:n * ch]
+        vals = [(ord(c) - 100) * 13 for c in stream]
+        c0 = vals[::ch]
+        r = feats[f"w{i}"]
+        assert r["ok"] == "ok"
+        assert (r["sample_rate"], r["channels"], r["bits"]) == (
+            8000 + (i % 4) * 4000, ch, 16)
+        assert r["n_frames"] == n
+        assert r["sum_c0"] == sum(c0)
+        assert r["sum_c1"] == (sum(vals[1::ch]) if ch > 1 else None)
+        assert r["zc_c0"] == sum(
+            1 for a, b in zip(c0, c0[1:]) if a * b < 0)
+        assert r["peak"] == max(abs(v) for v in vals)
+        assert r["ds_frames"] == n // 2
+        assert r["ds_sum_c0"] == sum(c0[::2])
+
+
+def test_audio_features_poison_isolation(spark):
+    """Non-WAV, malformed-WAV and float-WAV payloads isolate into rows."""
+    from marky_spark.ops.audio import audio_features
+
+    good = wav_encode([[1], [2]], 8000, bits=16)
+    rows = {r["media_ref"]: r for r in audio_features(spark.createDataFrame(
+        [("ok", "audio/wav", bytearray(good)),
+         ("txt", "text/plain", bytearray(b"just some document text")),
+         ("bad", "audio/wav", bytearray(_patch(good, 22, "<H", 0))),
+         ("flt", "audio/wav", bytearray(_patch(good, 20, "<H", 3))),
+         ("nul", "audio/wav", None)],
+        "media_ref string, mime string, payload binary",
+    )).collect()}
+    assert rows["ok"]["ok"] == "ok" and rows["ok"]["n_frames"] == 2
+    assert rows["txt"]["ok"] == "codec_unavailable"
+    assert rows["bad"]["ok"].startswith("error: bad channel count")
+    assert rows["flt"]["ok"] == "codec_unavailable"
+    assert rows["nul"]["ok"] == "codec_unavailable"
