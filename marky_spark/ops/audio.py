@@ -130,6 +130,34 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def wav_feature_vec(blob: bytes, dim: int = 16) -> list[float] | None:
+    """Content-derived audio feature vector for WAV payloads, mirroring
+    the decoded-pixel vector layout in ops/multimodal.media_features:
+    [rate/48000, channels/4, n_frames/1e6, global mean, 4 per-channel
+    means (zero-padded), 8 amplitude-histogram fractions], with samples
+    normalized to [-1, 1) by the bit depth's full scale so an 8-bit and a
+    16-bit encoding of the same signal embed (near-)identically.
+
+    Returns ``None`` for non-WAV payloads (caller falls through to the
+    next format / the digest stand-in); raises the codec's typed errors
+    for WAV-shaped-but-bad payloads (caller isolates per blob)."""
+    import numpy as np
+
+    from .wavcodec import looks_like_wav, wav_decode
+
+    if not looks_like_wav(blob):
+        return None
+    rate, ch, bits, samples = wav_decode(blob)
+    norm = samples.astype(np.float64) / float(1 << (bits - 1))
+    means = [float(norm[:, c].mean()) for c in range(min(ch, 4))]
+    buckets = np.minimum(((norm.ravel() + 1.0) * 4.0).astype(np.int64), 7)
+    hist = np.bincount(buckets, minlength=8) / norm.size
+    vec = ([rate / 48000.0, ch / 4.0, samples.shape[0] / 1e6,
+            float(norm.mean())]
+           + (means + [0.0] * 4)[:4] + hist.tolist())
+    return (vec + [0.0] * dim)[:dim]
+
+
 def synth_wav_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-WAV media table derived from doc ids (the test /
     bench corpus for the audio codec path). Per doc_id i:

@@ -434,20 +434,26 @@ def _try_decode_pixels(blob: bytes):
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Fixed-width feature vector per blob.
 
-    For formats the repo can actually decode (PNG / uncompressed BMP /
-    GIF / baseline JPEG) the vector is computed from the DECODED PIXELS: [w/1024, h/1024, ch/4,
-    global mean/255, 4 per-channel means/255 (zero-padded), 8 brightness-
-    histogram fractions] — a real, content-derived signal (two encodings of
-    the same pixels embed identically). Formats with no in-sandbox codec
-    keep the deterministic digest-based stand-in (production swaps in a
-    real embedding model via the same batch shape)."""
+    For formats the repo can actually decode, the vector is computed from
+    the DECODED CONTENT — images (PNG / uncompressed BMP / GIF / baseline
+    JPEG): [w/1024, h/1024, ch/4, global mean/255, 4 per-channel means/255
+    (zero-padded), 8 brightness-histogram fractions]; audio (RIFF/WAVE
+    PCM): the mirrored layout over full-scale-normalized samples
+    (ops/audio.wav_feature_vec) — a real, content-derived signal (two
+    encodings of the same pixels/samples embed identically). Formats with
+    no in-sandbox codec keep the deterministic digest-based stand-in
+    (production swaps in a real embedding model via the same batch
+    shape)."""
     import numpy as np
+
+    from .audio import wav_feature_vec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
+                vec = None
                 try:
                     decoded = _try_decode_pixels(blob)
                 except Exception:  # noqa: BLE001 — poison isolation
@@ -463,6 +469,11 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                            + (means + [0.0] * 4)[:4] + hist.tolist())
                     vec = (vec + [0.0] * dim)[:dim]
                 else:
+                    try:
+                        vec = wav_feature_vec(blob, dim)
+                    except Exception:  # noqa: BLE001 — poison isolation
+                        vec = None
+                if vec is None:
                     digest = hashlib.sha256(blob).digest()
                     vec = [(digest[i % 32] - 128) / 128.0 for i in range(dim)]
                 rows.append((ref, vec))

@@ -220,3 +220,66 @@ def test_audio_features_poison_isolation(spark):
     assert rows["bad"]["ok"].startswith("error: bad channel count")
     assert rows["flt"]["ok"] == "codec_unavailable"
     assert rows["nul"]["ok"] == "codec_unavailable"
+
+
+def test_wav_feature_vec_content_derived():
+    """The media_features audio branch: real statistics over the decoded
+    samples, hand-checked; non-WAV returns None; malformed raises typed."""
+    from marky_spark.ops.audio import wav_feature_vec
+
+    # mono 16-bit: half full-negative, half full-positive-ish
+    samples = [[-32768]] * 10 + [[32767]] * 10
+    vec = wav_feature_vec(wav_encode(samples, 24000, bits=16))
+    assert vec is not None and len(vec) == 16
+    assert vec[0] == pytest.approx(24000 / 48000.0)
+    assert vec[1] == pytest.approx(1 / 4.0)
+    assert vec[2] == pytest.approx(20 / 1e6)
+    assert vec[3] == pytest.approx((10 * -1.0 + 10 * (32767 / 32768)) / 20)
+    assert vec[4] == pytest.approx(vec[3])       # channel-0 mean == global
+    assert vec[5:8] == [0.0, 0.0, 0.0]           # zero-padded channels
+    hist = vec[8:16]
+    assert hist[0] == pytest.approx(0.5)         # bucket 0: [-1, -0.75)
+    assert hist[7] == pytest.approx(0.5)         # bucket 7: [0.75, 1)
+    assert sum(hist) == pytest.approx(1.0)
+
+    assert wav_feature_vec(b"plain document text bytes") is None
+    with pytest.raises(WavError):
+        wav_feature_vec(_patch(wav_encode(samples, 24000), 22, "<H", 0))
+
+
+def test_wav_feature_vec_depth_invariant():
+    """An 8-bit and a 16-bit encoding of the same full-scale-normalized
+    signal embed (near-)identically — the content-derived property."""
+    from marky_spark.ops.audio import wav_feature_vec
+
+    rng = random.Random(0xFEA7)
+    s8 = [[rng.randint(-128, 127)] for _ in range(200)]
+    s16 = [[v[0] * 256] for v in s8]
+    v8 = wav_feature_vec(wav_encode(s8, 16000, bits=8))
+    v16 = wav_feature_vec(wav_encode(s16, 16000, bits=16))
+    assert v8 == pytest.approx(v16, abs=1e-9)
+
+
+def test_media_features_routes_wav(spark):
+    """media_features computes the audio vector for WAV payloads, keeps
+    the digest stand-in for undecodable bytes, and a truncated WAV falls
+    back to the digest path (poison isolation, no task failure)."""
+    from marky_spark.ops.audio import wav_feature_vec
+    from marky_spark.ops.multimodal import media_features
+
+    good = wav_encode([[i * 100 - 500] for i in range(32)], 8000, bits=16)
+    rows = {r["media_ref"]: list(r["features"])
+            for r in media_features(spark.createDataFrame(
+                [("wav", "audio/wav", bytearray(good)),
+                 ("txt", "text/plain", bytearray(b"some text")),
+                 ("cut", "audio/wav", bytearray(good[:20]))],
+                "media_ref string, mime string, payload binary",
+            )).collect()}
+    assert rows["wav"] == pytest.approx(wav_feature_vec(good))
+    import hashlib
+    digest = hashlib.sha256(b"some text").digest()
+    assert rows["txt"] == pytest.approx(
+        [(digest[i % 32] - 128) / 128.0 for i in range(16)])
+    cut_digest = hashlib.sha256(good[:20]).digest()
+    assert rows["cut"] == pytest.approx(
+        [(cut_digest[i % 32] - 128) / 128.0 for i in range(16)])
