@@ -485,18 +485,24 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out, BOTH paths merged (one oracle row pins each):
+    """Frame-sampling fan-out, ALL paths merged (one oracle row pins each):
     branch 'g' = REAL animated-GIF frames (ops/gifcodec.gif_decode_frames:
     LZW decode + full-canvas compositing, PNG re-encode, then decode_pixels
     back — the oracle reconstructs each sampled frame's decoded RGB from
     doc_id arithmetic, so LZW round-trip, compositing, and the PNG
-    round-trip must all be correct); branch 'b' = the deterministic
-    byte-slice stand-in for formats with no in-sandbox codec (content_md5 =
-    md5 of the slice, which the oracle recomputes from the text bytes)."""
+    round-trip must all be correct); branch 'v' = REAL MJPEG-AVI frames
+    (ops/avicodec: RIFF LIST walk to the movi members, then ops/jpegcodec
+    really entropy-decodes each sampled frame — uniform DC-only frames
+    round-trip exactly, so the oracle reconstructs the decoded samples as
+    one repeated ASCII char with no AVI or JPEG library); branch 'b' = the
+    deterministic byte-slice stand-in for formats with no in-sandbox codec
+    (content_md5 = md5 of the slice, which the oracle recomputes from the
+    text bytes)."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
         frame_sample,
         synth_agif_media,
+        synth_avi_media,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -531,7 +537,22 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pixel_bytes").alias("n_bytes"),
         F.col("pixel_md5").alias("content_md5"),
     )
-    return bytes_branch.unionByName(gif_branch)
+    avi_sampled = frame_sample(synth_avi_media(docs), n_frames=4)
+    dec_v = decode_pixels(avi_sampled.select(
+        F.concat_ws(":", "media_ref",
+                    F.col("frame_idx").cast("string"),
+                    F.col("frame_offset").cast("string")).alias("media_ref"),
+        F.col("frame_bytes").alias("payload"),
+    ))
+    avi_branch = dec_v.select(
+        parts.getItem(0).alias("media_ref"),
+        F.lit("v").alias("branch"),
+        parts.getItem(1).cast("long").alias("frame_idx"),
+        parts.getItem(2).cast("long").alias("frame_offset"),
+        F.col("n_pixel_bytes").alias("n_bytes"),
+        F.col("pixel_md5").alias("content_md5"),
+    )
+    return bytes_branch.unionByName(gif_branch).unionByName(avi_branch)
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,7 +1506,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, w, h, i, fo,
                        array_to_string(list_transform(range(1, (w*h)::INT + 1),
                            j -> repeat(substr(idx, j::INT, 1), 3)), '') AS rgb
-                FROM gp)
+                FROM gp),
+            -- branch 'v': real MJPEG-AVI sampling; frame k of doc i is a
+            -- uniform grayscale JPEG of value (i*7 + k*13) % 95 + 32 (a
+            -- DC-only block quantization round-trips exactly), so the
+            -- decoded samples are one ASCII char repeated w*h times —
+            -- reconstructed here with no AVI or JPEG library
+            v AS (
+                SELECT doc_id,
+                       8 * (1 + doc_id % 3) AS w,
+                       8 * (1 + doc_id % 2) AS h,
+                       5 + doc_id % 8 AS total
+                FROM documents),
+            vs AS (
+                SELECT doc_id, w, h,
+                       greatest(total // 4, 1) AS step,
+                       unnest(range(4)) AS i
+                FROM v),
+            vp AS (
+                SELECT doc_id, w, h, i, i * step AS fo,
+                       (doc_id * 7 + (i * step) * 13) % 95 + 32 AS val
+                FROM vs)
             SELECT media_ref,
                    'b' AS branch,
                    i AS frame_idx,
@@ -1502,6 +1543,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w * h * 3 AS BIGINT) AS n_bytes,
                    md5(rgb) AS content_md5
             FROM gr
+            UNION ALL
+            SELECT 'v' || doc_id AS media_ref,
+                   'v' AS branch,
+                   i AS frame_idx,
+                   fo AS frame_offset,
+                   CAST(w * h AS BIGINT) AS n_bytes,
+                   md5(repeat(chr(val::INT), (w * h)::INT)) AS content_md5
+            FROM vp
         """,
         "media_features": """
             SELECT 'm' || doc_id AS media_ref,

@@ -160,9 +160,13 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     Animated GIFs are sampled FOR REAL (ops/gifcodec.gif_decode_frames:
     LZW decode + per-frame compositing with disposal/transparency), each
     sampled frame re-encoded as a standalone PNG in ``frame_bytes`` with
-    ``frame_offset`` = its index in the animation. Formats with no
-    in-sandbox video codec keep the deterministic byte-slice stand-in
+    ``frame_offset`` = its index in the animation. MJPEG AVIs are sampled
+    FOR REAL too (ops/avicodec: RIFF LIST walk to the ``movi`` members),
+    each sampled frame emitted as its standalone baseline-JPEG payload —
+    which decode_pixels then really decodes (ops/jpegcodec). Formats with
+    no in-sandbox video codec keep the deterministic byte-slice stand-in
     (same fan-out shape; frame_offset = byte offset)."""
+    from .avicodec import avi_decode_frames, looks_like_avi
     from .gifcodec import gif_decode_frames, looks_like_gif
     from .pngcodec import png_encode
 
@@ -185,6 +189,18 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                         for i, fi in enumerate(picks):
                             rows.append((ref, i, fi,
                                          png_encode(frames[fi], w, h, 3)))
+                        continue
+                if looks_like_avi(blob):
+                    try:
+                        _, _, frames = avi_decode_frames(blob)
+                    except Exception:  # noqa: BLE001 — malformed AVI falls
+                        frames = None  # back to the byte-slice path below
+                    if frames:
+                        total = len(frames)
+                        step = max(total // n_frames, 1)
+                        picks = list(range(0, total, step))[:n_frames]
+                        for i, fi in enumerate(picks):
+                            rows.append((ref, i, fi, frames[fi]))
                         continue
                 step = max(len(blob) // n_frames, 1)
                 for i in range(min(n_frames, len(blob))):
@@ -413,8 +429,10 @@ FEATURES_SCHEMA = StructType([
 
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
-    in-sandbox codec (PNG / uncompressed BMP / GIF / baseline JPEG),
-    else None."""
+    in-sandbox codec (PNG / uncompressed BMP / GIF / baseline JPEG; an
+    MJPEG AVI contributes its FIRST FRAME — the cheap representative a
+    real pipeline embeds for video), else None."""
+    from .avicodec import avi_decode_frames, looks_like_avi
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
@@ -428,6 +446,9 @@ def _try_decode_pixels(blob: bytes):
         return gif_decode(blob)
     if looks_like_jpeg(blob):
         return jpeg_decode(blob)
+    if looks_like_avi(blob):
+        _, _, frames = avi_decode_frames(blob)
+        return jpeg_decode(frames[0]) if frames else None
     return None
 
 
@@ -436,14 +457,14 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     For formats the repo can actually decode, the vector is computed from
     the DECODED CONTENT — images (PNG / uncompressed BMP / GIF / baseline
-    JPEG): [w/1024, h/1024, ch/4, global mean/255, 4 per-channel means/255
-    (zero-padded), 8 brightness-histogram fractions]; audio (RIFF/WAVE
-    PCM): the mirrored layout over full-scale-normalized samples
-    (ops/audio.wav_feature_vec) — a real, content-derived signal (two
-    encodings of the same pixels/samples embed identically). Formats with
-    no in-sandbox codec keep the deterministic digest-based stand-in
-    (production swaps in a real embedding model via the same batch
-    shape)."""
+    JPEG, and MJPEG AVI via its first frame): [w/1024, h/1024, ch/4,
+    global mean/255, 4 per-channel means/255 (zero-padded), 8 brightness-
+    histogram fractions]; audio (RIFF/WAVE PCM): the mirrored layout over
+    full-scale-normalized samples (ops/audio.wav_feature_vec) — a real,
+    content-derived signal (two encodings of the same pixels/samples embed
+    identically). Formats with no in-sandbox codec keep the deterministic
+    digest-based stand-in (production swaps in a real embedding model via
+    the same batch shape)."""
     import numpy as np
 
     from .audio import wav_feature_vec
@@ -668,6 +689,42 @@ def synth_agif_media(docs: DataFrame) -> DataFrame:
                     frames.append((idx, 0, 0, w, h))
                 rows.append((f"a{i}", "image/gif",
                              gif_encode_animated(w, h, palette, frames)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_avi_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MJPEG-AVI media table derived from doc ids (the
+    test / bench corpus for the video path of ``frame_sample``). Per doc
+    i: w = 8*(1 + i%3) by h = 8*(1 + i%2), 5 + i%8 frames, and frame k is
+    a UNIFORM grayscale baseline JPEG of value (i*7 + k*13) % 95 + 32.
+    A uniform input block has only a DC coefficient, which the Annex-K
+    quantizer round-trips exactly at the default quality (|dequant error|
+    < 4 over an 8-pixel IDCT spread — verified exhaustively for all 256
+    values in tests/test_avi.py), so the decoded frame is EXACTLY the
+    uniform source value: an independent SQL engine reconstructs each
+    sampled frame's decoded samples as one repeated ASCII char WITHOUT an
+    AVI or JPEG library, and the RIFF LIST walk plus the full JPEG entropy
+    decode (markers, Huffman, dequant, IDCT) must all be spec-correct for
+    the driver oracle to match."""
+    from .avicodec import avi_encode
+    from .jpegcodec import jpeg_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 8 * (1 + i % 3)
+                h = 8 * (1 + i % 2)
+                frames = [
+                    jpeg_encode(bytes([(i * 7 + k * 13) % 95 + 32]) * (w * h),
+                                w, h, 1)
+                    for k in range(5 + i % 8)
+                ]
+                rows.append((f"v{i}", "video/avi", avi_encode(frames, w, h)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -96,6 +96,7 @@ def test_image_codec_mutations_stay_typed():
     error class (GifError/JpegError/PngError/BmpError, all ValueError, or
     the NotImplementedError unsupported-mode subclass) — never an untyped
     escape, never unbounded output."""
+    from marky_spark.ops.avicodec import avi_encode
     from marky_spark.ops.bmpcodec import bmp_encode
     from marky_spark.ops.gifcodec import gif_encode
     from marky_spark.ops.jpegcodec import jpeg_encode
@@ -110,6 +111,7 @@ def test_image_codec_mutations_stay_typed():
         jpeg_encode(px, 16, 12, 3),
         png_encode(px, 16, 12, 3),
         bmp_encode(px, 16, 12, 3),
+        avi_encode([jpeg_encode(px, 16, 12, 3)] * 3, 16, 12),
     ]
     n = max(N // 2, 50)
     for data in samples:
