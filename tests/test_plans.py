@@ -271,3 +271,33 @@ def test_embedded_media_bridge_is_jvm_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
     assert "Generate" in plan  # the explode
+
+
+def test_audio_pipeline_is_fully_narrow(spark):
+    """WAV generate → audio_features, like the PNG/GIF twins, is Arrow
+    maps over the scan — zero Exchange: per-blob audio decode never
+    justifies a shuffle."""
+    from marky_spark.ops.audio import audio_features, synth_wav_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(audio_features(synth_wav_media(docs)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 2  # encode stage + feature stage
+
+
+def test_avi_frame_pipeline_is_fully_narrow(spark):
+    """AVI generate → frame_sample → decode_pixels is a chain of Arrow
+    maps — zero Exchange even though one input row fans out to N frame
+    rows (fan-out inside the Arrow batch, not through a shuffle)."""
+    from marky_spark.ops.multimodal import (
+        decode_pixels,
+        frame_sample,
+        synth_avi_media,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled = frame_sample(synth_avi_media(docs), n_frames=4)
+    plan = plan_of(decode_pixels(
+        sampled.selectExpr("media_ref", "frame_bytes as payload")))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 3  # encode + sample + decode
