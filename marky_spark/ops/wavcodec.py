@@ -102,6 +102,11 @@ def wav_decode(data: bytes):
             f"data chunk {len(pcm)} bytes is not a whole number of "
             f"{block_align}-byte frames")
     n_frames = len(pcm) // block_align
+    if n_frames == 0:
+        # technically encodable, but every downstream statistic (means,
+        # normalized features) would be NaN — reject like the image codecs
+        # reject zero-dimension frames
+        raise WavError("empty data chunk (zero frames)")
     if n_frames * channels > MAX_SAMPLES:
         raise WavError(
             f"{n_frames}x{channels} samples exceed cap {MAX_SAMPLES}")

@@ -283,3 +283,20 @@ def test_media_features_routes_wav(spark):
     cut_digest = hashlib.sha256(good[:20]).digest()
     assert rows["cut"] == pytest.approx(
         [(cut_digest[i % 32] - 128) / 128.0 for i in range(16)])
+
+
+def test_zero_frame_wav_rejected_not_nan():
+    """A valid header over an EMPTY data chunk must be a typed error, not
+    a NaN-producing decode (empty-array means would poison the feature
+    vector downstream)."""
+    from marky_spark.ops.audio import wav_feature_vec
+
+    blob = wav_encode([[1]], 8000, bits=16)
+    # shrink the data chunk to zero bytes: header stays valid
+    at = blob.index(b"data")
+    empty = blob[:at] + b"data" + struct.pack("<I", 0)
+    empty = empty[:4] + struct.pack("<I", len(empty) - 8) + empty[8:]
+    with pytest.raises(WavError, match="zero frames"):
+        wav_decode(empty)
+    with pytest.raises(WavError, match="zero frames"):
+        wav_feature_vec(empty)
