@@ -100,9 +100,20 @@ def sniff_kind(path: str, data: bytes) -> str | None:
         return "pdf"
     if data.startswith(b"PK\x03\x04"):
         try:
-            names = zipfile.ZipFile(io.BytesIO(data)).namelist()
+            zf = zipfile.ZipFile(io.BytesIO(data))
+            names = zf.namelist()
         except zipfile.BadZipFile:
             return None
+        # the EPUB spec (OCF 3.0 §3.3) makes the 'mimetype' member's
+        # CONTENT authoritative — check it before the Office prefixes so
+        # an EPUB that also carries a root word/ or xl/ member cannot be
+        # misclassified as an Office container
+        if "mimetype" in names:
+            try:
+                if zf.read("mimetype").strip() == b"application/epub+zip":
+                    return "epub"
+            except Exception:  # noqa: BLE001 — unreadable member: fall
+                pass           # through to the structural checks below
         # per-name prefix checks: substring containment over the joined list
         # would let a member like 'password/x' match 'word/' (and run before
         # the epub check, misclassifying EPUBs)

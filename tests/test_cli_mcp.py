@@ -187,3 +187,36 @@ def test_sniff_zip_member_prefix_not_substring():
     assert sniff_kind("d.bin", zip_bytes(["word/document.xml"])) == "docx"
     assert sniff_kind("x.bin", zip_bytes(["xl/workbook.xml"])) == "xlsx"
     assert sniff_kind("p.bin", zip_bytes(["ppt/slides/slide1.xml"])) == "pptx"
+
+
+def test_sniff_epub_mimetype_content_is_authoritative():
+    """OCF makes the 'mimetype' member's CONTENT authoritative: a hostile
+    EPUB that also carries a root word/ member must classify as epub, not
+    docx (r2 verdict residual). A zip with a non-epub mimetype content
+    still classifies by its Office prefixes, and a real DOCX is
+    unaffected."""
+    import io
+    import zipfile
+
+    from marky_spark.cli import sniff_kind
+
+    def zip_with(entries):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, content in entries:
+                z.writestr(n, content)
+        return buf.getvalue()
+
+    hostile_epub = zip_with([
+        ("mimetype", "application/epub+zip"),
+        ("META-INF/container.xml", "<container/>"),
+        ("word/decoy.xml", "x"),
+    ])
+    assert sniff_kind("h.bin", hostile_epub) == "epub"
+    other_ocf = zip_with([
+        ("mimetype", "application/something-else"),
+        ("word/document.xml", "x"),
+    ])
+    assert sniff_kind("o.bin", other_ocf) == "docx"
+    plain_docx = zip_with([("word/document.xml", "x")])
+    assert sniff_kind("d.bin", plain_docx) == "docx"
