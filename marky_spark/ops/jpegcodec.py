@@ -1,21 +1,28 @@
 """Pure numpy baseline JPEG decoder/encoder — the fourth real image codec
 behind ops/multimodal (after PNG, BMP, GIF).
 
-Baseline sequential DCT (SOF0), 8-bit samples, 1- or 3-component scans,
-arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 / grayscale),
-restart markers, JFIF YCbCr color. Decoding is honestly structural: marker
-walk, quantization/Huffman table management, entropy-decoded MCU stream
-(bit reader over the byte-unstuffed scan), dequantize → de-zigzag → 2-D
-IDCT (numpy matrix form) → plane assembly → chroma upsample → color
-convert. Progressive (SOF2), arithmetic coding, 12-bit precision and
+Baseline sequential DCT (SOF0/1) and progressive DCT (SOF2), 8-bit
+samples, 1- or 3-component scans, arbitrary sampling factors up to 2×2
+(4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart markers, JFIF YCbCr color.
+Decoding is honestly structural: marker walk, quantization/Huffman table
+management, entropy-decoded MCU stream (bit reader over the byte-unstuffed
+scan), dequantize → de-zigzag → 2-D IDCT (numpy matrix form) → plane
+assembly → chroma upsample → color convert. Progressive decoding follows
+T.81 §G.1.2 — spectral selection (per-band scans with EOBn run lengths)
+plus successive approximation (DC bit refinement, AC correction-bit
+descent) accumulated into a zigzag coefficient store across scans, then
+the same batched IDCT. Arithmetic coding, 12-bit precision and
 hierarchical modes raise :class:`JpegUnsupportedError` (a
 NotImplementedError, so the multimodal operators classify those blobs as
 ``codec_unavailable``); malformed payloads raise plain :class:`JpegError`
 (per-blob ``error:`` rows) — never task failures either way.
 
-The encoder (test-fixture inverse) emits baseline 4:4:4 with the standard
+The encoders (test-fixture inverses) emit baseline 4:4:4 with the standard
 Annex-K quantization (libjpeg-style quality scaling) and Huffman tables —
-real entropy coding, so decoder round-trips exercise the full bit path.
+real entropy coding, so decoder round-trips exercise the full bit path —
+and progressive 4:4:4 (:func:`jpeg_encode_progressive`) whose bit layout
+mirrors the spec decoder's reads, quantizing identically to baseline so
+the two encodings of one image must decode byte-identically.
 
 Hostile-input hardening mirrors the other codecs: pixel-count cap before
 any allocation, every malformed structure → JpegError.
@@ -180,6 +187,36 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _unstuff(data: bytes, start: int) -> tuple[bytes, list, int]:
+    """Byte-unstuff one entropy-coded segment starting at ``start``.
+
+    Returns (unstuffed bytes, restart-marker offsets within the unstuffed
+    stream, absolute offset of the terminating marker's 0xFF — or
+    ``len(data)`` if the segment runs to end of input)."""
+    out = bytearray()
+    rst_points: list[int] = []
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            if i + 1 >= n:
+                return bytes(out), rst_points, n
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_points.append(len(out))
+                i += 2
+                continue
+            return bytes(out), rst_points, i  # EOI or next marker
+        out.append(b)
+        i += 1
+    return bytes(out), rst_points, n
+
+
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """JPEG bytes → (width, height, channels, raw interleaved 8-bit
     samples, rows top-down) — the same contract as ``png_decode``.
@@ -195,11 +232,17 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (w, h, comps) — comps: [(cid, hs, vs, tq)]
     scan = None
+    progressive = False
+    prog_coefs = None  # per-comp int32 (by, bx, 64) zigzag-order coefficients
+    prog_geom = None  # (hmax, vmax, mcus_x, mcus_y)
+    prog_scans = 0
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
@@ -238,7 +281,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 t = _build_huffman(counts, symbols)
                 (ac_tables if tc else dc_tables)[th] = t
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6:
                 raise JpegError("truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -258,10 +301,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     raise JpegError(f"unsupported sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegUnsupportedError(
-                f"unsupported JPEG mode (SOF{marker - 0xC0}) — baseline only")
+                f"unsupported JPEG mode (SOF{marker - 0xC0}) — "
+                "baseline and progressive Huffman only")
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise JpegError("truncated DRI")
@@ -269,17 +314,74 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise JpegError("truncated SOS header")
             ns = body[0]
-            sel = {}
+            if not (1 <= ns <= 4):
+                raise JpegError(f"bad scan component count {ns}")
+            if not progressive:
+                sel = {}
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                scan = (sel, pos + 2 + seg_len)
+                break
+            # progressive: decode this scan now, keep walking markers
+            w, h, comps = frame
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            scan_list = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            scan = (sel, pos + 2 + seg_len)
-            break
+                if cs not in cid_index:
+                    raise JpegError(f"scan component {cs} not in frame")
+                scan_list.append((cid_index[cs], tt >> 4, tt & 0x0F))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if prog_coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                prog_geom = (hmax, vmax, mcus_x, mcus_y)
+                prog_coefs = [
+                    np.zeros((mcus_y * c[2], mcus_x * c[1], 64),
+                             dtype=np.int64)
+                    for c in comps]
+            pos = _decode_prog_scan(
+                data, pos + 2 + seg_len, frame, prog_geom, scan_list,
+                ss, se, ah, al, dc_tables, ac_tables, restart_interval,
+                prog_coefs)
+            prog_scans += 1
+            continue
         # APPn / COM / others: skip
         pos += 2 + seg_len
+
+    if progressive:
+        if prog_coefs is None or prog_scans == 0:
+            raise JpegError("missing SOS")
+        w, h, comps = frame
+        hmax, vmax, mcus_x, mcus_y = prog_geom
+        M = _dct_matrix()
+        full = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            if tq not in qtables:
+                raise JpegError("undefined quantization table")
+            z = prog_coefs[ci].reshape(-1, 64).astype(np.float64)
+            nat = np.zeros_like(z)
+            nat[:, _ZIGZAG] = z
+            blocks = nat.reshape(-1, 8, 8) * qtables[tq]
+            spatial = M.T @ blocks @ M + 128.0
+            bx_n = mcus_x * hs
+            p = (spatial.reshape(mcus_y * vs, bx_n, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(mcus_y * vs * 8, bx_n * 8))
+            if hs < hmax:
+                p = np.repeat(p, hmax // hs, axis=1)
+            if vs < vmax:
+                p = np.repeat(p, vmax // vs, axis=0)
+            full.append(p[:h, :w])
+        return _color_assemble(full, w, h)
 
     if frame is None or scan is None:
         raise JpegError("missing SOF/SOS")
@@ -287,28 +389,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     sel, entropy_start = scan
 
     # byte-unstuff the entropy segment, recording restart-marker positions
-    raw = data[entropy_start:]
-    out = bytearray()
-    rst_points = []  # unstuffed offsets where a restart marker sat
-    i = 0
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF:
-            if i + 1 >= len(raw):
-                break
-            nxt = raw[i + 1]
-            if nxt == 0x00:
-                out.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                rst_points.append(len(out))
-                i += 2
-                continue
-            break  # EOI or next marker
-        out.append(b)
-        i += 1
-    reader = _BitReader(bytes(out))
+    stream, rst_points, _ = _unstuff(data, entropy_start)
+    reader = _BitReader(stream)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -355,6 +437,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 row = carr[bi[ci]]
                 bi[ci] += 1
                 t = _huff_decode(reader, dc_t)
+                if t > 15:
+                    raise JpegError(f"bad DC category {t}")
                 diff = _extend(reader.read_bits(t), t) if t else 0
                 preds[ci] += diff
                 row[0] = preds[ci]
@@ -388,7 +472,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
 
-    if len(comps) == 1:
+    return _color_assemble(full, w, h)
+
+
+def _color_assemble(full, w: int, h: int) -> tuple[int, int, int, bytes]:
+    """Cropped float sample planes → (w, h, channels, bytes): grayscale
+    pass-through or JFIF YCbCr → RGB."""
+    import numpy as np
+
+    if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
     y, cb, cr = full
@@ -398,6 +490,189 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     rgb = np.stack([r, g, b], axis=-1)
     rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+def _decode_prog_scan(data: bytes, entropy_start: int, frame, geom,
+                      scan_list, ss: int, se: int, ah: int, al: int,
+                      dc_tables: dict, ac_tables: dict,
+                      restart_interval: int, coefs_z: list) -> int:
+    """Decode one progressive (SOF2) scan into ``coefs_z`` in place and
+    return the absolute offset of the terminating marker.
+
+    Implements T.81 §G.1.2 spectral selection + successive approximation:
+    DC first/refine (point transform = arithmetic shift, refinement ORs in
+    bit ``al``), AC first (EXTEND << al, EOBn run lengths), and AC
+    refinement (correction bits at every nonzero-history coefficient passed
+    during the zero-run descent, newly-nonzero values ±1<<al). Coefficients
+    are stored two's-complement in zigzag order, so DC bit-OR refinement is
+    exact for negative values. ``scan_list`` is [(comp_index, td, ta)] in
+    SOS order; restart intervals split the unstuffed stream at the recorded
+    RSTn offsets, resetting predictions and the EOB run."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+
+    ns = len(scan_list)
+    if ss == 0:
+        if se != 0:
+            raise JpegError("progressive DC scan must have Se == 0")
+    else:
+        if ns != 1:
+            raise JpegError("progressive AC scan must be non-interleaved")
+        if not (ss <= se <= 63):
+            raise JpegError("bad spectral selection")
+    if al > 13 or ah > 13:
+        raise JpegError("bad successive-approximation bits")
+    for ci, td, ta in scan_list:
+        if ss == 0 and ah == 0 and td not in dc_tables:
+            raise JpegError("scan references undefined DC Huffman table")
+        if ss > 0 and ta not in ac_tables:
+            raise JpegError("scan references undefined AC Huffman table")
+
+    stream, rst_points, end_pos = _unstuff(data, entropy_start)
+    if restart_interval and rst_points:
+        bounds = rst_points + [len(stream)]
+        segments = [stream[:rst_points[0]]] + [
+            stream[a:b] for a, b in zip(rst_points, bounds[1:])]
+    else:
+        segments = [stream]
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+
+    p1 = 1 << al
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def maybe_restart(unit_idx: int) -> None:
+        nonlocal reader
+        if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+            nxt = next(seg_iter, None)
+            if nxt is None:
+                raise JpegError("missing restart segment")
+            reader = _BitReader(nxt)
+            state["eobrun"] = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    def refine_nonzero(row, k: int) -> None:
+        # correction bit: add 1<<al toward larger magnitude if set and the
+        # bit is not already present (two's-complement & matches C ints)
+        if reader.read_bits(1) and (int(row[k]) & p1) == 0:
+            row[k] += p1 if row[k] >= 0 else -p1
+
+    def dc_first(row, ci: int, dc_t) -> None:
+        t = _huff_decode(reader, dc_t)
+        if t > 15:
+            raise JpegError(f"bad DC category {t}")
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        preds[ci] += diff
+        row[0] = preds[ci] << al
+
+    def dc_refine(row) -> None:
+        if reader.read_bits(1):
+            row[0] = int(row[0]) | p1
+
+    def ac_first(row, ac_t) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise JpegError("AC run past band end")
+                row[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+            else:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    return
+                k += 16  # ZRL
+
+    def ac_refine(row, ac_t) -> None:
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    # r == 15 (ZRL): descend over 16 zero-history slots
+                else:
+                    if s != 1:
+                        raise JpegError("invalid refinement magnitude")
+                    newval = p1 if reader.read_bits(1) else -p1
+                # advance over nonzero-history coefficients (reading their
+                # correction bits) and r still-zero coefficients
+                while k <= se:
+                    if row[k] != 0:
+                        refine_nonzero(row, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if row[k] != 0:
+                    refine_nonzero(row, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ns > 1:
+        # interleaved scan (DC bands only): MCU order, SOS component order
+        n_mcus = mcus_x * mcus_y
+        for n_mcu in range(n_mcus):
+            maybe_restart(n_mcu)
+            my, mx = divmod(n_mcu, mcus_x)
+            for ci, td, ta in scan_list:
+                _, hs, vs, _ = comps[ci]
+                dc_t = dc_tables.get(td)
+                carr = coefs_z[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        row = carr[my * vs + v, mx * hs + u]
+                        if ah == 0:
+                            dc_first(row, ci, dc_t)
+                        else:
+                            dc_refine(row)
+    else:
+        # non-interleaved: the component's own (unpadded) block raster
+        ci, td, ta = scan_list[0]
+        _, hs, vs, _ = comps[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bw_c = -(-cw // 8)
+        bh_c = -(-ch // 8)
+        carr = coefs_z[ci]
+        dc_t = dc_tables.get(td)
+        ac_t = ac_tables.get(ta)
+        for bidx in range(bw_c * bh_c):
+            maybe_restart(bidx)
+            by, bx = divmod(bidx, bw_c)
+            row = carr[by, bx]
+            if ss == 0:
+                if ah == 0:
+                    dc_first(row, ci, dc_t)
+                else:
+                    dc_refine(row)
+            elif ah == 0:
+                ac_first(row, ac_t)
+            else:
+                ac_refine(row, ac_t)
+    return end_pos
 
 
 # ---------------------------------------------------------------------------
@@ -654,5 +929,303 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test fixture for the SOF2 decode path)
+# ---------------------------------------------------------------------------
+
+def _quantized_planes(pixels: bytes, width: int, height: int,
+                      channels: int, quality: int):
+    """Raw samples → per-component quantized coefficient arrays of shape
+    (blocks_y, blocks_x, 64) in ZIGZAG order (4:4:4, same color transform,
+    padding, DCT and quantization as the baseline encoder — so a baseline
+    and a progressive encode of the same pixels decode identically)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    else:
+        comps = [arr[..., 0]]
+    ql = _quality_scale(_STD_LUMA_Q, quality)
+    qc = _quality_scale(_STD_CHROMA_Q, quality)
+    qmat = [np.asarray(q, dtype=np.float64).reshape(8, 8)
+            for q in ([ql, qc] if channels == 3 else [ql])]
+    M = _dct_matrix()
+    bw = 8 * (-(-width // 8))
+    bh = 8 * (-(-height // 8))
+    planes = []
+    for ci, p in enumerate(comps):
+        pp = np.empty((bh, bw), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1:width]
+        pp -= 128.0
+        blocks = (pp.reshape(bh // 8, 8, bw // 8, 8)
+                  .transpose(0, 2, 1, 3))  # (by, bx, 8, 8)
+        coef = M @ blocks @ M.T
+        qz = np.round(coef / qmat[0 if ci == 0 else 1]).astype(np.int64)
+        planes.append(qz.reshape(bh // 8, bw // 8, 64)[:, :, _ZIGZAG])
+    return planes, ql, qc
+
+
+def _uniform_huffman(symbols: set) -> tuple[bytes, bytes, dict]:
+    """All used symbols at one canonical code length L with 2**L > n, so
+    the all-ones code is never assigned — (counts16, symbols, sym→(code,
+    len)). Rate-suboptimal on purpose: the encoder is a test fixture."""
+    syms = sorted(symbols) or [0x00]
+    n = len(syms)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    counts = bytearray(16)
+    counts[length - 1] = n
+    enc = {s: (i, length) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), enc
+
+
+def jpeg_encode_progressive(pixels: bytes, width: int, height: int,
+                            channels: int = 3, quality: int = 90,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF encoder mirroring the T.81 §G.1.2 decoder
+    bit placement exactly: an interleaved DC-first scan (Al=1), per-
+    component AC spectral-selection scans at Al=2, AC successive-
+    approximation refinements (Ah=2→1 then 1→0) with correction bits laid
+    out by simulating the decoder's zero-run descent, cross-block EOBn runs
+    in AC-first scans, and a final DC refinement scan. Quantization matches
+    :func:`jpeg_encode`, so ``jpeg_decode`` of the two encodings of the
+    same pixels is byte-identical — the round-trip test that pins every
+    progressive decode path. Per-scan Huffman tables are rebuilt from the
+    symbols the scan actually uses (exercising DHT redefinition between
+    scans). ``restart_interval`` > 0 inserts RSTn markers in every scan."""
+    import struct as _struct
+
+    if channels not in (1, 3):
+        raise JpegError(f"unsupported channel count {channels}")
+    if not (0 < width <= 65535 and 0 < height <= 65535):
+        raise JpegError(f"dimensions {width}x{height} exceed u16 fields")
+    if len(pixels) != width * height * channels:
+        raise JpegError(
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"want {width * height * channels}")
+    planes, ql, qc = _quantized_planes(pixels, width, height,
+                                       channels, quality)
+    by, bx = planes[0].shape[0], planes[0].shape[1]
+
+    def tid_of(ci: int) -> int:
+        return 0 if ci == 0 else 1
+
+    def dc_scan_ops(comp_ids, al_: int, refine: bool) -> list:
+        ops = []
+        preds = {ci: 0 for ci in comp_ids}
+        n_mcu = 0
+        for yy in range(by):
+            for xx in range(bx):
+                if restart_interval and n_mcu and \
+                        n_mcu % restart_interval == 0:
+                    ops.append(("rst",))
+                    for ci in comp_ids:
+                        preds[ci] = 0
+                n_mcu += 1
+                for ci in comp_ids:
+                    v = int(planes[ci][yy, xx, 0])
+                    if refine:
+                        ops.append(("b", (v >> al_) & 1, 1))
+                        continue
+                    sv = v >> al_  # DC point transform: arithmetic shift
+                    diff = sv - preds[ci]
+                    preds[ci] = sv
+                    t = _category(diff)
+                    ops.append(("s", 0, tid_of(ci), t))
+                    if t:
+                        ops.append(("b", diff if diff >= 0 else
+                                    diff + (1 << t) - 1, t))
+        return ops
+
+    def ac_first_ops(ci: int, ss: int, se: int, al_: int) -> list:
+        ops = []
+        tid = tid_of(ci)
+        pending = [0]
+
+        def flush_eob():
+            while pending[0]:
+                r = min(14, pending[0].bit_length() - 1)
+                run = min(pending[0], (1 << (r + 1)) - 1)
+                ops.append(("s", 1, tid, r << 4))
+                if r:
+                    ops.append(("b", run - (1 << r), r))
+                pending[0] -= run
+
+        n_blk = 0
+        for yy in range(by):
+            for xx in range(bx):
+                if restart_interval and n_blk and \
+                        n_blk % restart_interval == 0:
+                    flush_eob()
+                    ops.append(("rst",))
+                n_blk += 1
+                row = planes[ci][yy, xx]
+                band = []
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    a = abs(v) >> al_
+                    band.append(a if v >= 0 else -a)
+                last = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last = i
+                if last < 0:
+                    pending[0] += 1
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("s", 1, tid, 0xF0))
+                        run -= 16
+                    s = _category(v)
+                    ops.append(("s", 1, tid, (run << 4) | s))
+                    ops.append(("b", v if v >= 0 else
+                                v + (1 << s) - 1, s))
+                    run = 0
+                if last < len(band) - 1:
+                    pending[0] += 1
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci: int, ss: int, se: int, ah_: int,
+                      al_: int) -> list:
+        # mirrors the decoder's descent exactly; EOB0 per block (no
+        # cross-block EOB runs — their buffered correction bits aren't
+        # worth the complexity in a fixture encoder)
+        ops = []
+        tid = tid_of(ci)
+        n_blk = 0
+        for yy in range(by):
+            for xx in range(bx):
+                if restart_interval and n_blk and \
+                        n_blk % restart_interval == 0:
+                    ops.append(("rst",))
+                n_blk += 1
+                row = planes[ci][yy, xx]
+                vals = [int(row[k]) for k in range(ss, se + 1)]
+                hist = [abs(v) >> ah_ != 0 for v in vals]
+                corr = [(abs(v) >> al_) & 1 for v in vals]
+                newly = [i for i, v in enumerate(vals)
+                         if not hist[i] and (abs(v) >> al_) == 1]
+                n = len(vals)
+                k = 0
+                for nk in newly:
+                    while True:
+                        nzeros = sum(1 for j in range(k, nk)
+                                     if not hist[j])
+                        if nzeros <= 15:
+                            break
+                        ops.append(("s", 1, tid, 0xF0))
+                        cnt = 0
+                        j = k
+                        while cnt < 16:
+                            if hist[j]:
+                                ops.append(("b", corr[j], 1))
+                            else:
+                                cnt += 1
+                            j += 1
+                        k = j
+                    ops.append(("s", 1, tid, (nzeros << 4) | 1))
+                    ops.append(("b", 1 if vals[nk] > 0 else 0, 1))
+                    for j in range(k, nk):
+                        if hist[j]:
+                            ops.append(("b", corr[j], 1))
+                    k = nk + 1
+                if k < n:
+                    ops.append(("s", 1, tid, 0x00))
+                    for j in range(k, n):
+                        if hist[j]:
+                            ops.append(("b", corr[j], 1))
+        return ops
+
+    # scan script: DC first (Al=1) → AC bands (Al=2) → AC refines
+    # (2→1, 1→0) → DC refine
+    all_comps = list(range(channels))
+    scans = [(all_comps, 0, 0, 0, 1, dc_scan_ops(all_comps, 1, False))]
+    for ci in all_comps:
+        scans.append(([ci], 1, 5, 0, 2, ac_first_ops(ci, 1, 5, 2)))
+    for ci in all_comps:
+        scans.append(([ci], 6, 63, 0, 2, ac_first_ops(ci, 6, 63, 2)))
+    for ci in all_comps:
+        scans.append(([ci], 1, 63, 2, 1, ac_refine_ops(ci, 1, 63, 2, 1)))
+    for ci in all_comps:
+        scans.append(([ci], 1, 63, 1, 0, ac_refine_ops(ci, 1, 63, 1, 0)))
+    scans.append((all_comps, 0, 0, 1, 0, dc_scan_ops(all_comps, 0, True)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zl = bytes(int(ql[_ZIGZAG[i]]) for i in range(64))
+    out += seg(0xDB, b"\x00" + zl)
+    if channels == 3:
+        zc = bytes(int(qc[_ZIGZAG[i]]) for i in range(64))
+        out += seg(0xDB, b"\x01" + zc)
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))
+    sof = _struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+
+    for comp_ids, ss, se, ah, al, ops in scans:
+        # per-scan Huffman tables from the symbols actually used
+        used: dict[tuple[int, int], set] = {}
+        for op in ops:
+            if op[0] == "s":
+                used.setdefault((op[1], op[2]), set()).add(op[3])
+        # a scan that huff-decodes needs its table defined even if the
+        # op stream happens to be symbol-free
+        if ss == 0 and ah == 0:
+            for ci in comp_ids:
+                used.setdefault((0, tid_of(ci)), set())
+        elif ss > 0:
+            for ci in comp_ids:
+                used.setdefault((1, tid_of(ci)), set())
+        enc: dict[tuple[int, int], dict] = {}
+        for (tc, th), syms in sorted(used.items()):
+            counts, symbols, table = _uniform_huffman(syms)
+            out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
+            enc[(tc, th)] = table
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = tid_of(ci)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        writer = _BitWriter()
+        rst_idx = 0
+        for op in ops:
+            if op[0] == "s":
+                code, ln = enc[(op[1], op[2])][op[3]]
+                writer.write(code, ln)
+            elif op[0] == "b":
+                writer.write(op[1], op[2])
+            else:  # rst
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+        writer.flush()
+        out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

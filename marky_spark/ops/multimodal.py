@@ -3,18 +3,18 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` signatures. The codec layer is split:
 
-- **PNG, uncompressed BMP, GIF and baseline JPEG are real codecs** (ops/pngcodec: chunk
+- **PNG, uncompressed BMP, GIF and JPEG are real codecs** (ops/pngcodec: chunk
   walk, CRC verify, inflate, filter reconstruction, palette expansion;
   ops/bmpcodec: BGR(A) row grid; ops/gifcodec: real LZW, color tables,
-  interlacing; ops/jpegcodec: baseline DCT, Huffman, 4:2:0 — all pure
+  interlacing; ops/jpegcodec: baseline+progressive DCT, Huffman, 4:2:0 — all pure
   stdlib+numpy). Payloads of those formats
   (signature/structure-sniffed) decode/resize for real by default, and
   media_features computes content-derived statistics from their pixels.
 - Formats with no in-sandbox library (audio, video) keep the
   deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
-  recognized-but-unimplemented JPEG modes (progressive/arithmetic/12-bit)
-  classify as ``codec_unavailable`` rows (JpegUnsupportedError is a
-  NotImplementedError); ``decoder=``/``resizer=`` accept real codecs
+  recognized-but-unimplemented JPEG modes (arithmetic/12-bit —
+  progressive now real-decodes) classify as ``codec_unavailable`` rows
+  (JpegUnsupportedError is a NotImplementedError); ``decoder=``/``resizer=`` accept real codecs
   (e.g. PIL-based) in production through the same batch shape.
 
 Operators:
@@ -64,11 +64,12 @@ DECODED_SCHEMA = StructType([
 
 
 def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec: PNG, uncompressed BMP, GIF and baseline JPEG are fully
-    implemented in pure stdlib+numpy (ops/pngcodec, ops/bmpcodec,
-    ops/gifcodec, ops/jpegcodec); other formats (audio/video/progressive
-    JPEG) have no in-sandbox codec and raise NotImplementedError, which
-    the operators surface as ``codec_unavailable`` rows."""
+    """Real codec: PNG, uncompressed BMP, GIF and both baseline and
+    progressive JPEG are fully implemented in pure stdlib+numpy
+    (ops/pngcodec, ops/bmpcodec, ops/gifcodec, ops/jpegcodec); other
+    formats (non-WAV audio, arithmetic/12-bit JPEG) have no in-sandbox
+    codec and raise NotImplementedError, which the operators surface as
+    ``codec_unavailable`` rows."""
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
@@ -100,7 +101,7 @@ def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
 
 def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     """Default decoder: real decode when the payload IS a PNG, uncompressed
-    BMP, GIF or baseline JPEG (signature/structure sniff, not mime trust —
+    BMP, GIF or JPEG (signature/structure sniff, not mime trust —
     the sniffs are strict enough that arbitrary text bytes can never take
     a real path), digest-derived fake otherwise — other formats keep the
     deterministic stand-in until their codecs exist in this environment."""
@@ -399,7 +400,7 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                                  hashlib.md5(px).hexdigest(), "ok"))
                 except NotImplementedError:
                     # recognized format, unimplemented mode (e.g.
-                    # progressive JPEG) — the payload is fine
+                    # arithmetic-coded JPEG) — the payload is fine
                     rows.append((ref, None, None, None, None, None,
                                  "codec_unavailable"))
                 except PngError as exc:
@@ -429,7 +430,7 @@ FEATURES_SCHEMA = StructType([
 
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
-    in-sandbox codec (PNG / uncompressed BMP / GIF / baseline JPEG; an
+    in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG; an
     MJPEG AVI contributes its FIRST FRAME — the cheap representative a
     real pipeline embeds for video), else None."""
     from .avicodec import avi_decode_frames, looks_like_avi

@@ -91,14 +91,82 @@ def test_malformed_raises_jpeg_error():
             jpeg_decode(bad)
 
 
-def test_progressive_rejected_cleanly():
-    """SOF2 (progressive) must raise JpegError naming the mode, not decode
-    garbage or escape with a different exception."""
+def test_arithmetic_coding_rejected_cleanly():
+    """SOF9 (arithmetic coding) must raise JpegError naming the mode, not
+    decode garbage or escape with a different exception."""
     good = bytearray(jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3))
     idx = bytes(good).find(b"\xff\xc0")
-    good[idx + 1] = 0xC2
-    with pytest.raises(JpegError, match="SOF2"):
+    good[idx + 1] = 0xC9
+    with pytest.raises(JpegError, match="SOF9"):
         jpeg_decode(bytes(good))
+
+
+def test_progressive_decode_matches_baseline():
+    """The progressive encoder quantizes identically to the baseline one,
+    so decoding the two encodings of the same pixels must be byte-identical
+    — this pins every SOF2 path: interleaved DC scans, spectral-selection
+    AC bands, successive-approximation refinement (correction bits, newly-
+    nonzero insertion, ZRL descent), EOBn runs, and DC bit refinement."""
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    rng = np.random.RandomState(3)
+    for (w, h, ch, q) in [(16, 16, 3, 90), (13, 11, 3, 50), (7, 3, 1, 25),
+                          (64, 48, 3, 75), (1, 1, 1, 90), (33, 41, 3, 10)]:
+        img = _gradient(w, h, ch)
+        img = (img.astype(np.int32)
+               + rng.randint(-40, 40, img.shape)).clip(0, 255)
+        px = img.astype(np.uint8).tobytes()
+        base = jpeg_decode(jpeg_encode(px, w, h, ch, quality=q))
+        prog = jpeg_decode(jpeg_encode_progressive(px, w, h, ch, quality=q))
+        assert base == prog
+
+
+def test_progressive_restart_markers():
+    """RSTn markers inside progressive scans: fresh bit reader per
+    restart segment, DC predictions and the EOB run reset."""
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    px = img.tobytes()
+    for ri in (1, 3, 7):
+        base = jpeg_decode(jpeg_encode(px, 40, 24, 3, quality=60,
+                                       restart_interval=ri))
+        prog = jpeg_decode(jpeg_encode_progressive(
+            px, 40, 24, 3, quality=60, restart_interval=ri))
+        assert base == prog
+        assert jpeg_encode_progressive(
+            px, 40, 24, 3, quality=60,
+            restart_interval=ri).count(b"\xff\xd0") >= 1
+
+
+def test_progressive_uniform_is_exact():
+    """A uniform image survives quantization exactly (DC-only blocks), so
+    the progressive decode must reproduce it bit-exactly — same invariant
+    the AVI frame oracle relies on for baseline."""
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    for val in (0, 1, 77, 128, 254, 255):
+        px = bytes([val]) * (24 * 16 * 3)
+        w, h, ch, out = jpeg_decode(
+            jpeg_encode_progressive(px, 24, 16, 3, quality=90))
+        assert (w, h, ch) == (24, 16, 3)
+        assert out == px
+
+
+def test_progressive_truncated_and_malformed():
+    """Truncated or bit-flipped progressive streams must stay inside the
+    typed-error contract (JpegError), never IndexError/struct.error."""
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    img = _gradient(16, 16, 3)
+    good = jpeg_encode_progressive(img.tobytes(), 16, 16, 3)
+    assert jpeg_decode(good)  # sanity
+    for cut in (4, len(good) // 3, len(good) // 2, len(good) - 3):
+        try:
+            jpeg_decode(good[:cut])
+        except JpegError:
+            pass
 
 
 def test_dimension_cap():
@@ -240,22 +308,45 @@ def test_real_pptx_embedded_jpeg_end_to_end(spark):
         (631, 768, 3, "ok")  # ...but the sniff decoded the actual JPEG
 
 
-def test_progressive_classifies_codec_unavailable(spark):
-    """Progressive JPEG is a recognized-but-unimplemented mode: the
+def test_arithmetic_classifies_codec_unavailable(spark):
+    """SOF9 (arithmetic coding) is a recognized-but-unimplemented mode: the
     operators must classify it codec_unavailable (JpegUnsupportedError is
     a NotImplementedError), not an error row and never a fake decode."""
     from pyspark.sql import Row
 
     from marky_spark.ops.multimodal import MEDIA_SCHEMA, decode_media, decode_pixels
 
-    prog = bytearray(jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3))
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
+    arith = bytearray(jpeg_encode(bytes(8 * 8 * 3), 8, 8, 3))
+    idx = bytes(arith).find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
     media = spark.createDataFrame(
-        [Row(media_ref="pj", mime="image/jpeg", payload=bytes(prog))],
+        [Row(media_ref="aj", mime="image/jpeg", payload=bytes(arith))],
         schema=MEDIA_SCHEMA)
     assert decode_media(media).collect()[0]["ok"] == "codec_unavailable"
     assert decode_pixels(media).collect()[0]["ok"] == "codec_unavailable"
+
+
+def test_progressive_decodes_through_spark_operators(spark):
+    """Progressive JPEG is now a REAL decode path: decode_media must
+    report true dims and decode_pixels the same pixels as the local
+    decoder, for a payload the baseline decoder alone could not read."""
+    from pyspark.sql import Row
+
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+    from marky_spark.ops.multimodal import MEDIA_SCHEMA, decode_media, decode_pixels
+
+    img = _gradient(24, 18, 3)
+    prog = jpeg_encode_progressive(img.tobytes(), 24, 18, 3, quality=85)
+    assert prog[3] != 0xC0 and b"\xff\xc2" in prog
+    media = spark.createDataFrame(
+        [Row(media_ref="pj", mime="image/jpeg", payload=prog)],
+        schema=MEDIA_SCHEMA)
+    drow = decode_media(media).collect()[0]
+    assert drow["ok"] == "ok"
+    assert (drow["width"], drow["height"], drow["channels"]) == (24, 18, 3)
+    prow = decode_pixels(media).collect()[0]
+    local = jpeg_decode(prog)[3]
+    assert prow["pixel_md5"] == hashlib.md5(local).hexdigest()
 
 
 def test_jpeg_pixel_cap_is_jpeg_specific():

@@ -99,7 +99,7 @@ def test_image_codec_mutations_stay_typed():
     from marky_spark.ops.avicodec import avi_encode
     from marky_spark.ops.bmpcodec import bmp_encode
     from marky_spark.ops.gifcodec import gif_encode
-    from marky_spark.ops.jpegcodec import jpeg_encode
+    from marky_spark.ops.jpegcodec import jpeg_encode, jpeg_encode_progressive
     from marky_spark.ops.multimodal import _try_decode_pixels
     from marky_spark.ops.pngcodec import MAX_PIXELS, png_encode
 
@@ -109,6 +109,8 @@ def test_image_codec_mutations_stay_typed():
         gif_encode(bytes(b % 8 for b in px[:16 * 12]), 16, 12,
                    bytes(range(24))),
         jpeg_encode(px, 16, 12, 3),
+        jpeg_encode_progressive(px, 16, 12, 3),
+        jpeg_encode_progressive(px, 16, 12, 3, restart_interval=2),
         png_encode(px, 16, 12, 3),
         bmp_encode(px, 16, 12, 3),
         avi_encode([jpeg_encode(px, 16, 12, 3)] * 3, 16, 12),
