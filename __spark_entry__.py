@@ -492,9 +492,13 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic, so LZW round-trip, compositing, and the PNG
     round-trip must all be correct); branch 'v' = REAL MJPEG-AVI frames
     (ops/avicodec: RIFF LIST walk to the movi members, then ops/jpegcodec
-    really entropy-decodes each sampled frame — uniform DC-only frames
-    round-trip exactly, so the oracle reconstructs the decoded samples as
-    one repeated ASCII char with no AVI or JPEG library); branch 'b' = the
+    really entropy-decodes each sampled frame — every third frame is
+    PROGRESSIVE (SOF2, restart markers on odd docs) and the rest baseline,
+    and uniform DC-only frames round-trip exactly through both scan
+    architectures, so the one oracle reconstructs the decoded samples as
+    one repeated ASCII char with no AVI or JPEG library while pinning the
+    progressive DC/AC spectral-selection + successive-approximation paths
+    too); branch 'b' = the
     deterministic byte-slice stand-in for formats with no in-sandbox codec
     (content_md5 = md5 of the slice, which the oracle recomputes from the
     text bytes)."""

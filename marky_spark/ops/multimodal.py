@@ -709,9 +709,15 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
     sampled frame's decoded samples as one repeated ASCII char WITHOUT an
     AVI or JPEG library, and the RIFF LIST walk plus the full JPEG entropy
     decode (markers, Huffman, dequant, IDCT) must all be spec-correct for
-    the driver oracle to match."""
+    the driver oracle to match. Frame k of doc i is PROGRESSIVE (SOF2)
+    when (i + k) % 3 == 0 — with restart markers when i is odd — and
+    baseline otherwise: the quantized coefficients are identical either
+    way (verified exhaustively in tests/test_jpeg.py for the uniform
+    values this corpus uses), so the same oracle arithmetic also pins the
+    progressive scan paths (DC first/refine, AC spectral selection +
+    successive approximation, cross-scan DHT redefinition, RST resync)."""
     from .avicodec import avi_encode
-    from .jpegcodec import jpeg_encode
+    from .jpegcodec import jpeg_encode, jpeg_encode_progressive
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -721,6 +727,10 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
                 w = 8 * (1 + i % 3)
                 h = 8 * (1 + i % 2)
                 frames = [
+                    jpeg_encode_progressive(
+                        bytes([(i * 7 + k * 13) % 95 + 32]) * (w * h),
+                        w, h, 1, restart_interval=i % 2)
+                    if (i + k) % 3 == 0 else
                     jpeg_encode(bytes([(i * 7 + k * 13) % 95 + 32]) * (w * h),
                                 w, h, 1)
                     for k in range(5 + i % 8)

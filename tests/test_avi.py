@@ -50,6 +50,20 @@ def test_uniform_jpeg_roundtrip_exact_all_values():
         assert set(px) == {v}, v
 
 
+def test_uniform_progressive_roundtrip_exact_all_values():
+    """synth_avi_media now encodes every third frame progressively; the
+    same oracle arithmetic only holds if EVERY uniform value also
+    round-trips exactly through the SOF2 scan sequence (with and without
+    restart markers, as the corpus emits both)."""
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    for v in range(256):
+        for ri in (0, 1):
+            _, _, _, px = jpeg_decode(jpeg_encode_progressive(
+                bytes([v]) * 64, 8, 8, 1, restart_interval=ri))
+            assert set(px) == {v}, (v, ri)
+
+
 def test_unknown_chunks_and_junk_are_skipped():
     """Real AVIs carry JUNK padding, idx1 indexes, extra LISTs — the walk
     must skip them (before AND after hdrl/movi) and odd-sized chunks must
@@ -149,15 +163,25 @@ def test_synth_avi_media_matches_oracle_arithmetic(spark):
     from marky_spark.ops.multimodal import synth_avi_media
 
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    n_sof2 = n_sof0 = 0
     for r in synth_avi_media(docs).collect():
         i = int(r["media_ref"][1:])
         w, h, frames = avi_decode_frames(bytes(r["payload"]))
         assert (w, h) == (8 * (1 + i % 3), 8 * (1 + i % 2))
         assert len(frames) == 5 + i % 8
         for k, f in enumerate(frames):
+            # the corpus interleaves real progressive frames among the
+            # baseline ones, so the driver oracle pins BOTH decode paths
+            if (i + k) % 3 == 0:
+                assert b"\xff\xc2" in f and b"\xff\xc0" not in f
+                n_sof2 += 1
+            else:
+                assert b"\xff\xc0" in f and b"\xff\xc2" not in f
+                n_sof0 += 1
             fw, fh, c, px = jpeg_decode(f)
             assert (fw, fh, c) == (w, h, 1)
             assert set(px) == {(i * 7 + k * 13) % 95 + 32}
+    assert n_sof2 > 0 and n_sof0 > 0
 
 
 def test_media_features_routes_avi_first_frame(spark):
