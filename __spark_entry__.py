@@ -561,12 +561,16 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV codec end-to-end (ops/wavcodec via ops/audio): encode
-    deterministic 16-bit PCM → RIFF chunk-walk decode → exact-integer
-    statistics (per-channel sums, zero crossings, peak) plus a REAL
-    half-rate linear resample whose grid lands exactly on source samples
-    (even frame counts → exact decimation). The oracle reconstructs every
-    statistic from doc_id arithmetic WITHOUT a WAV library, so encoder and
-    decoder must both be spec-correct for the values to line up. The
+    deterministic audio — 16-bit PCM for doc_id%3==0, G.711 mu-law (fmt
+    tag 7) for %3==1, G.711 A-law (tag 6) for %3==2, the G.711 samples
+    sitting exactly on each law's decoded lattice so compress→expand is
+    exact — → RIFF chunk-walk decode → exact-integer statistics
+    (per-channel sums, zero crossings, peak) plus a REAL half-rate linear
+    resample whose grid lands exactly on source samples (even frame
+    counts → exact decimation). The oracle reconstructs every statistic
+    from doc_id arithmetic WITHOUT a WAV or G.711 library, so the RIFF
+    layout, PCM parse, and both G.711 segment formulas must all be
+    spec-correct for the values to line up. The
     driver projection coalesces the absent-channel sum (null for mono) to
     0 — an all/mostly-NULL BIGINT column round-trips as float NaN through
     the oracle's pandas bridge; the operator itself keeps the null."""
@@ -1428,11 +1432,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "audio_features": """
-            -- independent reconstruction of the decoded PCM: sample j of
-            -- doc i is (ascii_code_j - 100) * 13 over md5(i) hex repeated,
-            -- interleaved frame-major across 1 + i%2 channels — every
-            -- statistic (sums, zero crossings, peak, half-rate decimation)
-            -- is integer arithmetic, no WAV library on the oracle side
+            -- independent reconstruction of the decoded samples: doc class
+            -- i%3 picks the encoding (0 = 16-bit PCM, 1 = G.711 mu-law,
+            -- 2 = G.711 A-law). PCM sample j is (ascii_code_j - 100) * 13
+            -- over md5(i) hex repeated; G.711 sample j sits exactly on the
+            -- law's decoded lattice (mu: (mant<<(exp+3)) + 132*(2^exp-1);
+            -- A: mant*16+8 for exp 0 else (mant*16+264)<<(exp-1), with
+            -- exp = code%8, mant = code%16, sign from code parity), so the
+            -- compress→expand round-trip is exact and every statistic
+            -- (sums, zero crossings, peak, half-rate decimation) is
+            -- integer arithmetic — no WAV or G.711 library on the oracle
+            -- side, which pins the codec's segment formulas themselves
             WITH m AS (
                 SELECT doc_id,
                        1 + doc_id % 2 AS ch,
@@ -1441,12 +1451,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (
                 SELECT doc_id, ch, rate, n,
-                       list_transform(range(1, (n*ch)::INT + 1),
-                           j -> (unicode(substr(
-                               substr(repeat(md5(doc_id::VARCHAR),
-                                             ((n*ch) // 32 + 1)::INT),
-                                      1, (n*ch)::INT),
-                               j::INT, 1)) - 100) * 13) AS vals
+                       list_transform(
+                           list_transform(range(1, (n*ch)::INT + 1),
+                               j -> unicode(substr(
+                                   substr(repeat(md5(doc_id::VARCHAR),
+                                                 ((n*ch) // 32 + 1)::INT),
+                                          1, (n*ch)::INT),
+                                   j::INT, 1))),
+                           c -> CASE doc_id % 3
+                                WHEN 0 THEN (c - 100) * 13
+                                WHEN 1 THEN
+                                    (CASE WHEN c % 2 = 0 THEN 1 ELSE -1 END)
+                                    * ((c % 16) * (1 << ((c % 8) + 3))
+                                       + 132 * ((1 << (c % 8)) - 1))
+                                ELSE
+                                    (CASE WHEN c % 2 = 0 THEN 1 ELSE -1 END)
+                                    * (CASE WHEN c % 8 = 0
+                                       THEN (c % 16) * 16 + 8
+                                       ELSE ((c % 16) * 16 + 264)
+                                            * (1 << ((c % 8) - 1)) END)
+                                END) AS vals
                 FROM m),
             c AS (
                 SELECT doc_id, ch, rate, n, vals,

@@ -162,23 +162,34 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-WAV media table derived from doc ids (the test /
     bench corpus for the audio codec path). Per doc_id i:
 
-    - channels = 1 + i % 2, rate = 8000 + (i % 4) * 4000, 16-bit PCM
+    - channels = 1 + i % 2, rate = 8000 + (i % 4) * 4000
+    - encoding = i % 3: 0 → 16-bit PCM, 1 → G.711 mu-law (fmt tag 7),
+      2 → G.711 A-law (tag 6) — i%3 and i%2 are coprime, so every law
+      covers both mono and stereo
     - n_frames = 64 + 2 * (i % 32)  (always EVEN, so the half-rate
       resample grid is exact decimation — frame count n/2, samples the
       even-index originals)
-    - interleaved sample j (frame-major) = (code_j - 100) * 13, where
-      code_j is the ASCII code of position j in md5(str(i)) hex repeated —
-      hex digits give negative samples, ``e``/``f`` positive, ``d`` zero,
-      so sums, zero crossings, and peaks all exercise real sign structure
+    - interleaved sample j (frame-major) derives from code_j, the ASCII
+      code of position j in md5(str(i)) hex repeated. PCM docs:
+      (code_j - 100) * 13 — hex digits give negative samples, ``e``/``f``
+      positive, ``d`` zero, so sums, zero crossings, and peaks all
+      exercise real sign structure. G.711 docs: sign_j * lattice(exp_j,
+      mant_j) with exp_j = code_j % 8, mant_j = code_j % 16, sign_j
+      positive iff code_j is even, where lattice() is the law's exact
+      decoded magnitude (mu-law: (mant<<(exp+3)) + 132*(2^exp - 1);
+      A-law: mant*16+8 for exp 0 else (mant*16+264)<<(exp-1)) — every
+      sample sits exactly on the law's decoded lattice, so the G.711
+      compress → expand round-trip is EXACT and the same integer-sum
+      oracle arithmetic holds.
 
     Every statistic ``audio_features`` reports is therefore reconstructible
     by an independent SQL engine from doc_id arithmetic alone — no WAV
-    library on the oracle side — which means the encoder's RIFF layout and
-    the decoder's parse must BOTH be spec-correct for the driver oracle to
-    match."""
+    library on the oracle side — which means the RIFF layout, the PCM
+    parse, AND the G.711 segment encode/decode formulas must ALL be
+    spec-correct for the driver oracle to match."""
     import numpy as np
 
-    from .wavcodec import wav_encode
+    from .wavcodec import wav_encode, wav_encode_g711
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -190,11 +201,25 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 n = 64 + 2 * (i % 32)
                 hexs = hashlib.md5(str(i).encode()).hexdigest()
                 stream = (hexs * (-(-(n * ch) // len(hexs))))[:n * ch]
-                samples = (np.frombuffer(stream.encode("ascii"),
-                                         dtype=np.uint8)
-                           .astype(np.int64) - 100) * 13
-                rows.append((f"w{i}", "audio/wav",
-                             wav_encode(samples.reshape(n, ch), rate)))
+                codes = np.frombuffer(stream.encode("ascii"),
+                                      dtype=np.uint8).astype(np.int64)
+                law = i % 3
+                if law == 0:
+                    samples = (codes - 100) * 13
+                    blob = wav_encode(samples.reshape(n, ch), rate)
+                else:
+                    exp, mant = codes % 8, codes % 16
+                    sign = np.where(codes % 2 == 0, 1, -1)
+                    if law == 1:
+                        mag = (mant << (exp + 3)) + 132 * ((1 << exp) - 1)
+                    else:
+                        mag = np.where(exp == 0, mant * 16 + 8,
+                                       (mant * 16 + 264) <<
+                                       np.maximum(exp - 1, 0))
+                    blob = wav_encode_g711(
+                        (sign * mag).reshape(n, ch), rate,
+                        "mulaw" if law == 1 else "alaw")
+                rows.append((f"w{i}", "audio/wav", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

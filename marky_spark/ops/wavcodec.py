@@ -11,9 +11,18 @@ recognized-but-unimplemented encodings raise :class:`WavUnsupportedError`
 allocations are bounded before they happen.
 
 Scope: canonical PCM (fmt tag 1) at 8-bit unsigned / 16-bit signed
-little-endian, any channel count up to 8. IEEE-float (3) and
-WAVE_FORMAT_EXTENSIBLE (0xFFFE) are recognized and rejected as
-unsupported; everything else malformed is an error.
+little-endian, plus ITU-T G.711 A-law (tag 6) and mu-law (tag 7) —
+the telephony encodings real speech corpora arrive in — expanded to
+16-bit-scale linear through the standard segment/mantissa formulas
+(bias 0x84 mu-law, 0x55-XOR A-law; the decode tables are derived from
+the formulas, not transcribed, and pinned by anchor values + the
+all-256-codes re-encode identity in tests). Any channel count up to 8.
+IEEE-float (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) are recognized and
+rejected as unsupported; everything else malformed is an error.
+
+``wav_decode``'s ``bits`` return is the scale of the returned samples
+(8 for PCM8, 16 for PCM16 and for the expanded G.711 laws), so feature
+normalization downstream is always full-scale-correct.
 """
 from __future__ import annotations
 
@@ -59,6 +68,63 @@ def _chunks(data: bytes):
             raise WavError("trailing bytes are not a RIFF chunk")
 
 
+_G711_LUTS: dict[int, "object"] = {}
+
+
+def _g711_lut(tag: int):
+    """256-entry decode LUT for fmt tag 6 (A-law) / 7 (mu-law), built from
+    the ITU-T G.711 segment formulas (16-bit linear scale)."""
+    import numpy as np
+
+    lut = _G711_LUTS.get(tag)
+    if lut is None:
+        if tag == 7:  # mu-law: codes are transmitted complemented
+            c = np.arange(256, dtype=np.int64) ^ 0xFF
+            exp = (c >> 4) & 0x07
+            mant = c & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            lut = np.where(c & 0x80, -mag, mag).astype(np.int32)
+        else:  # A-law: even bits inverted; sign bit SET means positive
+            a = np.arange(256, dtype=np.int64) ^ 0x55
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            mag = np.where(exp == 0, (mant << 4) + 8,
+                           ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+            lut = np.where(a & 0x80, mag, -mag).astype(np.int32)
+        _G711_LUTS[tag] = lut
+    return lut
+
+
+def linear_to_mulaw(samples):
+    """16-bit-scale linear → mu-law codes (uint8 ndarray), the standard
+    bias-0x84 segment encoder. Inverse of the tag-7 decode LUT on lattice
+    points; nearest-segment quantizer elsewhere."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    m = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.zeros_like(m)
+    for e in range(1, 8):
+        exp = np.where(m >= (0x100 << (e - 1)), e, exp)
+    mant = (m >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def linear_to_alaw(samples):
+    """16-bit-scale linear → A-law codes (uint8 ndarray)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    m = np.minimum(np.abs(x), 32767)
+    exp = np.zeros_like(m)
+    for e in range(1, 8):
+        exp = np.where(m >= (0x100 << (e - 1)), e, exp)
+    mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
 def wav_decode(data: bytes):
     """WAV bytes → ``(sample_rate, n_channels, bits, samples)`` where
     ``samples`` is an int32 ndarray of shape (n_frames, n_channels);
@@ -85,13 +151,16 @@ def wav_decode(data: bytes):
     if tag in (3, 0xFFFE):
         raise WavUnsupportedError(
             f"WAV format tag {tag:#x} (float/extensible) not implemented")
-    if tag != 1:
+    if tag not in (1, 6, 7):
         raise WavError(f"unknown WAV format tag {tag:#x}")
     if not (1 <= channels <= MAX_CHANNELS):
         raise WavError(f"bad channel count {channels}")
     if not (1 <= rate <= MAX_RATE):
         raise WavError(f"bad sample rate {rate}")
-    if bits not in (8, 16):
+    if tag in (6, 7):
+        if bits != 8:
+            raise WavError(f"G.711 requires 8-bit codes, fmt says {bits}")
+    elif bits not in (8, 16):
         raise WavError(f"unsupported PCM bit depth {bits}")
     if block_align != channels * (bits // 8):
         raise WavError(
@@ -110,7 +179,11 @@ def wav_decode(data: bytes):
     if n_frames * channels > MAX_SAMPLES:
         raise WavError(
             f"{n_frames}x{channels} samples exceed cap {MAX_SAMPLES}")
-    if bits == 8:
+    if tag in (6, 7):
+        codes = np.frombuffer(pcm, dtype=np.uint8)
+        samples = _g711_lut(tag)[codes].astype(np.int32)
+        bits = 16  # samples are on the expanded 16-bit linear scale
+    elif bits == 8:
         samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
     else:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
@@ -148,6 +221,43 @@ def wav_encode(samples, sample_rate: int, bits: int = 16) -> bytes:
     block_align = channels * (bits // 8)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_g711(samples, sample_rate: int, law: str = "mulaw") -> bytes:
+    """16-bit-scale linear samples (ndarray shape (n_frames, n_channels))
+    → a G.711 WAV (fmt tag 7 mu-law / 6 A-law, 8-bit codes). The fixture
+    inverse of the tag-6/7 decode path: for samples on the law's decoded
+    lattice the round-trip is EXACT, which is what the synthetic-corpus
+    oracle arithmetic relies on."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if arr.ndim != 2 or arr.shape[0] < 1:
+        raise WavError(f"samples must be (n_frames, n_channels), got "
+                       f"shape {arr.shape}")
+    n_frames, channels = arr.shape
+    if not (1 <= channels <= MAX_CHANNELS):
+        raise WavError(f"bad channel count {channels}")
+    if not (1 <= sample_rate <= MAX_RATE):
+        raise WavError(f"bad sample rate {sample_rate}")
+    if arr.min() < -32768 or arr.max() > 32767:
+        raise WavError("16-bit samples out of [-32768, 32767]")
+    if law == "mulaw":
+        tag, codes = 7, linear_to_mulaw(arr)
+    elif law == "alaw":
+        tag, codes = 6, linear_to_alaw(arr)
+    else:
+        raise WavError(f"unknown G.711 law {law!r}")
+    pcm = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm

@@ -181,12 +181,25 @@ def test_audio_features_spark(spark):
              for r in audio_features(synth_wav_media(docs)).collect()}
     assert len(feats) == 8
     import hashlib
-    for i in (0, 1, 5):
+
+    def sample(code: int, law: int) -> int:
+        # mirror of synth_wav_media's per-class value formula: PCM scaled
+        # ascii, or the G.711 law's exact decoded-lattice point
+        if law == 0:
+            return (code - 100) * 13
+        sign = 1 if code % 2 == 0 else -1
+        exp, mant = code % 8, code % 16
+        if law == 1:
+            return sign * ((mant << (exp + 3)) + 132 * ((1 << exp) - 1))
+        return sign * ((mant * 16 + 8) if exp == 0
+                       else (mant * 16 + 264) << (exp - 1))
+
+    for i in (0, 1, 5):  # PCM16, mu-law, A-law respectively (i % 3)
         ch = 1 + i % 2
         n = 64 + 2 * (i % 32)
         hexs = hashlib.md5(str(i).encode()).hexdigest()
         stream = (hexs * (-(-(n * ch) // len(hexs))))[:n * ch]
-        vals = [(ord(c) - 100) * 13 for c in stream]
+        vals = [sample(ord(c), i % 3) for c in stream]
         c0 = vals[::ch]
         r = feats[f"w{i}"]
         assert r["ok"] == "ok"
@@ -300,3 +313,127 @@ def test_zero_frame_wav_rejected_not_nan():
         wav_decode(empty)
     with pytest.raises(WavError, match="zero frames"):
         wav_feature_vec(empty)
+
+
+# --- G.711 mu-law / A-law (fmt tags 7 / 6) ---------------------------------
+
+
+def test_g711_decode_anchor_values():
+    """The derived LUTs must reproduce the classic published table anchors
+    (ITU-T G.711): mu-law full scale ±32124 with two zero codes, A-law
+    ±32256 with ±8 as the smallest magnitudes (no zero)."""
+    from marky_spark.ops.wavcodec import _g711_lut
+
+    mu, al = _g711_lut(7), _g711_lut(6)
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert mu[0x7F] == 0 and mu[0xFF] == 0
+    assert al[0x2A] == -32256 and al[0xAA] == 32256
+    assert al[0x55] == -8 and al[0xD5] == 8
+    # odd symmetry: flipping the sign bit negates the sample
+    assert (mu[np.arange(128)] == -mu[np.arange(128) + 128]).all()
+    assert (al[np.arange(256) ^ 0x80] == -al[np.arange(256)]).all()
+    assert (np.abs(al[np.arange(256)]) >= 8).all()  # A-law has no zero
+
+
+def test_g711_reencode_identity_all_codes():
+    """decode → encode returns the original code for all 256 codes of both
+    laws — except mu-law 0x7F ("negative zero"), which canonically
+    collapses onto 0xFF like every standard encoder does."""
+    from marky_spark.ops.wavcodec import (
+        _g711_lut,
+        linear_to_alaw,
+        linear_to_mulaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    back = linear_to_mulaw(_g711_lut(7)[codes])
+    mismatch = codes[back != codes]
+    assert list(mismatch) == [0x7F] and back[0x7F] == 0xFF
+    assert (linear_to_alaw(_g711_lut(6)[codes]) == codes).all()
+
+
+@pytest.mark.parametrize("law,tag", [("mulaw", 7), ("alaw", 6)])
+def test_g711_container_round_trip_exact_on_lattice(law, tag):
+    """Lattice samples (every decodable value) survive the full WAV
+    container round-trip exactly, stereo, reported at 16-bit scale."""
+    from marky_spark.ops.wavcodec import _g711_lut, wav_encode_g711
+
+    vals = _g711_lut(tag)[np.arange(256)].astype(np.int64).reshape(-1, 2)
+    blob = wav_encode_g711(vals, 8000, law)
+    assert struct.unpack_from("<H", blob, 20)[0] == tag
+    rate, ch, bits, samples = wav_decode(blob)
+    assert (rate, ch, bits) == (8000, 2, 16)
+    assert (samples == vals).all()
+
+
+def test_g711_quantizes_off_lattice_to_nearest_segment():
+    """Arbitrary 16-bit PCM compressed to G.711 decodes within the
+    segment's quantization step (the telephony loss contract), and
+    re-compressing the decoded value is idempotent."""
+    from marky_spark.ops.wavcodec import _g711_lut, linear_to_mulaw
+
+    rng = random.Random(0x6711)
+    xs = np.array([rng.randint(-32635, 32635) for _ in range(4096)],
+                  dtype=np.int64)
+    dec = _g711_lut(7)[linear_to_mulaw(xs)].astype(np.int64)
+    # step at magnitude |x| is 8 << exp where exp is the segment of |x|+bias
+    m = np.abs(xs) + 0x84
+    exp = np.zeros_like(m)
+    for e in range(1, 8):
+        exp = np.where(m >= (0x100 << (e - 1)), e, exp)
+    assert (np.abs(dec - xs) <= (8 << exp)).all()
+    assert (linear_to_mulaw(dec) == linear_to_mulaw(xs)).all()
+
+
+def test_g711_malformed_fmt_rejected():
+    """G.711 with a non-8-bit code size or wrong block align is malformed
+    (typed error), not a decode."""
+    from marky_spark.ops.wavcodec import wav_encode_g711
+
+    blob = bytearray(wav_encode_g711(np.arange(16).reshape(-1, 1), 8000))
+    blob[34:36] = struct.pack("<H", 16)  # bits field inside fmt
+    with pytest.raises(WavError, match="8-bit codes"):
+        wav_decode(bytes(blob))
+    blob = bytearray(wav_encode_g711(np.arange(16).reshape(-1, 1), 8000))
+    blob[32:34] = struct.pack("<H", 5)  # block align
+    with pytest.raises(WavError, match="block align"):
+        wav_decode(bytes(blob))
+
+
+def test_g711_mutations_stay_typed():
+    """Mutation contract extends to the G.711 container path."""
+    from tests.test_mutation_fuzz import _mutate
+    from marky_spark.ops.wavcodec import wav_encode_g711
+
+    rng = random.Random(0xA1A3)
+    base = wav_encode_g711(
+        np.array([[(i * 37) % 2000 - 1000] for i in range(64)]), 8000,
+        "alaw")
+    for _ in range(300):
+        blob = _mutate(rng, base)
+        try:
+            _, ch, _, samples = wav_decode(blob)
+        except (WavError, WavUnsupportedError):
+            continue
+        assert samples.size <= MAX_SAMPLES
+        assert samples.shape[1] == ch
+
+
+def test_wav_feature_vec_g711_near_invariant_to_pcm():
+    """A G.711 encoding of a PCM16 signal must embed CLOSE to the PCM
+    embedding (same decoded scale; only segment quantization differs) —
+    the audio analogue of the image depth-invariance test."""
+    from marky_spark.ops.audio import wav_feature_vec
+    from marky_spark.ops.wavcodec import wav_encode_g711
+
+    rng = random.Random(0xFEA7)
+    sig = np.array([[rng.randint(-30000, 30000)] for _ in range(256)],
+                   dtype=np.int64)
+    v_pcm = wav_feature_vec(wav_encode(sig, 16000, bits=16))
+    v_mu = wav_feature_vec(wav_encode_g711(sig, 16000, "mulaw"))
+    v_al = wav_feature_vec(wav_encode_g711(sig, 16000, "alaw"))
+    for v in (v_mu, v_al):
+        assert v is not None
+        # rate/channels/frames identical; means/hist within quant error
+        assert v[0] == v_pcm[0] and v[1] == v_pcm[1] and v[2] == v_pcm[2]
+        assert max(abs(a - b) for a, b in zip(v, v_pcm)) < 0.05
