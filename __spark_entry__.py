@@ -560,11 +560,15 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV codec end-to-end (ops/wavcodec via ops/audio): encode
-    deterministic audio — 16-bit PCM for doc_id%3==0, G.711 mu-law (fmt
-    tag 7) for %3==1, G.711 A-law (tag 6) for %3==2, the G.711 samples
-    sitting exactly on each law's decoded lattice so compress→expand is
-    exact — → RIFF chunk-walk decode → exact-integer statistics
+    """REAL audio codecs end-to-end (ops/wavcodec + ops/flaccodec via
+    ops/audio): encode deterministic audio — FLAC for doc_id%4==3
+    (lossless multi-frame streams: sync/header/CRC-8/CRC-16, FIXED+rice
+    and VERBATIM subframes all pinned because the PCM sample formula must
+    survive bit-exactly), else WAV with 16-bit PCM for doc_id%3==0,
+    G.711 mu-law (fmt tag 7) for %3==1, A-law (tag 6) for %3==2, the
+    G.711 samples sitting exactly on each law's decoded lattice so
+    compress→expand is exact — → container decode → exact-integer
+    statistics
     (per-channel sums, zero crossings, peak) plus a REAL half-rate linear
     resample whose grid lands exactly on source samples (even frame
     counts → exact decimation). The oracle reconstructs every statistic
@@ -1432,9 +1436,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "audio_features": """
-            -- independent reconstruction of the decoded samples: doc class
-            -- i%3 picks the encoding (0 = 16-bit PCM, 1 = G.711 mu-law,
-            -- 2 = G.711 A-law). PCM sample j is (ascii_code_j - 100) * 13
+            -- independent reconstruction of the decoded samples: docs with
+            -- i%4 = 3 are FLAC (lossless, PCM formula survives exactly —
+            -- pinning frame sync/header/CRCs, subframe + rice decode);
+            -- the rest are WAV with i%3 picking the encoding (0 = 16-bit
+            -- PCM, 1 = G.711 mu-law, 2 = G.711 A-law).
+            -- PCM sample j is (ascii_code_j - 100) * 13
             -- over md5(i) hex repeated; G.711 sample j sits exactly on the
             -- law's decoded lattice (mu: (mant<<(exp+3)) + 132*(2^exp-1);
             -- A: mant*16+8 for exp 0 else (mant*16+264)<<(exp-1), with
@@ -1458,9 +1465,10 @@ def oracle_sql() -> dict[str, str]:
                                                  ((n*ch) // 32 + 1)::INT),
                                           1, (n*ch)::INT),
                                    j::INT, 1))),
-                           c -> CASE doc_id % 3
-                                WHEN 0 THEN (c - 100) * 13
-                                WHEN 1 THEN
+                           c -> CASE
+                                WHEN doc_id % 4 = 3 OR doc_id % 3 = 0
+                                THEN (c - 100) * 13
+                                WHEN doc_id % 3 = 1 THEN
                                     (CASE WHEN c % 2 = 0 THEN 1 ELSE -1 END)
                                     * ((c % 16) * (1 << ((c % 8) + 3))
                                        + 132 * ((1 << (c % 8)) - 1))

@@ -70,12 +70,15 @@ def audio_features(media: DataFrame) -> DataFrame:
       counts the interpolation grid lands exactly on source samples, so
       the resampler's output is exact decimation — SQL-reconstructible)
 
-    Non-WAV payloads and recognized-but-unimplemented encodings (float,
-    extensible) become ``codec_unavailable`` rows; malformed WAVs isolate
-    per blob into ``error: ...`` rows (poison-pill contract). Arrow-batched
+    WAV (PCM and G.711) and FLAC containers are sniffed by signature and
+    really decoded; other payloads and recognized-but-unimplemented
+    encodings (float, extensible, exotic FLAC depths) become
+    ``codec_unavailable`` rows; malformed containers isolate per blob into
+    ``error: ...`` rows (poison-pill contract). Arrow-batched
     ``mapInPandas``: no shuffle, no driver collect."""
     import numpy as np
 
+    from .flaccodec import FlacError, flac_decode, looks_like_flac
     from .wavcodec import (
         WavError,
         looks_like_wav,
@@ -88,18 +91,22 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
-                if not looks_like_wav(blob):
+                if looks_like_wav(blob):
+                    decode = wav_decode
+                elif looks_like_flac(blob):
+                    decode = flac_decode
+                else:
                     rows.append((ref,) + (None,) * 10
                                 + ("codec_unavailable",))
                     continue
                 try:
-                    rate, ch, bits, samples = wav_decode(blob)
+                    rate, ch, bits, samples = decode(blob)
                     ds = wav_resample_linear(samples, rate, max(rate // 2, 1))
                 except NotImplementedError:
                     rows.append((ref,) + (None,) * 10
                                 + ("codec_unavailable",))
                     continue
-                except WavError as exc:
+                except (WavError, FlacError) as exc:
                     rows.append((ref,) + (None,) * 10 + (f"error: {exc}",))
                     continue
                 except Exception as exc:  # noqa: BLE001 — poison isolation:
@@ -138,16 +145,24 @@ def wav_feature_vec(blob: bytes, dim: int = 16) -> list[float] | None:
     normalized to [-1, 1) by the bit depth's full scale so an 8-bit and a
     16-bit encoding of the same signal embed (near-)identically.
 
-    Returns ``None`` for non-WAV payloads (caller falls through to the
-    next format / the digest stand-in); raises the codec's typed errors
-    for WAV-shaped-but-bad payloads (caller isolates per blob)."""
+    FLAC payloads embed through the identical layout (both decoders share
+    the (rate, channels, bits, samples) convention), so a WAV and a FLAC
+    encoding of the same signal embed identically — container-invariance.
+
+    Returns ``None`` for non-audio payloads (caller falls through to the
+    next format / the digest stand-in); raises the codecs' typed errors
+    for audio-shaped-but-bad payloads (caller isolates per blob)."""
     import numpy as np
 
+    from .flaccodec import flac_decode, looks_like_flac
     from .wavcodec import looks_like_wav, wav_decode
 
-    if not looks_like_wav(blob):
+    if looks_like_wav(blob):
+        rate, ch, bits, samples = wav_decode(blob)
+    elif looks_like_flac(blob):
+        rate, ch, bits, samples = flac_decode(blob)
+    else:
         return None
-    rate, ch, bits, samples = wav_decode(blob)
     norm = samples.astype(np.float64) / float(1 << (bits - 1))
     means = [float(norm[:, c].mean()) for c in range(min(ch, 4))]
     buckets = np.minimum(((norm.ravel() + 1.0) * 4.0).astype(np.int64), 7)
@@ -163,7 +178,11 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     bench corpus for the audio codec path). Per doc_id i:
 
     - channels = 1 + i % 2, rate = 8000 + (i % 4) * 4000
-    - encoding = i % 3: 0 → 16-bit PCM, 1 → G.711 mu-law (fmt tag 7),
+    - container: FLAC when i % 4 == 3 (lossless — PCM-formula samples
+      survive encode→decode bit-exactly; block_size=32 so every blob is
+      multi-frame and exercises the 8-bit block-size-at-end header form;
+      strategy alternates FIXED-rice / VERBATIM by i % 8), else WAV with
+      encoding i % 3: 0 → 16-bit PCM, 1 → G.711 mu-law (fmt tag 7),
       2 → G.711 A-law (tag 6) — i%3 and i%2 are coprime, so every law
       covers both mono and stereo
     - n_frames = 64 + 2 * (i % 32)  (always EVEN, so the half-rate
@@ -189,6 +208,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     spec-correct for the driver oracle to match."""
     import numpy as np
 
+    from .flaccodec import flac_encode
     from .wavcodec import wav_encode, wav_encode_g711
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,7 +224,12 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 codes = np.frombuffer(stream.encode("ascii"),
                                       dtype=np.uint8).astype(np.int64)
                 law = i % 3
-                if law == 0:
+                if i % 4 == 3:
+                    samples = (codes - 100) * 13
+                    blob = flac_encode(
+                        samples.reshape(n, ch), rate, block_size=32,
+                        strategy="verbatim" if i % 8 == 7 else "fixed")
+                elif law == 0:
                     samples = (codes - 100) * 13
                     blob = wav_encode(samples.reshape(n, ch), rate)
                 else:
@@ -219,7 +244,9 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                     blob = wav_encode_g711(
                         (sign * mag).reshape(n, ch), rate,
                         "mulaw" if law == 1 else "alaw")
-                rows.append((f"w{i}", "audio/wav", blob))
+                rows.append((f"w{i}",
+                             "audio/flac" if i % 4 == 3 else "audio/wav",
+                             blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

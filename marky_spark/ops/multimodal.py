@@ -460,7 +460,8 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     the DECODED CONTENT — images (PNG / uncompressed BMP / GIF / baseline
     JPEG, and MJPEG AVI via its first frame): [w/1024, h/1024, ch/4,
     global mean/255, 4 per-channel means/255 (zero-padded), 8 brightness-
-    histogram fractions]; audio (RIFF/WAVE PCM): the mirrored layout over
+    histogram fractions]; audio (RIFF/WAVE PCM + G.711, FLAC): the
+    mirrored layout over
     full-scale-normalized samples (ops/audio.wav_feature_vec) — a real,
     content-derived signal (two encodings of the same pixels/samples embed
     identically). Formats with no in-sandbox codec keep the deterministic

@@ -194,12 +194,13 @@ def test_audio_features_spark(spark):
         return sign * ((mant * 16 + 8) if exp == 0
                        else (mant * 16 + 264) << (exp - 1))
 
-    for i in (0, 1, 5):  # PCM16, mu-law, A-law respectively (i % 3)
+    # PCM16, mu-law, A-law (i % 3), and FLAC (i % 4 == 3, PCM formula)
+    for i in (0, 1, 5, 3, 7):
         ch = 1 + i % 2
         n = 64 + 2 * (i % 32)
         hexs = hashlib.md5(str(i).encode()).hexdigest()
         stream = (hexs * (-(-(n * ch) // len(hexs))))[:n * ch]
-        vals = [sample(ord(c), i % 3) for c in stream]
+        vals = [sample(ord(c), 0 if i % 4 == 3 else i % 3) for c in stream]
         c0 = vals[::ch]
         r = feats[f"w{i}"]
         assert r["ok"] == "ok"
