@@ -278,6 +278,18 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
         wasted = 1 + br.read_unary()
         if wasted >= bits:
             raise FlacError("wasted bits exceed sample size")
+    # predictor feedback with a hostile coefficient (e.g. LPC coef 2,
+    # shift 0, zero residuals) doubles every step — unchecked, Python
+    # ints grow without bound and surface as an untyped OverflowError at
+    # ndarray conversion. A spec-valid stream never leaves the declared
+    # depth, so anything past a generous headroom bound is malformed.
+    limit = 1 << 35
+
+    def _check(v: int) -> int:
+        if -limit <= v <= limit:
+            return v
+        raise FlacError("predicted sample overflows declared depth")
+
     eff = bits - wasted
     if stype == 0:          # CONSTANT
         v = br.read_signed(eff)
@@ -295,7 +307,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
             pred = 0
             for k, c in enumerate(coefs):
                 pred += c * samples[-1 - k]
-            samples.append(r + pred)
+            samples.append(_check(r + pred))
     elif stype >= 32:       # LPC, order = (stype & 31) + 1
         order = (stype & 31) + 1
         if order > block_size:
@@ -314,11 +326,11 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
             acc = 0
             for k, c in enumerate(coefs):
                 acc += c * samples[-1 - k]
-            samples.append(r + (acc >> shift))
+            samples.append(_check(r + (acc >> shift)))
     else:
         raise FlacError(f"reserved subframe type {stype:#08b}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = [_check(s << wasted) for s in samples]
     return samples
 
 

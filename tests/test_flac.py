@@ -330,3 +330,45 @@ def test_audio_features_routes_flac(spark):
     assert rows["f"]["sum_c0"] == int(sig[:, 0].sum())
     assert rows["cut"]["ok"].startswith("error:")
     assert rows["txt"]["ok"] == "codec_unavailable"
+
+
+def test_divergent_predictor_is_typed_not_overflow():
+    """An adversarial LPC stream (coefficient 2, shift 0, zero residuals)
+    doubles each predicted sample — must surface as FlacError, not an
+    untyped Python-int OverflowError at ndarray conversion."""
+    def body(bw):
+        bw.write(0, 1)
+        bw.write(0b100000, 6)  # LPC order 1
+        bw.write(0, 1)
+        bw.write(3, 16)        # warm-up 3
+        bw.write(3, 4)         # 4-bit coefficients
+        bw.write(0, 5)         # shift 0
+        bw.write(2, 4)         # coefficient 2 -> s[i] = 2*s[i-1]
+        bw.write(0, 2)
+        bw.write(0, 4)
+        bw.write(15, 4)        # escape
+        bw.write(0, 5)         # all-zero residuals
+
+    blob = _streaminfo(8000, 1, 16, 128) + _frame(body, bs_extra=(127, 8),
+                                                  block_size=128)
+    with pytest.raises(FlacError, match="overflows"):
+        flac_decode(blob)
+
+
+def test_divergent_fixed_predictor_is_typed():
+    """Same contract for FIXED order-4 feedback: the predictor extrapolates
+    a cubic through the warm-ups (polynomial growth), so a steep third
+    difference over a long block must hit the typed overflow guard."""
+    def body(bw):
+        bw.write(0, 1); bw.write(8 + 4, 6); bw.write(0, 1)  # FIXED order 4
+        for v in (0, 0, 0, 30000):  # third difference 30000 -> ~5000*i^3
+            bw.write(v, 16)
+        bw.write(0, 2)
+        bw.write(0, 4)
+        bw.write(15, 4)
+        bw.write(0, 5)
+
+    blob = _streaminfo(8000, 1, 16, 2048) + _frame(
+        body, bs_code=11, bs_extra=None, block_size=2048)
+    with pytest.raises(FlacError, match="overflows"):
+        flac_decode(blob)
