@@ -70,8 +70,9 @@ def audio_features(media: DataFrame) -> DataFrame:
       counts the interpolation grid lands exactly on source samples, so
       the resampler's output is exact decimation — SQL-reconstructible)
 
-    WAV (PCM and G.711) and FLAC containers are sniffed by signature and
-    really decoded; other payloads and recognized-but-unimplemented
+    WAV (PCM, G.711 mu/A-law, IMA ADPCM) and FLAC containers are sniffed
+    by signature and really decoded; other payloads and recognized-but-
+    unimplemented
     encodings (float, extensible, exotic FLAC depths) become
     ``codec_unavailable`` rows; malformed containers isolate per blob into
     ``error: ...`` rows (poison-pill contract). Arrow-batched

@@ -11,9 +11,12 @@ recognized-but-unimplemented encodings raise :class:`WavUnsupportedError`
 allocations are bounded before they happen.
 
 Scope: canonical PCM (fmt tag 1) at 8-bit unsigned / 16-bit signed
-little-endian, plus ITU-T G.711 A-law (tag 6) and mu-law (tag 7) —
+little-endian, ITU-T G.711 A-law (tag 6) and mu-law (tag 7) —
 the telephony encodings real speech corpora arrive in — expanded to
-16-bit-scale linear through the standard segment/mantissa formulas
+16-bit-scale linear through the standard segment/mantissa formulas,
+and IMA ADPCM (tag 0x11, the classic 4-bit voice-memo encoding):
+block-header predictor/step-index parse, per-nibble state machine,
+stereo word interleave, fact-chunk tail trim
 (bias 0x84 mu-law, 0x55-XOR A-law; the decode tables are derived from
 the formulas, not transcribed, and pinned by anchor values + the
 all-256-codes re-encode identity in tests). Any channel count up to 8.
@@ -135,14 +138,19 @@ def wav_decode(data: bytes):
     if not looks_like_wav(data):
         raise WavError("not a WAV (no RIFF/WAVE signature)")
     fmt = None
+    fmt_body = b""
     pcm = None
+    fact = None
     for cid, body in _chunks(data):
         if cid == b"fmt " and fmt is None:
             if len(body) < 16:
                 raise WavError(f"fmt chunk is {len(body)} bytes, want >= 16")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data" and pcm is None:
             pcm = body
+        elif cid == b"fact" and fact is None and len(body) >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
     if fmt is None:
         raise WavError("no fmt chunk")
     if pcm is None:
@@ -151,12 +159,34 @@ def wav_decode(data: bytes):
     if tag in (3, 0xFFFE):
         raise WavUnsupportedError(
             f"WAV format tag {tag:#x} (float/extensible) not implemented")
-    if tag not in (1, 6, 7):
+    if tag not in (1, 6, 7, 0x11):
         raise WavError(f"unknown WAV format tag {tag:#x}")
     if not (1 <= channels <= MAX_CHANNELS):
         raise WavError(f"bad channel count {channels}")
     if not (1 <= rate <= MAX_RATE):
         raise WavError(f"bad sample rate {rate}")
+    if tag == 0x11:
+        # IMA ADPCM: bits-per-sample is the 4-bit code width; the real
+        # geometry lives in the samples_per_block extension field
+        if bits != 4:
+            raise WavError(f"IMA ADPCM requires 4-bit codes, fmt says {bits}")
+        if len(fmt_body) < 20:
+            raise WavError("ADPCM fmt chunk lacks samples_per_block")
+        spb = struct.unpack_from("<H", fmt_body, 18)[0]
+        if block_align < 4 * channels:
+            raise WavError("ADPCM block align smaller than block headers")
+        n_blocks = len(pcm) // block_align if block_align else 0
+        if n_blocks == 0:
+            raise WavError("empty data chunk (zero frames)")
+        if n_blocks * spb * channels > MAX_SAMPLES:
+            raise WavError("ADPCM stream exceeds sample cap")
+        samples = _ima_decode(pcm, channels, block_align, spb)
+        if fact is not None:
+            if not (0 < fact <= samples.shape[0]):
+                raise WavError(
+                    f"fact count {fact} outside decoded {samples.shape[0]}")
+            samples = samples[:fact]
+        return rate, channels, 16, samples
     if tag in (6, 7):
         if bits != 8:
             raise WavError(f"G.711 requires 8-bit codes, fmt says {bits}")
@@ -223,6 +253,159 @@ def wav_encode(samples, sample_rate: int, bits: int = 16) -> bytes:
                       sample_rate * block_align, block_align, bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+
+def _ima_decode_nibble(state: list[int], nibble: int) -> int:
+    """Advance one IMA ADPCM (DVI4) state step: state = [predictor,
+    step_index], returns the new predicted sample (also stored back)."""
+    pred, index = state
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    state[0], state[1] = pred, index
+    return pred
+
+
+def _ima_encode_sample(state: list[int], sample: int) -> int:
+    """Pick the nibble whose decode lands closest to ``sample`` and
+    advance the shared state exactly as the decoder will."""
+    pred, index = state
+    step = _IMA_STEP_TABLE[index]
+    delta = sample - pred
+    nibble = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    _ima_decode_nibble(state, nibble)
+    return nibble
+
+
+def _ima_decode(pcm: bytes, channels: int, block_align: int,
+                samples_per_block: int):
+    """IMA ADPCM (WAV fmt tag 0x11) payload → int32 (n_frames, channels).
+    Block layout per the public MS/IMA layout: a 4-byte per-channel
+    header (int16 predictor = sample 0, step index, reserved), then the
+    channels' nibble words interleaved 4 bytes at a time."""
+    import numpy as np
+
+    if block_align < 4 * channels or len(pcm) % block_align:
+        raise WavError("ADPCM data is not whole blocks")
+    expect = 1 + 2 * (block_align - 4 * channels) // channels
+    if samples_per_block != expect:
+        raise WavError(
+            f"ADPCM samples_per_block {samples_per_block} != {expect} "
+            f"implied by block align")
+    frames: list[list[int]] = []
+    for base in range(0, len(pcm), block_align):
+        states = []
+        block: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            o = base + 4 * c
+            pred = struct.unpack_from("<h", pcm, o)[0]
+            index = pcm[o + 2]
+            if index > 88:
+                raise WavError(f"ADPCM step index {index} out of range")
+            if pcm[o + 3]:
+                raise WavError("ADPCM header reserved byte set")
+            states.append([pred, index])
+            block[c].append(pred)
+        data = pcm[base + 4 * channels:base + block_align]
+        for word in range(0, len(data), 4 * channels):
+            for c in range(channels):
+                for b in data[word + 4 * c:word + 4 * c + 4]:
+                    block[c].append(_ima_decode_nibble(states[c], b & 0x0F))
+                    block[c].append(_ima_decode_nibble(states[c], b >> 4))
+        frames.extend(zip(*block))
+    return np.array(frames, dtype=np.int32)
+
+
+def wav_encode_adpcm(samples, sample_rate: int,
+                     samples_per_block: int = 505) -> bytes:
+    """16-bit samples → IMA ADPCM WAV (fmt tag 0x11). Lossy (step
+    quantization), but the encoder advances the DECODER's state machine,
+    so decode output is exactly the encoder's internal reconstruction —
+    the fixture inverse for deterministic tests. ``samples_per_block``
+    must be odd (sample 0 rides in the block header)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if arr.ndim != 2 or arr.shape[0] < 1:
+        raise WavError(f"samples must be (n_frames, n_channels), got "
+                       f"shape {arr.shape}")
+    n_frames, channels = arr.shape
+    if not (1 <= channels <= MAX_CHANNELS):
+        raise WavError(f"bad channel count {channels}")
+    if not (1 <= sample_rate <= MAX_RATE):
+        raise WavError(f"bad sample rate {sample_rate}")
+    if arr.min() < -32768 or arr.max() > 32767:
+        raise WavError("16-bit samples out of [-32768, 32767]")
+    if samples_per_block < 9 or (samples_per_block - 1) % 8:
+        # sample 0 rides in the header; the rest fill whole 4-byte
+        # per-channel nibble words (8 samples each)
+        raise WavError("samples_per_block must be 1 + a multiple of 8")
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    out = bytearray()
+    states = [[0, 0] for _ in range(channels)]
+    for base in range(0, n_frames, samples_per_block):
+        block = arr[base:base + samples_per_block]
+        # pad the tail block to full length by repeating the last frame —
+        # tag-0x11 streams are whole blocks; callers slice by n_frames
+        if block.shape[0] < samples_per_block:
+            pad = np.repeat(block[-1:], samples_per_block - block.shape[0],
+                            axis=0)
+            block = np.concatenate([block, pad], axis=0)
+        nibbles: list[list[int]] = []
+        for c in range(channels):
+            pred = int(block[0, c])
+            states[c][0] = pred
+            out += struct.pack("<hBB", pred, states[c][1], 0)
+            nibbles.append([_ima_encode_sample(states[c], int(v))
+                            for v in block[1:, c]])
+        for word in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                chunk = nibbles[c][word:word + 8]
+                for k in range(0, 8, 2):
+                    out += bytes([chunk[k] | (chunk[k + 1] << 4)])
+    pcm = bytes(out)
+    byte_rate = sample_rate * block_align * 2 // samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, sample_rate, byte_rate,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", n_frames)  # true per-channel sample count —
+    # decode trims the tail block's repeat-padding back off with it
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
             + b"data" + struct.pack("<I", len(pcm)) + pcm
             + (b"\x00" if len(pcm) & 1 else b""))
     return b"RIFF" + struct.pack("<I", len(body)) + body

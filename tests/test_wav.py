@@ -438,3 +438,133 @@ def test_wav_feature_vec_g711_near_invariant_to_pcm():
         # rate/channels/frames identical; means/hist within quant error
         assert v[0] == v_pcm[0] and v[1] == v_pcm[1] and v[2] == v_pcm[2]
         assert max(abs(a - b) for a, b in zip(v, v_pcm)) < 0.05
+
+
+# --- IMA ADPCM (fmt tag 0x11) ----------------------------------------------
+
+
+def _adpcm_representable(n=504, seed=7):
+    """A clamp-free signal the ADPCM state machine can represent exactly
+    (generated BY the decoder's own state steps, sign-steered away from
+    the int16 clamp where encode/decode nibble choices may legally
+    diverge)."""
+    from marky_spark.ops.wavcodec import _IMA_STEP_TABLE, _ima_decode_nibble
+
+    rng = random.Random(seed)
+    state, vals = [0, 0], [0]
+    for _ in range(n):
+        step = _IMA_STEP_TABLE[state[1]]
+        mag = rng.randint(0, 7) if step < 3000 else rng.randint(0, 3)
+        move = ((step >> 3) + (step if mag & 4 else 0)
+                + ((step >> 1) if mag & 2 else 0)
+                + ((step >> 2) if mag & 1 else 0))
+        if vals[-1] + move > 20000:
+            nb = mag | 8
+        elif vals[-1] - move < -20000:
+            nb = mag
+        else:
+            nb = mag | (8 if rng.random() < .5 else 0)
+        vals.append(_ima_decode_nibble(state, nb))
+    return vals
+
+
+def test_adpcm_representable_round_trip_exact():
+    """Signals on the state machine's own trajectory (no clamping)
+    survive encode→decode bit-exactly — encoder and decoder share one
+    state machine."""
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    sig = np.array(_adpcm_representable(), dtype=np.int64).reshape(-1, 1)
+    rate, ch, bits, out = wav_decode(wav_encode_adpcm(sig, 8000))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert (out[:, 0] == sig[:, 0]).all()
+
+
+def test_adpcm_smooth_signal_tracks():
+    """After the cold-start adaptation window, a speech-band sine decodes
+    within a few quantization steps, mono and stereo."""
+    import math
+
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    for ch in (1, 2):
+        sig = np.array([[int(20000 * math.sin(i / 15 + c))
+                         for c in range(ch)] for i in range(1000)],
+                       dtype=np.int64)
+        rate, c, bits, out = wav_decode(wav_encode_adpcm(sig, 8000))
+        assert (rate, c, bits) == (8000, ch, 16)
+        assert out.shape == (1000, ch)
+        assert np.abs(out.astype(np.int64) - sig)[100:].max() < 3500
+
+
+def test_adpcm_fact_chunk_trims_tail_padding():
+    """A stream whose length is not a whole number of blocks comes back at
+    its true frame count (the fact chunk records it)."""
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    sig = np.arange(700, dtype=np.int64).reshape(-1, 1) % 256
+    _, _, _, out = wav_decode(wav_encode_adpcm(sig, 8000,
+                                               samples_per_block=505))
+    assert out.shape == (700, 1)
+
+
+def test_adpcm_malformed_rejected():
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    sig = np.zeros((505, 1), dtype=np.int64)
+    good = wav_encode_adpcm(sig, 8000)
+    # step index out of range in the block header
+    data_at = good.index(b"data") + 8
+    bad = bytearray(good)
+    bad[data_at + 2] = 99
+    with pytest.raises(WavError, match="step index"):
+        wav_decode(bytes(bad))
+    # reserved header byte set
+    bad = bytearray(good)
+    bad[data_at + 3] = 1
+    with pytest.raises(WavError, match="reserved"):
+        wav_decode(bytes(bad))
+    # samples_per_block disagrees with block align
+    bad = bytearray(good)
+    fmt_at = bad.index(b"fmt ") + 8
+    bad[fmt_at + 18:fmt_at + 20] = struct.pack("<H", 121)
+    with pytest.raises(WavError, match="samples_per_block"):
+        wav_decode(bytes(bad))
+    # even samples_per_block rejected at encode
+    with pytest.raises(WavError, match="multiple of 8"):
+        wav_encode_adpcm(sig, 8000, samples_per_block=10)
+
+
+def test_adpcm_mutations_stay_typed():
+    from tests.test_mutation_fuzz import _mutate
+    from marky_spark.ops.wavcodec import MAX_SAMPLES, wav_encode_adpcm
+
+    rng = random.Random(0xADC)
+    sig = np.array(_adpcm_representable(200, seed=3),
+                   dtype=np.int64).reshape(-1, 1)
+    base = wav_encode_adpcm(np.concatenate([sig, -sig], axis=1), 8000,
+                            samples_per_block=105)
+    for _ in range(300):
+        blob = _mutate(rng, base)
+        try:
+            _, ch, _, samples = wav_decode(blob)
+        except (WavError, WavUnsupportedError):
+            continue
+        assert samples.size <= MAX_SAMPLES
+        assert samples.shape[1] == ch
+
+
+def test_audio_features_routes_adpcm(spark):
+    """audio_features really decodes IMA ADPCM WAVs at the 16-bit scale."""
+    from marky_spark.ops.audio import audio_features
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    sig = np.array(_adpcm_representable(), dtype=np.int64).reshape(-1, 1)
+    blob = wav_encode_adpcm(sig, 8000)
+    rows = {r["media_ref"]: r for r in audio_features(spark.createDataFrame(
+        [("a", "audio/wav", bytearray(blob))],
+        "media_ref string, mime string, payload binary")).collect()}
+    r = rows["a"]
+    assert r["ok"] == "ok"
+    assert (r["bits"], r["n_frames"]) == (16, 505)
+    assert r["sum_c0"] == int(sig[:, 0].sum())  # exact: representable signal
