@@ -319,6 +319,10 @@ def _ima_decode(pcm: bytes, channels: int, block_align: int,
 
     if block_align < 4 * channels or len(pcm) % block_align:
         raise WavError("ADPCM data is not whole blocks")
+    if (block_align - 4 * channels) % (4 * channels):
+        # nibble data comes in 4-byte words per channel; a ragged block
+        # would silently drop frames at the zip below
+        raise WavError("ADPCM block data is not whole per-channel words")
     expect = 1 + 2 * (block_align - 4 * channels) // channels
     if samples_per_block != expect:
         raise WavError(

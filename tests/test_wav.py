@@ -568,3 +568,18 @@ def test_audio_features_routes_adpcm(spark):
     assert r["ok"] == "ok"
     assert (r["bits"], r["n_frames"]) == (16, 505)
     assert r["sum_c0"] == int(sig[:, 0].sum())  # exact: representable signal
+
+
+def test_adpcm_ragged_block_rejected_not_truncated():
+    """A block align that leaves a non-word data region must be a typed
+    error, not silent frame loss."""
+    from marky_spark.ops.wavcodec import wav_encode_adpcm
+
+    sig = np.zeros((27, 2), dtype=np.int64)
+    good = wav_encode_adpcm(sig, 8000, samples_per_block=9)  # 3×16-byte blocks
+    fmt_at = good.index(b"fmt ") + 8
+    # block_align 16 -> 12: still whole blocks (48 % 12 == 0) but the
+    # 4-byte data region is not a whole per-channel word set (ragged)
+    bad = _patch(good, fmt_at + 12, "<H", 12)
+    with pytest.raises(WavError, match="whole per-channel words"):
+        wav_decode(bad)
