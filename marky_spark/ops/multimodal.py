@@ -3,11 +3,13 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` signatures. The codec layer is split:
 
-- **PNG, uncompressed BMP, GIF and JPEG are real codecs** (ops/pngcodec: chunk
+- **PNG, uncompressed BMP, GIF, JPEG and baseline TIFF are real codecs**
+  (ops/pngcodec: chunk
   walk, CRC verify, inflate, filter reconstruction, palette expansion;
   ops/bmpcodec: BGR(A) row grid; ops/gifcodec: real LZW, color tables,
-  interlacing; ops/jpegcodec: baseline+progressive DCT, Huffman, 4:2:0 — all pure
-  stdlib+numpy). Payloads of those formats
+  interlacing; ops/jpegcodec: baseline+progressive DCT, Huffman, 4:2:0;
+  ops/tiffcodec: IFD walk, strips, PackBits + TIFF-LZW, predictor — all
+  pure stdlib+numpy). Payloads of those formats
   (signature/structure-sniffed) decode/resize for real by default, and
   media_features computes content-derived statistics from their pixels.
 - Formats with no in-sandbox library (audio, video) keep the
@@ -20,7 +22,7 @@ batch shape, ``mapInPandas`` signatures. The codec layer is split:
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
 - ``decode_media``      — binary → (width, height, channels, ok) per blob
-- ``decode_pixels``     — PNG/BMP/GIF/JPEG → dims + md5 of decoded samples
+- ``decode_pixels``     — PNG/BMP/GIF/JPEG/TIFF → dims + md5 of decoded samples
 - ``pixel_features``    — exact-integer pixel statistics (oracle-checkable)
 - ``resize_media``      — binary → target-dim payload + source dims
 - ``frame_sample``      — "video" payloads → N evenly-spaced frame rows
@@ -64,19 +66,24 @@ DECODED_SCHEMA = StructType([
 
 
 def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec: PNG, uncompressed BMP, GIF and both baseline and
-    progressive JPEG are fully implemented in pure stdlib+numpy
-    (ops/pngcodec, ops/bmpcodec, ops/gifcodec, ops/jpegcodec); other
-    formats (non-WAV audio, arithmetic/12-bit JPEG) have no in-sandbox
-    codec and raise NotImplementedError, which the operators surface as
+    """Real codec: PNG, uncompressed BMP, GIF, baseline+progressive
+    JPEG and baseline TIFF are fully implemented in pure stdlib+numpy
+    (ops/pngcodec, ops/bmpcodec, ops/gifcodec, ops/jpegcodec,
+    ops/tiffcodec); other formats (lossy audio, arithmetic/12-bit JPEG,
+    tiled/16-bit TIFF) have no in-sandbox codec and raise
+    NotImplementedError, which the operators surface as
     ``codec_unavailable`` rows."""
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
+    from .tiffcodec import looks_like_tiff, tiff_decode
 
     if payload.startswith(PNG_SIGNATURE):
         width, height, channels, _ = png_decode(payload)
+        return width, height, channels
+    if looks_like_tiff(payload):
+        width, height, channels, _ = tiff_decode(payload)
         return width, height, channels
     if looks_like_bmp(payload):
         width, height, channels, _ = bmp_decode(payload)
@@ -101,7 +108,7 @@ def fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
 
 def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     """Default decoder: real decode when the payload IS a PNG, uncompressed
-    BMP, GIF or JPEG (signature/structure sniff, not mime trust —
+    BMP, GIF, JPEG or TIFF (signature/structure sniff, not mime trust —
     the sniffs are strict enough that arbitrary text bytes can never take
     a real path), digest-derived fake otherwise — other formats keep the
     deterministic stand-in until their codecs exist in this environment."""
@@ -109,9 +116,11 @@ def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     from .gifcodec import looks_like_gif
     from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
+    from .tiffcodec import looks_like_tiff
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
-            or looks_like_gif(payload) or looks_like_jpeg(payload)):
+            or looks_like_gif(payload) or looks_like_jpeg(payload)
+            or looks_like_tiff(payload)):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
@@ -241,15 +250,20 @@ def _nearest(pixels: bytes, in_w: int, in_h: int, channels: int,
 def _real_resize(payload: bytes, mime: str,
                  width: int, height: int) -> bytes:
     """Real resize: decode → nearest-neighbor resample → re-encode in the
-    SOURCE format (PNG stays PNG, BMP stays BMP); other formats raise
-    (see _real_decode)."""
+    SOURCE format (PNG stays PNG, BMP stays BMP, TIFF stays TIFF); other
+    formats raise (see _real_decode)."""
     from .bmpcodec import bmp_decode, bmp_encode, looks_like_bmp
     from .gifcodec import gif_resize_nearest, looks_like_gif
     from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_resize_nearest
+    from .tiffcodec import looks_like_tiff, tiff_decode, tiff_encode
 
     if payload.startswith(PNG_SIGNATURE):
         return png_resize_nearest(payload, width, height)
+    if looks_like_tiff(payload):
+        in_w, in_h, ch, px = tiff_decode(payload)
+        return tiff_encode(_nearest(px, in_w, in_h, ch, width, height),
+                           width, height, ch)
     if looks_like_bmp(payload):
         in_w, in_h, ch, px = bmp_decode(payload)
         return bmp_encode(_nearest(px, in_w, in_h, ch, width, height),
@@ -264,7 +278,7 @@ def _real_resize(payload: bytes, mime: str,
 
 
 def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
-    """Default resizer: real resample for PNG/BMP/GIF/baseline-JPEG
+    """Default resizer: real resample for PNG/BMP/GIF/JPEG/TIFF
     payloads (same sniff set as auto_decode, so decode_media and
     resize_media always agree on which path a blob takes), deterministic
     fake otherwise."""
@@ -272,9 +286,11 @@ def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
     from .gifcodec import looks_like_gif
     from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
+    from .tiffcodec import looks_like_tiff
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
-            or looks_like_gif(payload) or looks_like_jpeg(payload)):
+            or looks_like_gif(payload) or looks_like_jpeg(payload)
+            or looks_like_tiff(payload)):
         return _real_resize(payload, mime, width, height)
     return fake_resize(payload, mime, width, height)
 
@@ -304,7 +320,13 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
     from .gifcodec import gif_resize_indexed, looks_like_gif
     from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
+    from .tiffcodec import looks_like_tiff, tiff_decode, tiff_encode
 
+    if looks_like_tiff(blob):
+        in_w, in_h, ch, pixels = tiff_decode(blob)
+        out = tiff_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                          width, height, ch)
+        return in_w, in_h, out
     if blob.startswith(PNG_SIGNATURE):
         in_w, in_h, ch, pixels = png_decode(blob)
         out = png_encode(_nearest(pixels, in_w, in_h, ch, width, height),
@@ -430,7 +452,7 @@ FEATURES_SCHEMA = StructType([
 
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
-    in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG; an
+    in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG / TIFF; an
     MJPEG AVI contributes its FIRST FRAME — the cheap representative a
     real pipeline embeds for video), else None."""
     from .avicodec import avi_decode_frames, looks_like_avi
@@ -438,9 +460,12 @@ def _try_decode_pixels(blob: bytes):
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
+    from .tiffcodec import looks_like_tiff, tiff_decode
 
     if blob.startswith(PNG_SIGNATURE):
         return png_decode(blob)
+    if looks_like_tiff(blob):
+        return tiff_decode(blob)
     if looks_like_bmp(blob):
         return bmp_decode(blob)
     if looks_like_gif(blob):
@@ -601,15 +626,21 @@ def extract_embedded_media(docs_out: DataFrame) -> DataFrame:
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL-PNG media table derived from doc ids (the test /
-    bench corpus for the real codec path). Dimensions are doc_id arithmetic
-    (w = 4 + id%13, h = 4 + id%7, RGB) and the pixel samples are the
-    doc_id's md5 hex repeated (ASCII) — so an independent SQL engine can
-    reconstruct the expected decoded bytes WITHOUT a PNG library, which is
-    exactly what the driver oracle for ``decode_pixels``/``resize_media``
-    does: the encoder's zlib+filter output must survive a real decode back
-    to those samples for the oracle to match."""
+    """Deterministic REAL-image media table derived from doc ids (the test
+    / bench corpus for the real codec path). Dimensions are doc_id
+    arithmetic (w = 4 + id%13, h = 4 + id%7, RGB) and the pixel samples
+    are the doc_id's md5 hex repeated (ASCII) — so an independent SQL
+    engine can reconstruct the expected decoded bytes WITHOUT an imaging
+    library, which is exactly what the driver oracle for
+    ``decode_pixels``/``resize_media`` does. Docs with i % 5 == 4 encode
+    the SAME pixels as baseline TIFF instead of PNG (both lossless, so
+    the one oracle pins both decoders), rotating the compression by
+    i % 3 — LZW / PackBits / uncompressed — with the horizontal
+    predictor on odd docs and a 3-row multi-strip layout on i % 2 == 0:
+    the PNG path pins zlib+filters, the TIFF path pins IFD/strip/
+    PackBits/TIFF-LZW/predictor decode, against the same arithmetic."""
     from .pngcodec import png_encode
+    from .tiffcodec import tiff_encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -621,6 +652,14 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 n = w * h * 3
                 hexs = hashlib.md5(str(i).encode()).hexdigest()
                 px = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
+                if i % 5 == 4:
+                    blob = tiff_encode(
+                        px, w, h, 3,
+                        compression=("lzw", "packbits", "none")[i % 3],
+                        predictor=2 if i % 2 else 1,
+                        rows_per_strip=3 if i % 2 == 0 else None)
+                    rows.append((f"p{i}", "image/tiff", blob))
+                    continue
                 rows.append((f"p{i}", "image/png", png_encode(px, w, h, 3)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])

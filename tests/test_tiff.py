@@ -1,0 +1,220 @@
+"""TIFF codec: round-trips over all compressions/predictor/strip layouts,
+big-endian decode from a hand-built MM fixture, unsupported-shape
+classification, hostile-input rejection, mutation fuzz, and the Spark
+routing (decode_pixels / resize_media / media_features / synth mix).
+"""
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from marky_spark.ops.tiffcodec import (
+    MAX_PIXELS,
+    TiffError,
+    TiffUnsupportedError,
+    looks_like_tiff,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_round_trip(compression, predictor, channels):
+    rng = random.Random(hash((compression, predictor, channels)) & 0xFFFF)
+    w, h = 37, 21
+    px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    for rps in (None, 4):
+        blob = tiff_encode(px, w, h, channels, compression=compression,
+                           predictor=predictor, rows_per_strip=rps)
+        assert looks_like_tiff(blob)
+        assert tiff_decode(blob) == (w, h, channels, px)
+
+
+def test_lzw_width_bumps_and_clear():
+    """A strip long enough to push the code width through 10/11/12 bits
+    and trigger the encoder's mid-stream CLEAR must round-trip exactly
+    (pins the spec's EARLY code-width change on both sides)."""
+    rng = random.Random(0x71FF)
+    w, h = 200, 120
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert tiff_decode(tiff_encode(px, w, h, 3))[3] == px
+    runs = (bytes([7]) * 50000 + px)[:w * h * 3]
+    assert tiff_decode(tiff_encode(runs, w, h, 3))[3] == runs
+
+
+def test_big_endian_decodes():
+    """Hand-built MM (big-endian) uncompressed 3x2 grayscale fixture —
+    the encoder only writes II, so this pins the byte-order handling
+    asymmetrically."""
+    px = bytes([10, 200, 30, 40, 50, 60])
+    entries = [
+        (256, 3, 1, 3),    # width (SHORT, inline left-justified)
+        (257, 3, 1, 2),    # height
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, 1, None),  # strip offset patched below
+        (277, 3, 1, 1),
+        (278, 4, 1, 2),
+        (279, 4, 1, len(px)),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * len(entries) + 4
+    blob = bytearray(b"MM" + struct.pack(">HI", 42, ifd_off))
+    blob += struct.pack(">H", len(entries))
+    for tag, typ, count, val in entries:
+        if val is None:
+            val = strip_off
+        blob += struct.pack(">HHI", tag, typ, count)
+        if typ == 3:
+            blob += struct.pack(">H", val) + b"\x00\x00"
+        else:
+            blob += struct.pack(">I", val)
+    blob += struct.pack(">I", 0)
+    blob += px
+    assert tiff_decode(bytes(blob)) == (3, 2, 1, px)
+
+
+def test_unsupported_shapes_classify():
+    px = bytes(range(12))
+    base = tiff_encode(px, 2, 2, 3, compression="none")
+
+    def patch_tag(blob: bytes, tag: int, value: int) -> bytes:
+        out = bytearray(blob)
+        (n,) = struct.unpack_from("<H", out, 8)
+        for k in range(n):
+            off = 10 + 12 * k
+            if struct.unpack_from("<H", out, off)[0] == tag:
+                struct.pack_into("<I", out, off + 8, value)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not found")
+
+    with pytest.raises(TiffUnsupportedError, match="JPEG"):
+        tiff_decode(patch_tag(base, 259, 7))
+    with pytest.raises(TiffError, match="unknown TIFF compression"):
+        tiff_decode(patch_tag(base, 259, 4))
+    with pytest.raises(TiffUnsupportedError, match="photometric"):
+        tiff_decode(patch_tag(base, 262, 3))
+    with pytest.raises(TiffUnsupportedError, match="samples/pixel"):
+        tiff_decode(patch_tag(base, 277, 2))
+    assert issubclass(TiffUnsupportedError, NotImplementedError)
+
+
+def test_hostile_inputs_raise_typed():
+    with pytest.raises(TiffError, match="not a TIFF"):
+        tiff_decode(b"hello world")
+    with pytest.raises(TiffError, match="IFD offset"):
+        tiff_decode(b"II" + struct.pack("<HI", 42, 9999))
+    # pixel cap enforced before strip reads
+    px = bytes(range(12))
+    blob = bytearray(tiff_encode(px, 2, 2, 3))
+    (n,) = struct.unpack_from("<H", blob, 8)
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", blob, off)[0] == 256:
+            struct.pack_into("<I", blob, off + 8, MAX_PIXELS)
+    with pytest.raises(TiffError, match="cap"):
+        tiff_decode(bytes(blob))
+    # strip pointing outside the stream
+    blob = bytearray(tiff_encode(px, 2, 2, 3))
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", blob, off)[0] == 273:
+            struct.pack_into("<I", blob, off + 8, len(blob) + 100)
+    with pytest.raises(TiffError, match="outside stream"):
+        tiff_decode(bytes(blob))
+
+
+def test_encode_validations():
+    with pytest.raises(TiffError, match="channel"):
+        tiff_encode(b"\x00\x00", 1, 1, 2)
+    with pytest.raises(TiffError, match="pixel buffer"):
+        tiff_encode(b"\x00", 2, 2, 1)
+    with pytest.raises(TiffError, match="compression"):
+        tiff_encode(b"\x00", 1, 1, 1, compression="zip")
+
+
+def test_mutations_stay_typed():
+    from tests.test_mutation_fuzz import _mutate
+
+    rng = random.Random(0x71F2)
+    px = bytes((i * 31) % 256 for i in range(48 * 20 * 3))
+    bases = [tiff_encode(px, 48, 20, 3, compression=c,
+                         predictor=p, rows_per_strip=r)
+             for c in ("none", "packbits", "lzw")
+             for p, r in ((1, None), (2, 5))]
+    for k in range(600):
+        blob = _mutate(rng, bases[k % len(bases)])
+        try:
+            w, h, c, out = tiff_decode(blob)
+        except (TiffError, TiffUnsupportedError):
+            continue
+        assert w * h * c <= MAX_PIXELS
+        assert len(out) == w * h * c
+
+
+def test_spark_routing_tiff(spark):
+    """decode_media / decode_pixels / resize_media / media_features all
+    take the REAL path for TIFF payloads; text bytes never do."""
+    from marky_spark.ops.multimodal import (
+        decode_media,
+        decode_pixels,
+        media_features,
+        resize_media,
+    )
+
+    px = bytes((i * 7) % 256 for i in range(20 * 10 * 3))
+    blob = tiff_encode(px, 20, 10, 3, compression="lzw", predictor=2)
+    media = spark.createDataFrame(
+        [("t", "image/tiff", bytearray(blob)),
+         ("x", "image/tiff", bytearray(b"II*\x00garbage")),
+         ("s", "text/plain", bytearray(b"just some text"))],
+        "media_ref string, mime string, payload binary")
+    dec = {r["media_ref"]: r for r in decode_media(media).collect()}
+    assert (dec["t"]["width"], dec["t"]["height"], dec["t"]["channels"],
+            dec["t"]["ok"]) == (20, 10, 3, "ok")
+    assert dec["x"]["ok"].startswith("error:")   # hostile TIFF isolates
+    assert dec["s"]["ok"] == "ok"                # fake path, not an error
+    pix = {r["media_ref"]: r for r in decode_pixels(
+        media.where("media_ref = 't'")).collect()}
+    import hashlib
+    assert pix["t"]["pixel_md5"] == hashlib.md5(px).hexdigest()
+    rez = {r["media_ref"]: r for r in resize_media(
+        media.where("media_ref = 't'"), width=5, height=5).collect()}
+    out = bytes(rez["t"]["payload"])
+    assert looks_like_tiff(out)                  # TIFF stays TIFF
+    assert tiff_decode(out)[:3] == (5, 5, 3)
+    feats = {r["media_ref"]: list(r["features"]) for r in media_features(
+        media.where("media_ref = 't'")).collect()}
+    arr = np.frombuffer(px, dtype=np.uint8)
+    assert feats["t"][0] == pytest.approx(20 / 1024.0)
+    assert feats["t"][3] == pytest.approx(float(arr.mean()) / 255.0)
+
+
+def test_synth_corpus_mixes_tiff(spark):
+    """Every fifth synthetic media doc is a real TIFF of the same pixel
+    formula, rotating compression — the mix the driver oracle pins."""
+    from marky_spark.ops.multimodal import synth_png_media
+
+    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    rows = {r["media_ref"]: r for r in synth_png_media(docs).collect()}
+    import hashlib as hl
+    n_tiff = 0
+    for i in range(15):
+        r = rows[f"p{i}"]
+        blob = bytes(r["payload"])
+        w, h = 4 + i % 13, 4 + i % 7
+        hexs = hl.md5(str(i).encode()).hexdigest()
+        px = (hexs * (-(-(w * h * 3) // 32)))[:w * h * 3].encode()
+        if i % 5 == 4:
+            n_tiff += 1
+            assert r["mime"] == "image/tiff" and looks_like_tiff(blob)
+            assert tiff_decode(blob) == (w, h, 3, px)
+        else:
+            assert r["mime"] == "image/png" and blob[:4] == b"\x89PNG"
+    assert n_tiff == 3
