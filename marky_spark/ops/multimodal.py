@@ -77,6 +77,7 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
+    from .pnmcodec import looks_like_pnm, pnm_decode
     from .tiffcodec import looks_like_tiff, tiff_decode
 
     if payload.startswith(PNG_SIGNATURE):
@@ -84,6 +85,9 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
         return width, height, channels
     if looks_like_tiff(payload):
         width, height, channels, _ = tiff_decode(payload)
+        return width, height, channels
+    if looks_like_pnm(payload):
+        width, height, channels, _ = pnm_decode(payload)
         return width, height, channels
     if looks_like_bmp(payload):
         width, height, channels, _ = bmp_decode(payload)
@@ -116,11 +120,12 @@ def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     from .gifcodec import looks_like_gif
     from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
+    from .pnmcodec import looks_like_pnm
     from .tiffcodec import looks_like_tiff
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
             or looks_like_gif(payload) or looks_like_jpeg(payload)
-            or looks_like_tiff(payload)):
+            or looks_like_tiff(payload) or looks_like_pnm(payload)):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
@@ -256,6 +261,7 @@ def _real_resize(payload: bytes, mime: str,
     from .gifcodec import gif_resize_nearest, looks_like_gif
     from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_resize_nearest
+    from .pnmcodec import looks_like_pnm, pnm_decode, pnm_encode
     from .tiffcodec import looks_like_tiff, tiff_decode, tiff_encode
 
     if payload.startswith(PNG_SIGNATURE):
@@ -264,6 +270,11 @@ def _real_resize(payload: bytes, mime: str,
         in_w, in_h, ch, px = tiff_decode(payload)
         return tiff_encode(_nearest(px, in_w, in_h, ch, width, height),
                            width, height, ch)
+    if looks_like_pnm(payload):
+        in_w, in_h, ch, px = pnm_decode(payload)
+        # P4 bitmaps resize on the expanded gray grid and re-emit as PGM
+        return pnm_encode(_nearest(px, in_w, in_h, ch, width, height),
+                          width, height, ch)
     if looks_like_bmp(payload):
         in_w, in_h, ch, px = bmp_decode(payload)
         return bmp_encode(_nearest(px, in_w, in_h, ch, width, height),
@@ -286,11 +297,12 @@ def auto_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
     from .gifcodec import looks_like_gif
     from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
+    from .pnmcodec import looks_like_pnm
     from .tiffcodec import looks_like_tiff
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
             or looks_like_gif(payload) or looks_like_jpeg(payload)
-            or looks_like_tiff(payload)):
+            or looks_like_tiff(payload) or looks_like_pnm(payload)):
         return _real_resize(payload, mime, width, height)
     return fake_resize(payload, mime, width, height)
 
@@ -320,8 +332,14 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
     from .gifcodec import gif_resize_indexed, looks_like_gif
     from .jpegcodec import jpeg_decode, jpeg_encode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode, png_encode
+    from .pnmcodec import looks_like_pnm, pnm_decode, pnm_encode
     from .tiffcodec import looks_like_tiff, tiff_decode, tiff_encode
 
+    if looks_like_pnm(blob):
+        in_w, in_h, ch, pixels = pnm_decode(blob)
+        out = pnm_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                         width, height, ch)
+        return in_w, in_h, out
     if looks_like_tiff(blob):
         in_w, in_h, ch, pixels = tiff_decode(blob)
         out = tiff_encode(_nearest(pixels, in_w, in_h, ch, width, height),
@@ -460,12 +478,15 @@ def _try_decode_pixels(blob: bytes):
     from .gifcodec import gif_decode, looks_like_gif
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
+    from .pnmcodec import looks_like_pnm, pnm_decode
     from .tiffcodec import looks_like_tiff, tiff_decode
 
     if blob.startswith(PNG_SIGNATURE):
         return png_decode(blob)
     if looks_like_tiff(blob):
         return tiff_decode(blob)
+    if looks_like_pnm(blob):
+        return pnm_decode(blob)
     if looks_like_bmp(blob):
         return bmp_decode(blob)
     if looks_like_gif(blob):
@@ -636,10 +657,13 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     the SAME pixels as baseline TIFF instead of PNG (both lossless, so
     the one oracle pins both decoders), rotating the compression by
     i % 3 — LZW / PackBits / uncompressed — with the horizontal
-    predictor on odd docs and a 3-row multi-strip layout on i % 2 == 0:
-    the PNG path pins zlib+filters, the TIFF path pins IFD/strip/
-    PackBits/TIFF-LZW/predictor decode, against the same arithmetic."""
+    predictor on odd docs and a 3-row multi-strip layout on i % 2 == 0;
+    docs with i % 5 == 3 encode them as binary PPM (ops/pnmcodec). The
+    PNG path pins zlib+filters, the TIFF path pins IFD/strip/PackBits/
+    TIFF-LZW/predictor decode, and the PPM path pins the Netpbm header
+    grammar + raster parse, all against the same arithmetic."""
     from .pngcodec import png_encode
+    from .pnmcodec import pnm_encode
     from .tiffcodec import tiff_encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -659,6 +683,10 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                         predictor=2 if i % 2 else 1,
                         rows_per_strip=3 if i % 2 == 0 else None)
                     rows.append((f"p{i}", "image/tiff", blob))
+                    continue
+                if i % 5 == 3:
+                    rows.append((f"p{i}", "image/x-portable-pixmap",
+                                 pnm_encode(px, w, h, 3)))
                     continue
                 rows.append((f"p{i}", "image/png", png_encode(px, w, h, 3)))
             yield pd.DataFrame(

@@ -1,0 +1,131 @@
+"""Real Netpbm codec (binary PBM/PGM/PPM — P4/P5/P6) — pure stdlib.
+
+The reference never decodes media (docx.go:196-198 base64s bytes
+verbatim); Netpbm is part of this repo's training-data pipeline surface:
+it is the classic interchange format OCR and scanned-page tooling emits
+(pgm/ppm dumps), and its one-screenful spec makes it the cheapest real
+codec in the set — header ``P4|P5|P6`` + whitespace/comment-separated
+width/height(/maxval), then raw samples (P4: row-padded 1-bit packed,
+P5: 8-bit gray, P6: 8-bit RGB).
+
+Scope: maxval <= 255 (8-bit); the ASCII variants (P1-P3) and 16-bit
+maxvals are recognized and classify as :class:`PnmUnsupportedError`
+(→ ``codec_unavailable`` rows); anything malformed raises
+:class:`PnmError` (the poison-pill contract). Allocation bounds are
+checked before the pixel read.
+"""
+from __future__ import annotations
+
+MAX_PIXELS = 1 << 26
+
+PNM_BINARY = (b"P4", b"P5", b"P6")
+PNM_ASCII = (b"P1", b"P2", b"P3")
+
+
+class PnmError(ValueError):
+    """Malformed / hostile Netpbm input."""
+
+
+class PnmUnsupportedError(NotImplementedError):
+    """Recognized Netpbm shape this codec does not implement (ASCII
+    variants, 16-bit maxval)."""
+
+
+def looks_like_pnm(data: bytes) -> bool:
+    """Structure sniff: the magic alone is two ASCII characters, which
+    ordinary text can open with ("P5 is..."), so the WHOLE header must
+    parse — magic, whitespace/comments, decimal dims (and maxval), and
+    the terminating whitespace — before a payload takes the real path.
+    ASCII variants (P1-P3) sniff true when header-valid so they classify
+    as codec_unavailable rather than fake-decoding."""
+    if len(data) < 3 or data[:2] not in PNM_BINARY + PNM_ASCII \
+            or data[2:3] not in b" \t\r\n#":
+        return False
+    try:
+        _header_ints(data, 2, 2 if data[:2] in (b"P1", b"P4") else 3)
+    except PnmError:
+        return False
+    return True
+
+
+def _header_ints(data: bytes, start: int, count: int) -> tuple[list[int], int]:
+    """Read `count` whitespace/comment-separated decimal fields."""
+    vals: list[int] = []
+    i = start
+    n = len(data)
+    while len(vals) < count:
+        while i < n and data[i:i + 1] in b" \t\r\n":
+            i += 1
+        if i < n and data[i] == 0x23:  # '#' comment to end of line
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and 0x30 <= data[j] <= 0x39:
+            j += 1
+        if j == i:
+            raise PnmError("bad Netpbm header field")
+        if j - i > 9:
+            raise PnmError("Netpbm header field absurdly long")
+        vals.append(int(data[i:j]))
+        i = j
+    if i >= n or data[i:i + 1] not in b" \t\r\n":
+        raise PnmError("Netpbm header not terminated by whitespace")
+    return vals, i + 1  # single whitespace separates header from raster
+
+
+def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNM bytes → ``(width, height, channels, pixels)`` — 8-bit chunky
+    samples, P4 bits expanded to 0/255 gray (white-is-zero per spec)."""
+    if not looks_like_pnm(data):
+        raise PnmError("not a Netpbm file (no P4/P5/P6 magic)")
+    magic = data[:2]
+    if magic in PNM_ASCII:
+        raise PnmUnsupportedError("ASCII Netpbm (P1-P3) not implemented")
+    if magic == b"P4":
+        (w, h), at = _header_ints(data, 2, 2)
+        maxval, channels = 1, 1
+    else:
+        (w, h, maxval), at = _header_ints(data, 2, 3)
+        channels = 1 if magic == b"P5" else 3
+        if maxval > 255:
+            raise PnmUnsupportedError(
+                f"16-bit Netpbm (maxval {maxval}) not implemented")
+        if maxval < 1:
+            raise PnmError(f"bad maxval {maxval}")
+    if w < 1 or h < 1 or w * h * channels > MAX_PIXELS:
+        raise PnmError(f"bad dimensions {w}x{h}")
+    if magic == b"P4":
+        row_bytes = (w + 7) // 8
+        need = row_bytes * h
+        raster = data[at:at + need]
+        if len(raster) != need:
+            raise PnmError(f"raster is {len(raster)} bytes, want {need}")
+        import numpy as np
+
+        bits = np.unpackbits(
+            np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes),
+            axis=1)[:, :w]
+        # 1 bit = black per spec → 0; 0 bit = white → 255
+        return w, h, 1, ((1 - bits) * np.uint8(255)).astype(
+            np.uint8).tobytes()
+    need = w * h * channels
+    raster = data[at:at + need]
+    if len(raster) != need:
+        raise PnmError(f"raster is {len(raster)} bytes, want {need}")
+    return w, h, channels, raster
+
+
+def pnm_encode(pixels: bytes, width: int, height: int,
+               channels: int = 3) -> bytes:
+    """8-bit chunky samples → binary PGM (1 channel) / PPM (3 channels)."""
+    if channels not in (1, 3):
+        raise PnmError(f"unsupported channel count {channels}")
+    if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
+        raise PnmError(f"bad dimensions {width}x{height}")
+    if len(pixels) != width * height * channels:
+        raise PnmError(
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"want {width * height * channels}")
+    magic = b"P5" if channels == 1 else b"P6"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels

@@ -143,6 +143,8 @@ MIME_MAGIC_CASES = [
     (b"GIF89a" + b"\x00" * 16, "image/gif"),
     (b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\x00" * 8, "image/webp"),
     (b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"\x00" * 8, "audio/wav"),
+    (b"II*\x00" + b"\x00" * 16, "image/tiff"),
+    (b"MM\x00*" + b"\x00" * 16, "image/tiff"),
     (b"\x1f\x8b\x08" + b"\x00" * 16, "application/gzip"),
     (b"ID3\x04" + b"\x00" * 16, "audio/mpeg"),
     (b"\x7fELF\x02" + b"\x00" * 16, "application/x-executable"),

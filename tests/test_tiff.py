@@ -215,6 +215,8 @@ def test_synth_corpus_mixes_tiff(spark):
             n_tiff += 1
             assert r["mime"] == "image/tiff" and looks_like_tiff(blob)
             assert tiff_decode(blob) == (w, h, 3, px)
+        elif i % 5 == 3:
+            assert r["mime"] == "image/x-portable-pixmap"  # test_pnm pins it
         else:
             assert r["mime"] == "image/png" and blob[:4] == b"\x89PNG"
     assert n_tiff == 3
