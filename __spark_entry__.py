@@ -680,10 +680,33 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     data URIs (docx.go:196-198 / pptx.go:342-343 parity) → recovered binary
     payloads, fully JVM-side (explode + regexp_extract + unbase64). The
     span payloads here are the documents' own text bytes, so DuckDB can pin
-    the recovered payload digests independently."""
+    the recovered payload digests independently.
+
+    MERGED (round-3, keeping the registry at the driver's 50-row cap):
+    branch 'a' pins ops/archive.explode_archive — each doc's text wrapped
+    as zip (deflate) / gzip / tar rotating by doc_id%3
+    (synth_archive_media), exploded back to member rows whose payload
+    md5s must equal md5(text): the zip central-directory walk, DEFLATE,
+    gzip framing, and tar header math all have to be right for the
+    digests to line up. Same fan-out shape as a 100 TB Common-Crawl-style
+    ingest's first stage."""
+    from marky_spark.ops.archive import explode_archive, synth_archive_media
     from marky_spark.ops.multimodal import extract_embedded_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    members = explode_archive(synth_archive_media(docs))
+    archive_branch = members.where(F.col("ok") == "ok").select(
+        F.lit("a").alias("branch"),
+        F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
+        "media_ref",
+        F.when(F.substring("media_ref", 2, 18).cast("long") % 3 == 0,
+               "application/zip")
+        .when(F.substring("media_ref", 2, 18).cast("long") % 3 == 1,
+              "application/gzip")
+        .otherwise("application/x-tar").alias("mime"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("n_bytes"),
+    )
     spans = docs.select(
         "doc_id",
         F.array(F.struct(
@@ -700,11 +723,13 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("out_spans"),
     )
     media = extract_embedded_media(spans)
-    return media.select(
+    bridge_branch = media.select(
+        F.lit("e").alias("branch"),
         "doc_id", "media_ref", "mime",
         F.md5("payload").alias("payload_md5"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+    return bridge_branch.unionByName(archive_branch)
 
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,11 +1451,26 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "embedded_media": """
-            -- the bridge recovers exactly the bytes the data URI carried:
-            -- payload md5 == md5 of the document's own UTF-8 text bytes
-            SELECT doc_id,
+            -- branch 'e': the bridge recovers exactly the bytes the data
+            -- URI carried; branch 'a': archive explode recovers exactly
+            -- the member bytes each container wrapped — both md5(text)
+            -- (the corpus text is pure ASCII, so DuckDB's md5(VARCHAR)
+            -- equals Spark's md5 over the UTF-8 payload)
+            SELECT 'e' AS branch,
+                   doc_id,
                    'm' || doc_id AS media_ref,
                    'image/png' AS mime,
+                   md5(text) AS payload_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
+            UNION ALL
+            SELECT 'a' AS branch,
+                   doc_id,
+                   'z' || doc_id AS media_ref,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'application/zip'
+                        WHEN 1 THEN 'application/gzip'
+                        ELSE 'application/x-tar' END AS mime,
                    md5(text) AS payload_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents

@@ -1,0 +1,193 @@
+"""Archive explode (ops/archive): member walks for zip/gzip/tar(.gz),
+bomb caps, hostile isolation, kind sniffing, and the Spark fan-out."""
+from __future__ import annotations
+
+import gzip
+import io
+import random
+import struct
+import tarfile
+import zipfile
+
+import pytest
+
+from marky_spark.ops.archive import (
+    MAX_MEMBER_BYTES,
+    MAX_MEMBERS,
+    ArchiveError,
+    _gzip_members,
+    _tar_members,
+    _zip_members,
+    explode_archive,
+    looks_like_gzip,
+    looks_like_tar,
+    looks_like_zip,
+)
+
+
+def _zip_of(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_of(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members.items():
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_zip_members_and_dirs_skipped():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("d/", b"")
+        zf.writestr("d/a.txt", b"alpha")
+        zf.writestr("b.csv", b"x,y\n1,2")
+    out = _zip_members(buf.getvalue())
+    assert out == [("d/a.txt", b"alpha"), ("b.csv", b"x,y\n1,2")]
+
+
+def test_gzip_single_member_and_targz_nesting():
+    assert _gzip_members(gzip.compress(b"payload")) == [("member", b"payload")]
+    inner = _tar_of({"x.txt": b"tar body"})
+    assert _gzip_members(gzip.compress(inner)) == [("x.txt", b"tar body")]
+
+
+def test_zip_declared_size_lie_is_caught():
+    """A central-directory file_size smaller than the actual inflate output
+    (the classic bomb shape) must be a typed error, not a giant buffer."""
+    blob = bytearray(_zip_of({"a.bin": b"Z" * 4096}))
+    # zipfile stores file_size in both local header and central directory;
+    # extraction reads the central one — find and shrink it
+    at = blob.rindex(b"a.bin") - 46 + 24  # central header: sizes at +20/+24
+    struct.pack_into("<I", blob, at, 16)
+    with pytest.raises(ArchiveError, match="overran|bad zip member"):
+        _zip_members(bytes(blob))
+
+
+def test_member_count_cap():
+    # tar headers are cheap to fabricate: 4097 empty files
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(MAX_MEMBERS + 1):
+            ti = tarfile.TarInfo(f"f{i}")
+            ti.size = 0
+            tf.addfile(ti)
+    with pytest.raises(ArchiveError, match="members"):
+        _tar_members(buf.getvalue())
+
+
+def test_member_size_cap_precheck():
+    """A tar member DECLARING more than the cap is rejected from its header
+    alone (no allocation)."""
+    ti = tarfile.TarInfo("huge")
+    ti.size = MAX_MEMBER_BYTES + 1
+    hdr = ti.tobuf()
+    # tarfile may reject the truncated body during the header walk itself;
+    # either way it is a typed error, never an allocation
+    with pytest.raises(ArchiveError, match="declares|bad tar"):
+        _tar_members(hdr + b"\x00" * 1024)
+
+
+def test_truncated_archives_are_typed():
+    good = _zip_of({"a.txt": b"hello world"})
+    with pytest.raises(ArchiveError, match="bad zip"):
+        _zip_members(good[:20])
+    with pytest.raises(ArchiveError, match="bad gzip"):
+        _gzip_members(gzip.compress(b"x" * 100)[:8])
+
+
+def test_sniffs():
+    assert looks_like_zip(b"PK\x03\x04rest")
+    assert looks_like_gzip(b"\x1f\x8b\x08")
+    assert looks_like_tar(_tar_of({"a": b"b"}))
+    assert not looks_like_tar(b"ustar but too short")
+    assert not looks_like_zip(b"PK\x01\x02")  # central dir only, no local
+
+
+def test_spark_explode_fanout_and_kinds(spark):
+    """One archive row fans out to N member rows with sniffed kinds; text
+    blobs pass through as not_archive; hostile archives isolate."""
+    arc = _zip_of({
+        "page.html": b"<html><body><p>hi</p></body></html>",
+        "table.csv": b"a,b\n1,2",
+        "notes.txt": b"plain prose",
+    })
+    media = spark.createDataFrame(
+        [("ok", bytearray(arc)),
+         ("txt", bytearray(b"not an archive, just text")),
+         ("bad", bytearray(b"PK\x03\x04" + b"\x00" * 30))],
+        "media_ref string, payload binary")
+    rows = explode_archive(media).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    members = {r["member_name"]: r for r in by_ref["ok"]}
+    assert members["page.html"]["kind"] == "html"
+    assert members["table.csv"]["kind"] == "csv"
+    assert bytes(members["table.csv"]["payload"]) == b"a,b\n1,2"
+    assert [r["member_idx"] for r in sorted(by_ref["ok"],
+                                            key=lambda r: r["member_idx"])] \
+        == [0, 1, 2]
+    assert by_ref["txt"][0]["ok"] == "not_archive"
+    assert by_ref["bad"][0]["ok"].startswith("error:")
+
+
+def test_synth_archive_matches_oracle_arithmetic(spark):
+    """The synthetic corpus really wraps each doc's text: member bytes ==
+    text bytes for all three containers."""
+    from marky_spark.ops.archive import synth_archive_media
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words") for i in range(6)],
+        "doc_id long, text string")
+    media = {r["media_ref"]: r for r in synth_archive_media(docs).collect()}
+    for i in range(6):
+        r = media[f"z{i}"]
+        blob = bytes(r["payload"])
+        expect = f"document body {i} with words".encode()
+        if i % 3 == 0:
+            assert r["mime"] == "application/zip" and looks_like_zip(blob)
+            assert _zip_members(blob) == [(f"doc{i}.txt", expect)]
+        elif i % 3 == 1:
+            assert r["mime"] == "application/gzip" and looks_like_gzip(blob)
+            assert _gzip_members(blob) == [(f"doc{i}.txt", expect)]
+        else:
+            assert r["mime"] == "application/x-tar" and looks_like_tar(blob)
+            assert _tar_members(blob) == [(f"doc{i}.txt", expect)]
+    # determinism: same docs → byte-identical archives
+    again = {r["media_ref"]: bytes(r["payload"])
+             for r in synth_archive_media(docs).collect()}
+    assert all(bytes(media[k]["payload"]) == again[k] for k in again)
+
+
+def test_archive_mutations_stay_typed():
+    rng = random.Random(0xA2C)
+    bases = [
+        _zip_of({"a.txt": b"alpha" * 40, "b.txt": b"beta" * 40}),
+        gzip.compress(b"gamma" * 100),
+        _tar_of({"c.txt": b"delta" * 40}),
+        gzip.compress(_tar_of({"d.txt": b"epsilon" * 40})),
+    ]
+    from tests.test_mutation_fuzz import _mutate
+    for k in range(600):
+        blob = _mutate(rng, bases[k % len(bases)])
+        if not (looks_like_zip(blob) or looks_like_gzip(blob)
+                or looks_like_tar(blob)):
+            continue
+        try:
+            if looks_like_zip(blob):
+                members = _zip_members(blob)
+            elif looks_like_gzip(blob):
+                members = _gzip_members(blob)
+            else:
+                members = _tar_members(blob)
+        except ArchiveError:
+            continue
+        assert sum(len(d) for _, d in members) <= 1 << 28
