@@ -207,6 +207,33 @@ def explode_archive(media: DataFrame) -> DataFrame:
         batches, schema=MEMBER_SCHEMA)
 
 
+_BINARY_KINDS = ("docx", "xlsx", "pptx", "epub", "pdf")
+
+
+def members_to_docs(members: DataFrame) -> DataFrame:
+    """Exploded ``ok`` member rows → the engine's INPUT_SCHEMA shape, so an
+    archive corpus flows straight into :func:`marky_spark.convert.convert`:
+    doc_id = ``<archive_ref>/<member_name>``, one span whose text is the
+    member bytes — UTF-8 for textual kinds, base64 for the zip-container
+    binary kinds (the same wire convention the binary kernels decode,
+    kernels/base.decode_binary_payload). Entirely JVM-side: no Python, no
+    shuffle — explode → convert is one fused stage chain."""
+    from pyspark.sql import functions as F
+
+    ok = members.where(F.col("ok") == "ok")
+    is_binary = F.col("kind").isin(*_BINARY_KINDS)
+    return ok.select(
+        F.concat_ws("/", "media_ref", "member_name").alias("doc_id"),
+        F.array(F.struct(
+            F.coalesce(F.col("kind"), F.lit("unknown")).alias("kind"),
+            F.when(is_binary, F.translate(F.base64("payload"), "\r\n", ""))
+            .otherwise(F.decode("payload", "UTF-8")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+
+
 def synth_archive_media(docs: DataFrame) -> DataFrame:
     """Deterministic archive corpus over doc ids: doc i's UTF-8 text
     wrapped as (i % 3) → zip (deflate) / gzip / tar, each with one member

@@ -191,3 +191,33 @@ def test_archive_mutations_stay_typed():
         except ArchiveError:
             continue
         assert sum(len(d) for _, d in members) <= 1 << 28
+
+
+def test_archive_to_convert_end_to_end(spark):
+    """The full ingest composition: archive blob → explode → INPUT_SCHEMA
+    adapter → convert kernels → ordered Markdown, including a real binary
+    member (the reference's own test.docx) riding the base64 wire
+    convention. Plan check: no Exchange anywhere below the kernels."""
+    from marky_spark.convert import convert
+    from marky_spark.ops.archive import members_to_docs
+
+    docx = open("/root/reference/test_files/test.docx", "rb").read()
+    arc = _zip_of({
+        "page.html": b"<html><body><h1>Title</h1><p>body text</p></body></html>",
+        "table.csv": b"a,b\n1,2",
+        "doc.docx": docx,
+        "broken.csv": b'a,b\n1,2,3',  # uneven row -> per-doc error row
+    })
+    media = spark.createDataFrame([("arc0", bytearray(arc))],
+                                  "media_ref string, payload binary")
+    docs = members_to_docs(explode_archive(media))
+    out = {r["doc_id"]: r for r in convert(docs).collect()}
+    assert out["arc0/page.html"]["status"] == "ok"
+    assert "# Title" in out["arc0/page.html"]["markdown"]
+    assert out["arc0/table.csv"]["markdown"].startswith("| a | b |")
+    assert out["arc0/doc.docx"]["status"] == "ok"
+    assert out["arc0/doc.docx"]["conv_kind"] == "docx"
+    assert len(out["arc0/doc.docx"]["markdown"]) > 100
+    assert out["arc0/broken.csv"]["status"] == "error"
+    plan = convert(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # explode -> adapt -> convert: one chain
