@@ -688,12 +688,28 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     (synth_archive_media), exploded back to member rows whose payload
     md5s must equal md5(text): the zip central-directory walk, DEFLATE,
     gzip framing, and tar header math all have to be right for the
-    digests to line up. Same fan-out shape as a 100 TB Common-Crawl-style
-    ingest's first stage."""
+    digests to line up. Branch 'w' pins ops/warc.warc_records the same
+    way: each doc's text is the HTTP body of a WARC response record
+    (synth_warc_media, gzip-wrapped for odd docs), so the record walk,
+    header parse, Content-Length math, gzip inflate, and HTTP-body split
+    must all be right for payload_md5 == md5(text). Together the three
+    branches cover a crawl pipeline's entire front door."""
     from marky_spark.ops.archive import explode_archive, synth_archive_media
     from marky_spark.ops.multimodal import extract_embedded_media
+    from marky_spark.ops.warc import synth_warc_media, warc_records
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    warc = warc_records(synth_warc_media(docs))
+    warc_branch = warc.where(
+        (F.col("ok") == "ok") & (F.col("warc_type") == "response")).select(
+        F.lit("w").alias("branch"),
+        F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
+        F.concat(F.lit("W"), F.substring("media_ref", 2, 18))
+        .alias("media_ref"),
+        F.col("content_type").alias("mime"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("n_bytes"),
+    )
     members = explode_archive(synth_archive_media(docs))
     archive_branch = members.where(F.col("ok") == "ok").select(
         F.lit("a").alias("branch"),
@@ -729,7 +745,7 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
-    return bridge_branch.unionByName(archive_branch)
+    return bridge_branch.unionByName(archive_branch).unionByName(warc_branch)
 
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,6 +1487,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 0 THEN 'application/zip'
                         WHEN 1 THEN 'application/gzip'
                         ELSE 'application/x-tar' END AS mime,
+                   md5(text) AS payload_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
+            UNION ALL
+            -- branch 'w': the WARC response record's HTTP body is exactly
+            -- the doc text (record walk + Content-Length + gzip inflate +
+            -- HTTP split all pinned)
+            SELECT 'w' AS branch,
+                   doc_id,
+                   'W' || doc_id AS media_ref,
+                   'application/http;msgtype=response' AS mime,
                    md5(text) AS payload_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents

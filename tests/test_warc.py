@@ -1,0 +1,141 @@
+"""WARC record walk (ops/warc): grammar, HTTP split, gzip wrapping,
+hostile rejection, mutation fuzz, Spark fan-out, synth determinism."""
+from __future__ import annotations
+
+import gzip
+import io
+import random
+
+import pytest
+
+from marky_spark.ops.warc import (
+    MAX_RECORDS,
+    WarcError,
+    _parse_records,
+    _split_http,
+    looks_like_warc,
+    warc_records,
+)
+
+
+def _record(rtype: str, block: bytes, extra: bytes = b"") -> bytes:
+    return (b"WARC/1.0\r\n"
+            + f"WARC-Type: {rtype}\r\n".encode() + extra
+            + f"Content-Length: {len(block)}\r\n\r\n".encode()
+            + block + b"\r\n\r\n")
+
+
+def test_record_walk_and_http_split():
+    body = b"the page text"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    blob = (_record("warcinfo", b"software: x\r\n")
+            + _record("response", http,
+                      b"WARC-Target-URI: http://a/\r\n"
+                      b"Content-Type: application/http;msgtype=response\r\n"))
+    recs = _parse_records(blob)
+    assert [r["type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["uri"] == "http://a/"
+    assert _split_http(recs[1]["block"]) == (200, body)
+
+
+def test_split_http_non_http_passthrough():
+    assert _split_http(b"raw bytes") == (None, b"raw bytes")
+    assert _split_http(b"HTTP/1.1 no-terminator") == \
+        (None, b"HTTP/1.1 no-terminator")
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda b: b[:-6], "overruns|terminated"),
+    (lambda b: b.replace(b"Content-Length", b"X-Length", 1),
+     "Content-Length"),
+    (lambda b: b.replace(b"WARC/1.0", b"HTTP/1.0", 1), "version"),
+    (lambda b: b.replace(b"\r\n\r\n", b"\r\n", 1), "header|Content-Length"),
+])
+def test_hostile_warcs_typed(mutate, msg):
+    blob = _record("resource", b"abc")
+    with pytest.raises(WarcError, match=msg):
+        _parse_records(mutate(blob))
+
+
+def test_record_count_cap():
+    blob = _record("resource", b"") * (MAX_RECORDS + 1)
+    with pytest.raises(WarcError, match="records"):
+        _parse_records(blob)
+
+
+def test_sniff():
+    assert looks_like_warc(_record("resource", b"x"))
+    assert looks_like_warc(gzip.compress(_record("resource", b"x")))
+    assert not looks_like_warc(b"HTTP/1.1 200 OK\r\n")
+    assert not looks_like_warc(gzip.compress(b"just gzipped text"))
+
+
+def test_spark_fanout_plain_and_gzip(spark):
+    body = b"crawled text body"
+    http = b"HTTP/1.1 404 Not Found\r\n\r\n" + body
+    blob = _record("response", http,
+                   b"WARC-Target-URI: http://b/\r\n"
+                   b"Content-Type: application/http;msgtype=response\r\n")
+    media = spark.createDataFrame(
+        [("plain", bytearray(blob)),
+         ("gz", bytearray(gzip.compress(blob))),
+         ("txt", bytearray(b"not warc at all")),
+         ("bad", bytearray(b"WARC/1.0\r\ngarbage"))],
+        "media_ref string, payload binary")
+    rows = {(r["media_ref"], r["record_idx"]): r
+            for r in warc_records(media).collect()}
+    for ref in ("plain", "gz"):
+        r = rows[(ref, 0)]
+        assert r["ok"] == "ok" and r["warc_type"] == "response"
+        assert r["http_status"] == 404
+        assert bytes(r["payload"]) == body
+        assert r["target_uri"] == "http://b/"
+    assert rows[("txt", None)]["ok"] == "not_warc"
+    assert rows[("bad", None)]["ok"].startswith("error:")
+
+
+def test_synth_matches_oracle_arithmetic(spark):
+    from marky_spark.ops.warc import synth_warc_media
+
+    docs = spark.createDataFrame(
+        [(i, f"body of doc {i}") for i in range(4)],
+        "doc_id long, text string")
+    out = warc_records(synth_warc_media(docs)).where("warc_type = 'response'")
+    rows = {r["media_ref"]: r for r in out.collect()}
+    for i in range(4):
+        r = rows[f"w{i}"]
+        assert bytes(r["payload"]) == f"body of doc {i}".encode()
+        assert r["http_status"] == 200
+        assert r["target_uri"] == f"http://synth/{i}"
+    # determinism
+    a = {r["media_ref"]: bytes(r["payload"])
+         for r in synth_warc_media(docs).collect()}
+    b = {r["media_ref"]: bytes(r["payload"])
+         for r in synth_warc_media(docs).collect()}
+    assert a == b
+
+
+def test_warc_mutations_stay_typed():
+    from tests.test_mutation_fuzz import _mutate
+
+    rng = random.Random(0x3A2C)
+    body = b"HTTP/1.1 200 OK\r\n\r\n" + b"text " * 50
+    base = (_record("warcinfo", b"software: t\r\n")
+            + _record("response", body,
+                      b"Content-Type: application/http;msgtype=response\r\n"))
+    bases = [base, gzip.compress(base)]
+    for k in range(800):
+        blob = _mutate(rng, bases[k % 2])
+        if blob[:2] == b"\x1f\x8b":
+            try:
+                with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
+                    blob = f.read(1 << 28)
+            except Exception:
+                continue
+        if not blob.startswith(b"WARC/"):
+            continue
+        try:
+            recs = _parse_records(blob)
+        except WarcError:
+            continue
+        assert sum(len(r["block"]) for r in recs) <= 1 << 28
