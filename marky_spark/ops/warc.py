@@ -206,6 +206,52 @@ def warc_records(media: DataFrame) -> DataFrame:
         batches, schema=RECORD_SCHEMA)
 
 
+def records_to_docs(records: DataFrame) -> DataFrame:
+    """``response`` record rows → the engine's INPUT_SCHEMA shape, so a
+    crawl archive flows straight into marky_spark.convert.convert:
+    doc_id = the record's target URI (the natural crawl key), one span
+    whose kind is sniffed from the HTTP body by the same content sniff
+    the CLI uses (never trusting Content-Type headers — crawls lie).
+    Arrow-batched mapInPandas for the sniff (it needs the body bytes);
+    no shuffle, no driver collect."""
+    from ..cli import sniff_kind
+
+    out_schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, uri, payload in zip(pdf["media_ref"],
+                                         pdf["target_uri"], pdf["payload"]):
+                body = bytes(payload) if payload is not None else b""
+                kind = sniff_kind(uri or "", body) or "unknown"
+                rows.append((ref, uri or f"{ref}/record",
+                             kind, body.decode("utf-8", "replace")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields])
+
+    from pyspark.sql import functions as F
+
+    ok = records.where((F.col("ok") == "ok")
+                       & (F.col("warc_type") == "response"))
+    docs = ok.select("media_ref", "target_uri", "payload").mapInPandas(
+        batches, schema=out_schema)
+    return docs.select(
+        "doc_id",
+        F.array(F.struct(
+            F.col("kind"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+
+
 def synth_warc_media(docs: DataFrame) -> DataFrame:
     """Deterministic WARC corpus over doc ids: per doc, a ``warcinfo``
     record plus one ``response`` record whose HTTP body is the doc's text,

@@ -139,3 +139,41 @@ def test_warc_mutations_stay_typed():
         except WarcError:
             continue
         assert sum(len(r["block"]) for r in recs) <= 1 << 28
+
+
+def test_warc_to_convert_end_to_end(spark):
+    """The crawl composition: WARC blob → record walk → INPUT_SCHEMA
+    adapter → convert kernels → Markdown with boilerplate stripped, the
+    exact shape of a Common-Crawl text-extraction job. No Exchange in
+    the whole plan."""
+    from marky_spark.convert import convert
+    from marky_spark.ops.warc import records_to_docs
+
+    html = (b"<html><head><script>junk()</script></head><body>"
+            b"<h1>Crawl Title</h1><p>real body text</p>"
+            b"<nav><a href='/a'>a</a><a href='/b'>b</a><a href='/c'>c</a>"
+            b"<a href='/d'>d</a></nav></body></html>")
+    csv_body = b"x,y\n3,4"
+    blob = (_record("response",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html,
+                    b"WARC-Target-URI: http://site/page\r\n"
+                    b"Content-Type: application/http;msgtype=response\r\n")
+            + _record("response",
+                      b"HTTP/1.1 200 OK\r\n\r\n" + csv_body,
+                      b"WARC-Target-URI: http://site/data.csv\r\n"
+                      b"Content-Type: application/http;msgtype=response\r\n"))
+    media = spark.createDataFrame([("crawl0", bytearray(blob))],
+                                  "media_ref string, payload binary")
+    docs = records_to_docs(warc_records(media))
+    out = {r["doc_id"]: r for r in convert(docs).collect()}
+    page = out["http://site/page"]
+    assert page["status"] == "ok" and page["conv_kind"] == "html"
+    assert "# Crawl Title" in page["markdown"]
+    assert "real body text" in page["markdown"]
+    assert "junk()" not in page["markdown"]  # script stripped
+    data = out["http://site/data.csv"]
+    assert data["status"] == "ok" and data["conv_kind"] == "csv"
+    assert data["markdown"].startswith("| x | y |")
+    plan = convert(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
