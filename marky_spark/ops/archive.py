@@ -59,6 +59,14 @@ def looks_like_gzip(data: bytes) -> bool:
     return data[:2] == b"\x1f\x8b"
 
 
+def looks_like_bzip2(data: bytes) -> bool:
+    return data[:3] == b"BZh" and data[3:4].isdigit()
+
+
+def looks_like_xz(data: bytes) -> bool:
+    return data[:6] == b"\xfd7zXZ\x00"
+
+
 def looks_like_tar(data: bytes) -> bool:
     return len(data) >= 263 and data[257:262] == b"ustar"
 
@@ -136,6 +144,33 @@ def _gzip_members(blob: bytes) -> list[tuple[str, bytes]]:
     return [(name, data)]
 
 
+def _stream_members(blob: bytes, opener, what: str) -> list[tuple[str, bytes]]:
+    """Shared single-member/.tar.X logic for bzip2 and xz (gzip has its
+    own path because of FNAME recovery)."""
+    try:
+        with opener(io.BytesIO(blob)) as f:
+            data = f.read(MAX_TOTAL_BYTES + 1)
+    except Exception as exc:
+        raise ArchiveError(f"bad {what}: {exc}") from None
+    if len(data) > MAX_TOTAL_BYTES:
+        raise ArchiveError(f"{what} decompresses past the total cap")
+    if looks_like_tar(data):
+        return _tar_members(data)
+    return [("member", data)]
+
+
+def _bzip2_members(blob: bytes) -> list[tuple[str, bytes]]:
+    import bz2
+
+    return _stream_members(blob, bz2.BZ2File, "bzip2")
+
+
+def _xz_members(blob: bytes) -> list[tuple[str, bytes]]:
+    import lzma
+
+    return _stream_members(blob, lzma.LZMAFile, "xz")
+
+
 def _tar_members(blob: bytes) -> list[tuple[str, bytes]]:
     import tarfile
 
@@ -182,6 +217,10 @@ def explode_archive(media: DataFrame) -> DataFrame:
                         members = _zip_members(blob)
                     elif looks_like_gzip(blob):
                         members = _gzip_members(blob)
+                    elif looks_like_bzip2(blob):
+                        members = _bzip2_members(blob)
+                    elif looks_like_xz(blob):
+                        members = _xz_members(blob)
                     elif looks_like_tar(blob):
                         members = _tar_members(blob)
                     else:

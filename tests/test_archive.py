@@ -221,3 +221,43 @@ def test_archive_to_convert_end_to_end(spark):
     assert out["arc0/broken.csv"]["status"] == "error"
     plan = convert(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # explode -> adapt -> convert: one chain
+
+
+def test_bzip2_and_xz_members():
+    """bz2 / xz single-member and .tar.bz2 / .tar.xz nesting, plus typed
+    truncation errors and bomb caps shared with the gzip path."""
+    import bz2
+    import lzma
+
+    from marky_spark.ops.archive import (
+        _bzip2_members,
+        _xz_members,
+        looks_like_bzip2,
+        looks_like_xz,
+    )
+
+    assert looks_like_bzip2(bz2.compress(b"x"))
+    assert looks_like_xz(lzma.compress(b"x"))
+    assert not looks_like_bzip2(b"BZhx")  # level byte must be a digit
+    assert _bzip2_members(bz2.compress(b"payload")) == [("member", b"payload")]
+    assert _xz_members(lzma.compress(b"payload")) == [("member", b"payload")]
+    inner = _tar_of({"n.txt": b"nested"})
+    assert _bzip2_members(bz2.compress(inner)) == [("n.txt", b"nested")]
+    assert _xz_members(lzma.compress(inner)) == [("n.txt", b"nested")]
+    with pytest.raises(ArchiveError, match="bad bzip2"):
+        _bzip2_members(bz2.compress(b"z" * 100)[:10])
+    with pytest.raises(ArchiveError, match="bad xz"):
+        _xz_members(lzma.compress(b"z" * 100)[:10])
+
+
+def test_bzip2_xz_spark_routing(spark):
+    import bz2
+    import lzma
+
+    media = spark.createDataFrame(
+        [("b", bytearray(bz2.compress(b"bz body"))),
+         ("x", bytearray(lzma.compress(b"xz body")))],
+        "media_ref string, payload binary")
+    rows = {r["media_ref"]: r for r in explode_archive(media).collect()}
+    assert bytes(rows["b"]["payload"]) == b"bz body"
+    assert bytes(rows["x"]["payload"]) == b"xz body"
