@@ -3,21 +3,24 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` signatures. The codec layer is split:
 
-- **PNG, uncompressed BMP, GIF, JPEG and baseline TIFF are real codecs**
-  (ops/pngcodec: chunk
-  walk, CRC verify, inflate, filter reconstruction, palette expansion;
+- **PNG, uncompressed BMP, GIF, JPEG (baseline + progressive), baseline
+  TIFF and Netpbm are real image codecs** (ops/pngcodec: chunk walk, CRC
+  verify, inflate, filter reconstruction, palette expansion;
   ops/bmpcodec: BGR(A) row grid; ops/gifcodec: real LZW, color tables,
-  interlacing; ops/jpegcodec: baseline+progressive DCT, Huffman, 4:2:0;
-  ops/tiffcodec: IFD walk, strips, PackBits + TIFF-LZW, predictor — all
-  pure stdlib+numpy). Payloads of those formats
-  (signature/structure-sniffed) decode/resize for real by default, and
-  media_features computes content-derived statistics from their pixels.
-- Formats with no in-sandbox library (audio, video) keep the
-  deterministic digest-derived fake via ``auto_decode``/``auto_resize``;
-  recognized-but-unimplemented JPEG modes (arithmetic/12-bit —
-  progressive now real-decodes) classify as ``codec_unavailable`` rows
-  (JpegUnsupportedError is a NotImplementedError); ``decoder=``/``resizer=`` accept real codecs
-  (e.g. PIL-based) in production through the same batch shape.
+  interlacing; ops/jpegcodec: DCT, Huffman, 4:2:0; ops/tiffcodec: IFD
+  walk, strips, PackBits + TIFF-LZW, predictor; ops/pnmcodec: P4/P5/P6 —
+  all pure stdlib+numpy), and the audio/video side is real too
+  (ops/wavcodec: PCM + G.711 + IMA ADPCM; ops/flaccodec; ops/avicodec:
+  MJPEG). Payloads of those formats (signature/structure-sniffed)
+  decode/resize for real by default, and media_features computes
+  content-derived statistics from their decoded samples.
+- Payloads with no in-sandbox codec (lossy compressed audio, exotic
+  modes) keep the deterministic digest-derived fake via
+  ``auto_decode``/``auto_resize``; recognized-but-unimplemented modes
+  (arithmetic/12-bit JPEG, tiled/16-bit TIFF, ASCII Netpbm, float WAV)
+  classify as ``codec_unavailable`` rows (each codec's Unsupported error
+  is a NotImplementedError); ``decoder=``/``resizer=`` accept real
+  codecs (e.g. PIL-based) in production through the same batch shape.
 
 Operators:
 - ``attach_media``      — documents × media side-table join (broadcast)
