@@ -68,7 +68,10 @@ def _skip_subblocks(data: bytes, pos: int) -> int:
 
 def _lzw_decode(min_code_size: int, blob: bytes, max_out: int) -> bytearray:
     """GIF LZW → index stream, bounded at ``max_out`` indices."""
-    if not 2 <= min_code_size <= 11:
+    # literals are byte-valued palette indices, so the minimum code size
+    # can never exceed 8 — a larger value would put codes > 255 in the
+    # literal range (fuzz-found: bytes([i]) blew up untyped at 9-11)
+    if not 2 <= min_code_size <= 8:
         raise GifError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1

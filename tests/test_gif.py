@@ -336,3 +336,19 @@ def test_animated_frame_bomb_bounded():
     data = gif_encode_animated(1, 1, pal, many)
     _, _, frames = gif_decode_frames(data, max_frames=16)
     assert len(frames) == 16
+
+
+def test_min_code_size_over_8_is_typed():
+    """LZW minimum code size is a byte-valued-literal parameter, so 9-11
+    must be typed errors (fuzz-found: they previously escaped as
+    ValueError from bytes([code]) with code > 255)."""
+    from marky_spark.ops.gifcodec import GifError, _lzw_decode, gif_decode
+
+    for mcs in (9, 10, 11, 12, 0, 1):
+        with pytest.raises(GifError, match="minimum code size"):
+            _lzw_decode(mcs, b"\x00\x00", 4)
+    blob = bytearray(gif_encode(bytes([1, 0, 1, 0]), 2, 2, bytes(range(6))))
+    at = blob.index(b"\x2c")  # image descriptor; min code size is +10
+    blob[at + 10] = 11
+    with pytest.raises(GifError):
+        gif_decode(bytes(blob))
