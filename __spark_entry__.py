@@ -692,13 +692,32 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     way: each doc's text is the HTTP body of a WARC response record
     (synth_warc_media, gzip-wrapped for odd docs), so the record walk,
     header parse, Content-Length math, gzip inflate, and HTTP-body split
-    must all be right for payload_md5 == md5(text). Together the three
-    branches cover a crawl pipeline's entire front door."""
+    must all be right for payload_md5 == md5(text). Branch 'p' pins
+    ops/pdfmedia (the PDF twin of the bridge): each doc's first 64 text
+    bytes become a raw DeviceGray image XObject in a synthetic PDF
+    (synth_pdf_media); extraction re-wraps them as PNG and decode_pixels
+    recovers the samples exactly, so the xref walk, object lexer, stream
+    math, XObject classification, AND the PNG round-trip must all be
+    right for payload_md5 (the decoded-pixel md5) == md5(substr(text,
+    1, 64)). Together the four branches cover an ingest pipeline's
+    entire front door."""
     from marky_spark.ops.archive import explode_archive, synth_archive_media
-    from marky_spark.ops.multimodal import extract_embedded_media
+    from marky_spark.ops.multimodal import decode_pixels, extract_embedded_media
+    from marky_spark.ops.pdfmedia import pdf_media, synth_pdf_media
     from marky_spark.ops.warc import synth_warc_media, warc_records
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf_images = pdf_media(synth_pdf_media(docs)).where(F.col("ok") == "ok")
+    pdf_pixels = decode_pixels(pdf_images.select("media_ref", "payload"))
+    pdf_branch = pdf_pixels.select(
+        F.lit("p").alias("branch"),
+        F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
+        F.concat(F.lit("F"), F.substring("media_ref", 2, 18))
+        .alias("media_ref"),
+        F.lit("image/png").alias("mime"),
+        F.col("pixel_md5").alias("payload_md5"),
+        F.col("n_pixel_bytes").alias("n_bytes"),
+    )
     warc = warc_records(synth_warc_media(docs))
     warc_branch = warc.where(
         (F.col("ok") == "ok") & (F.col("warc_type") == "response")).select(
@@ -745,7 +764,8 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
-    return bridge_branch.unionByName(archive_branch).unionByName(warc_branch)
+    return (bridge_branch.unionByName(archive_branch)
+            .unionByName(warc_branch).unionByName(pdf_branch))
 
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1501,6 +1521,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
+            UNION ALL
+            -- branch 'p': the PDF image XObject carries the first 64 text
+            -- bytes as a raw gray scanline; extraction re-wraps as PNG and
+            -- decode_pixels recovers the samples exactly (xref walk +
+            -- stream math + PNG round-trip all pinned). Empty docs carry
+            -- no image on either side.
+            SELECT 'p' AS branch,
+                   doc_id,
+                   'F' || doc_id AS media_ref,
+                   'image/png' AS mime,
+                   md5(substr(text, 1, 64)) AS payload_md5,
+                   CAST(least(strlen(text), 64) AS BIGINT) AS n_bytes
+            FROM documents
+            WHERE strlen(text) > 0
         """,
         "audio_features": """
             -- independent reconstruction of the decoded samples: docs with

@@ -1,0 +1,171 @@
+"""PDF embedded-image extraction (ops/pdfmedia): DCTDecode → real JPEG,
+Flate RGB/Gray → PNG re-wrap, skip/error classification, hostile
+isolation, and the Spark fan-out feeding the real decoders."""
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from marky_spark.ops.pdfmedia import (
+    PdfMediaError,
+    extract_pdf_images,
+    pdf_media,
+)
+
+
+def _pdf_with_images(images: list[bytes]) -> bytes:
+    """Minimal classic-xref PDF whose page references N image XObjects;
+    each entry in ``images`` is the full object body after ``N 0 obj``."""
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        4: b"<< /Length 20 >>\nstream\nBT ET              \nendstream",
+    }
+    xnames = " ".join(f"/Im{k} {5 + k} 0 R" for k in range(len(images)))
+    objects[3] = (
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Contents 4 0 R /Resources << /XObject << {xnames} >> >> >>"
+    ).encode()
+    for k, body in enumerate(images):
+        objects[5 + k] = body
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objects) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(n).encode()
+            + b" /Root 1 0 R >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def _image_obj(head: str, stream: bytes) -> bytes:
+    return (head.encode() + b"\nstream\n" + stream + b"\nendstream")
+
+
+def _jpeg_image(px: bytes, w: int, h: int, ch: int) -> tuple[bytes, bytes]:
+    from marky_spark.ops.jpegcodec import jpeg_encode
+
+    jpg = jpeg_encode(px, w, h, ch)
+    cs = "/DeviceRGB" if ch == 3 else "/DeviceGray"
+    return jpg, _image_obj(
+        f"<< /Subtype /Image /Width {w} /Height {h} /BitsPerComponent 8 "
+        f"/ColorSpace {cs} /Filter /DCTDecode /Length {len(jpg)} >>", jpg)
+
+
+def test_dct_and_flate_images_extract():
+    px_rgb = bytes((i * 7) % 256 for i in range(16 * 8 * 3))
+    px_gray = bytes((i * 13) % 256 for i in range(10 * 6))
+    jpg, obj_jpg = _jpeg_image(px_rgb, 16, 8, 3)
+    z = zlib.compress(px_rgb)
+    obj_flate = _image_obj(
+        f"<< /Subtype /Image /Width 16 /Height 8 /BitsPerComponent 8 "
+        f"/ColorSpace /DeviceRGB /Filter /FlateDecode /Length {len(z)} >>",
+        z)
+    obj_raw_gray = _image_obj(
+        f"<< /Subtype /Image /Width 10 /Height 6 /BitsPerComponent 8 "
+        f"/ColorSpace /DeviceGray /Length {len(px_gray)} >>", px_gray)
+    obj_ccitt = _image_obj(
+        "<< /Subtype /Image /Width 4 /Height 4 /BitsPerComponent 1 "
+        "/ColorSpace /DeviceGray /Filter /CCITTFaxDecode /Length 3 >>",
+        b"\x00\x01\x02")
+    pdf = _pdf_with_images([obj_jpg, obj_flate, obj_raw_gray, obj_ccitt])
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 4
+    by_filter = {r["pdf_filter"]: r for r in imgs}
+    # DCT passes through byte-identical and really decodes
+    from marky_spark.ops.jpegcodec import jpeg_decode
+
+    dct = by_filter["/DCTDecode"]
+    assert dct["ok"] == "ok" and dct["mime"] == "image/jpeg"
+    assert bytes(dct["payload"]) == jpg
+    assert jpeg_decode(dct["payload"])[:3] == (16, 8, 3)
+    # Flate RGB re-wraps as a PNG of EXACTLY the source samples
+    from marky_spark.ops.pngcodec import png_decode
+
+    fl = by_filter["/FlateDecode"]
+    assert fl["ok"] == "ok" and fl["mime"] == "image/png"
+    assert png_decode(fl["payload"]) == (16, 8, 3, px_rgb)
+    raw = by_filter["raw"]
+    assert raw["ok"] == "ok"
+    assert png_decode(raw["payload"]) == (10, 6, 1, px_gray)
+    # CCITT is classified, not silently dropped
+    cc = by_filter["/CCITTFaxDecode"]
+    assert cc["ok"].startswith("skipped:") and cc["payload"] is None
+    assert (cc["width"], cc["height"], cc["bits"]) == (4, 4, 1)
+
+
+def test_reference_pdf_has_no_image_xobjects():
+    """test.pdf's /ImageB hits are ProcSet declarations, not images — the
+    extractor must not false-positive on them."""
+    data = open("/root/reference/test_files/test.pdf", "rb").read()
+    assert extract_pdf_images(data) == []
+
+
+def test_hostile_images_isolate_per_object():
+    bad_dims = _image_obj(
+        "<< /Subtype /Image /Width 0 /Height 5 /BitsPerComponent 8 "
+        "/ColorSpace /DeviceGray /Length 1 >>", b"x")
+    bad_flate = _image_obj(
+        "<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 "
+        "/ColorSpace /DeviceGray /Filter /FlateDecode /Length 4 >>",
+        b"oops")
+    short = _image_obj(
+        "<< /Subtype /Image /Width 9 /Height 9 /BitsPerComponent 8 "
+        "/ColorSpace /DeviceGray /Length 2 >>", b"ab")
+    huge = _image_obj(
+        "<< /Subtype /Image /Width 60000 /Height 60000 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB /Length 1 >>", b"x")
+    imgs = extract_pdf_images(_pdf_with_images([bad_dims, bad_flate,
+                                                short, huge]))
+    oks = [r["ok"] for r in imgs]
+    assert any("dimensions" in s for s in oks)
+    assert any("FlateDecode failed" in s for s in oks)
+    assert any("want 81" in s for s in oks)
+    assert any("pixel cap" in s for s in oks)
+    assert all(s.startswith("error:") for s in oks)
+
+
+def test_garbage_pdf_is_typed():
+    with pytest.raises(PdfMediaError):
+        extract_pdf_images(b"%PDF-1.4 then garbage with no xref at all")
+
+
+def test_spark_pdf_media_feeds_real_decoders(spark):
+    """pdf_media fans out per image and the payloads flow into
+    decode_pixels' REAL codecs (content-addressed cross-container dedup:
+    the Flate image's PNG hashes identically to the same pixels from any
+    other lossless container)."""
+    import hashlib
+
+    from marky_spark.ops.multimodal import decode_pixels
+
+    px = bytes((i * 11) % 256 for i in range(12 * 9 * 3))
+    _, obj_jpg = _jpeg_image(px, 12, 9, 3)
+    z = zlib.compress(px)
+    obj_flate = _image_obj(
+        f"<< /Subtype /Image /Width 12 /Height 9 /BitsPerComponent 8 "
+        f"/ColorSpace /DeviceRGB /Filter /FlateDecode /Length {len(z)} >>",
+        z)
+    pdf = _pdf_with_images([obj_jpg, obj_flate])
+    media = spark.createDataFrame(
+        [("doc", bytearray(pdf)), ("txt", bytearray(b"not a pdf"))],
+        "media_ref string, payload binary")
+    rows = {(r["media_ref"], r["image_idx"]): r
+            for r in pdf_media(media).collect()}
+    assert rows[("txt", None)]["ok"] == "not_pdf"
+    assert rows[("doc", 0)]["mime"] == "image/jpeg"
+    assert rows[("doc", 1)]["mime"] == "image/png"
+    ok = pdf_media(media).where("ok = 'ok'")
+    decoded = {r["media_ref"]: r for r in decode_pixels(
+        ok.selectExpr("concat(media_ref, '/', image_idx) AS media_ref",
+                      "payload")).collect()}
+    assert decoded["doc/1"]["pixel_md5"] == hashlib.md5(px).hexdigest()
+    assert decoded["doc/0"]["width"] == 12  # the JPEG really decoded
