@@ -290,7 +290,15 @@ class _Pdf:
     # -- objects -----------------------------------------------------------
 
     def resolve(self, obj):
+        # a hostile PDF can make an object refer to itself (4 0 obj 4 0 R)
+        # — unbounded, that loops FOREVER, which at pipeline scale is a
+        # hung executor task, the worst failure mode. Real chains are a
+        # couple of hops; anything deep is malformed.
+        hops = 0
         while isinstance(obj, _Ref):
+            hops += 1
+            if hops > 64:
+                raise ConvertError("circular indirect reference chain")
             obj = self.get(obj.num)
         return obj
 

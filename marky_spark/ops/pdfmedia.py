@@ -79,18 +79,25 @@ def extract_pdf_images(data: bytes) -> list[dict]:
         if not isinstance(obj, _Stream):
             continue
         info = obj.info
-        if pdf.resolve(info.get("/Subtype")) != "/Image":
+        try:
+            if pdf.resolve(info.get("/Subtype")) != "/Image":
+                continue
+            width = pdf.resolve(info.get("/Width"))
+            height = pdf.resolve(info.get("/Height"))
+            bits = pdf.resolve(info.get("/BitsPerComponent")) or 8
+            cs = pdf.resolve(info.get("/ColorSpace"))
+            if isinstance(cs, list):
+                cs = " ".join(str(pdf.resolve(c)) for c in cs[:2]) + " ..."
+            filters = pdf.resolve(info.get("/Filter")) or []
+            if not isinstance(filters, list):
+                filters = [filters]
+            filters = [str(pdf.resolve(f)) for f in filters]
+        except ConvertError as exc:  # e.g. circular reference chains
+            out.append({"obj_num": num, "width": None, "height": None,
+                        "bits": None, "colorspace": None,
+                        "pdf_filter": None, "mime": None, "payload": None,
+                        "ok": f"error: {exc}"})
             continue
-        width = pdf.resolve(info.get("/Width"))
-        height = pdf.resolve(info.get("/Height"))
-        bits = pdf.resolve(info.get("/BitsPerComponent")) or 8
-        cs = pdf.resolve(info.get("/ColorSpace"))
-        if isinstance(cs, list):
-            cs = " ".join(str(pdf.resolve(c)) for c in cs[:2]) + " ..."
-        filters = pdf.resolve(info.get("/Filter")) or []
-        if not isinstance(filters, list):
-            filters = [filters]
-        filters = [str(pdf.resolve(f)) for f in filters]
         rec = {
             "obj_num": num,
             "width": int(width) if isinstance(width, (int, float)) else None,

@@ -169,3 +169,34 @@ def test_spark_pdf_media_feeds_real_decoders(spark):
                       "payload")).collect()}
     assert decoded["doc/1"]["pixel_md5"] == hashlib.md5(px).hexdigest()
     assert decoded["doc/0"]["width"] == 12  # the JPEG really decoded
+
+
+def test_circular_reference_is_typed_not_hung():
+    """A self-referencing indirect object (4 0 obj 4 0 R) previously made
+    _Pdf.resolve loop FOREVER — the worst failure mode at pipeline scale.
+    Both surfaces must now be typed: the text kernel raises ConvertError
+    (isolated to an error row by convert) and an image whose metadata
+    chains circularly becomes a per-object error row here."""
+    from marky_spark.kernels.base import ConvertError
+    from marky_spark.kernels.pdfk import extract_pdf_text
+
+    # circular /Contents chain -> text kernel types out
+    circ = _image_obj(
+        "<< /Subtype /Image /Width 7 0 R /Height 1 /BitsPerComponent 8 "
+        "/ColorSpace /DeviceGray /Length 1 >>", b"x")
+    pdf = bytearray(_pdf_with_images([circ]))
+    # append object 7 referring to itself, rebuild nothing else: easiest is
+    # to regenerate with the object included
+    objects_extra = b"7 0 obj\n7 0 R\nendobj\n"
+    at = pdf.index(b"xref\n")
+    # splice object 7 before the xref and extend the xref table by hand is
+    # overkill — the brute-scan fallback finds unlisted objects, so just
+    # splice and leave the stale xref (pdfk rescans on bad offsets)
+    pdf[at:at] = objects_extra
+    imgs = extract_pdf_images(bytes(pdf))
+    assert imgs and imgs[0]["ok"].startswith("error:")
+    assert "circular" in imgs[0]["ok"]
+    with pytest.raises(ConvertError, match="circular"):
+        # a /Contents that resolves circularly
+        body = bytes(pdf).replace(b"/Contents 4 0 R", b"/Contents 7 0 R")
+        extract_pdf_text(body)
