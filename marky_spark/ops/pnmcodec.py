@@ -8,9 +8,10 @@ codec in the set — header ``P4|P5|P6`` + whitespace/comment-separated
 width/height(/maxval), then raw samples (P4: row-padded 1-bit packed,
 P5: 8-bit gray, P6: 8-bit RGB).
 
-Scope: maxval <= 255 (8-bit); the ASCII variants (P1-P3) and 16-bit
-maxvals are recognized and classify as :class:`PnmUnsupportedError`
-(→ ``codec_unavailable`` rows); anything malformed raises
+Scope: all six variants — binary P4/P5/P6 and ASCII P1/P2/P3 — at
+maxval <= 255 (8-bit); 16-bit maxvals are recognized and classify as
+:class:`PnmUnsupportedError` (→ ``codec_unavailable`` rows); anything
+malformed raises
 :class:`PnmError` (the poison-pill contract). Allocation bounds are
 checked before the pixel read.
 """
@@ -27,17 +28,16 @@ class PnmError(ValueError):
 
 
 class PnmUnsupportedError(NotImplementedError):
-    """Recognized Netpbm shape this codec does not implement (ASCII
-    variants, 16-bit maxval)."""
+    """Recognized Netpbm shape this codec does not implement
+    (16-bit maxval)."""
 
 
 def looks_like_pnm(data: bytes) -> bool:
     """Structure sniff: the magic alone is two ASCII characters, which
     ordinary text can open with ("P5 is..."), so the WHOLE header must
     parse — magic, whitespace/comments, decimal dims (and maxval), and
-    the terminating whitespace — before a payload takes the real path.
-    ASCII variants (P1-P3) sniff true when header-valid so they classify
-    as codec_unavailable rather than fake-decoding."""
+    the terminating whitespace — before a payload takes the real path
+    (both binary and ASCII variants decode for real when header-valid)."""
     if len(data) < 3 or data[:2] not in PNM_BINARY + PNM_ASCII \
             or data[2:3] not in b" \t\r\n#":
         return False
@@ -74,6 +74,59 @@ def _header_ints(data: bytes, start: int, count: int) -> tuple[list[int], int]:
     return vals, i + 1  # single whitespace separates header from raster
 
 
+def _decode_ascii(data: bytes, magic: bytes) -> tuple[int, int, int, bytes]:
+    """P1/P2/P3 (ASCII) decode: whitespace/comment-separated decimal
+    samples. P1 uses the same white-is-zero convention as P4 (and its
+    digits may be unseparated, per the spec)."""
+    if magic == b"P1":
+        (w, h), at = _header_ints(data, 2, 2)
+        maxval, channels = 1, 1
+    else:
+        (w, h, maxval), at = _header_ints(data, 2, 3)
+        channels = 1 if magic == b"P2" else 3
+        if maxval > 255:
+            raise PnmUnsupportedError(
+                f"16-bit Netpbm (maxval {maxval}) not implemented")
+        if maxval < 1:
+            raise PnmError(f"bad maxval {maxval}")
+    if w < 1 or h < 1 or w * h * channels > MAX_PIXELS:
+        raise PnmError(f"bad dimensions {w}x{h}")
+    need = w * h * channels
+    out = bytearray(need)
+    got = 0
+    i = at - 1  # the header terminator is ordinary whitespace here
+    n = len(data)
+    while got < need:
+        while i < n and data[i:i + 1] in b" \t\r\n":
+            i += 1
+        if i < n and data[i] == 0x23:
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        if i >= n:
+            raise PnmError(f"ASCII raster has {got} samples, want {need}")
+        if magic == b"P1":
+            c = data[i]
+            if c not in (0x30, 0x31):
+                raise PnmError(f"bad P1 digit {chr(c)!r}")
+            out[got] = 255 if c == 0x30 else 0  # white-is-zero
+            got += 1
+            i += 1
+            continue
+        j = i
+        while j < n and 0x30 <= data[j] <= 0x39:
+            j += 1
+        if j == i or j - i > 3:
+            raise PnmError("bad ASCII sample")
+        v = int(data[i:j])
+        if v > maxval:
+            raise PnmError(f"sample {v} exceeds maxval {maxval}")
+        out[got] = v
+        got += 1
+        i = j
+    return w, h, channels, bytes(out)
+
+
 def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """PNM bytes → ``(width, height, channels, pixels)`` — 8-bit chunky
     samples, P4 bits expanded to 0/255 gray (white-is-zero per spec)."""
@@ -81,7 +134,7 @@ def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise PnmError("not a Netpbm file (no P4/P5/P6 magic)")
     magic = data[:2]
     if magic in PNM_ASCII:
-        raise PnmUnsupportedError("ASCII Netpbm (P1-P3) not implemented")
+        return _decode_ascii(data, magic)
     if magic == b"P4":
         (w, h), at = _header_ints(data, 2, 2)
         maxval, channels = 1, 1

@@ -47,11 +47,28 @@ def test_p4_bit_expansion():
     assert px[10:] == bytes([0] * 10)
 
 
-def test_ascii_and_16bit_classify():
-    with pytest.raises(PnmUnsupportedError, match="ASCII"):
-        pnm_decode(b"P2\n2 2\n255\n1 2 3 4")
+def test_ascii_variants_decode():
+    """P1/P2/P3 decode for real: whitespace/comment-separated samples,
+    P1 digits optionally unseparated, white-is-zero for P1."""
+    assert pnm_decode(b"P2\n2 2\n255\n1 2\n3 4\n") == \
+        (2, 2, 1, bytes([1, 2, 3, 4]))
+    assert pnm_decode(b"P3 # rgb\n1 2\n255\n10 20 30   40 50 60") == \
+        (1, 2, 3, bytes([10, 20, 30, 40, 50, 60]))
+    assert pnm_decode(b"P1\n4 2\n0110\n1001\n") == \
+        (4, 2, 1, bytes([255, 0, 0, 255, 0, 255, 255, 0]))
+    with pytest.raises(PnmError, match="ASCII raster"):
+        pnm_decode(b"P2\n2 2\n255\n1 2 3")  # one sample short
+    with pytest.raises(PnmError, match="exceeds maxval"):
+        pnm_decode(b"P2\n1 1\n100\n200")
+    with pytest.raises(PnmError, match="P1 digit"):
+        pnm_decode(b"P1\n2 1\n02")
+
+
+def test_16bit_classifies():
     with pytest.raises(PnmUnsupportedError, match="16-bit"):
         pnm_decode(b"P5\n2 2\n65535\n" + bytes(8))
+    with pytest.raises(PnmUnsupportedError, match="16-bit"):
+        pnm_decode(b"P2\n2 2\n65535\n1 2 3 4")
     assert issubclass(PnmUnsupportedError, NotImplementedError)
 
 
