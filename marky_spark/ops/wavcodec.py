@@ -14,9 +14,11 @@ Scope: canonical PCM (fmt tag 1) at 8-bit unsigned / 16-bit signed
 little-endian, ITU-T G.711 A-law (tag 6) and mu-law (tag 7) —
 the telephony encodings real speech corpora arrive in — expanded to
 16-bit-scale linear through the standard segment/mantissa formulas,
-and IMA ADPCM (tag 0x11, the classic 4-bit voice-memo encoding):
+IMA ADPCM (tag 0x11, the classic 4-bit voice-memo encoding):
 block-header predictor/step-index parse, per-nibble state machine,
-stereo word interleave, fact-chunk tail trim
+stereo word interleave, fact-chunk tail trim, and IEEE-float (tag 3,
+32/64-bit, normalized [-1,1) scaled to the 16-bit convention with
+typed rejection of non-finite samples)
 (bias 0x84 mu-law, 0x55-XOR A-law; the decode tables are derived from
 the formulas, not transcribed, and pinned by anchor values + the
 all-256-codes re-encode identity in tests). Any channel count up to 8.
@@ -156,10 +158,10 @@ def wav_decode(data: bytes):
     if pcm is None:
         raise WavError("no data chunk")
     tag, channels, rate, _byte_rate, block_align, bits = fmt
-    if tag in (3, 0xFFFE):
+    if tag == 0xFFFE:
         raise WavUnsupportedError(
-            f"WAV format tag {tag:#x} (float/extensible) not implemented")
-    if tag not in (1, 6, 7, 0x11):
+            "WAV format tag 0xfffe (extensible) not implemented")
+    if tag not in (1, 3, 6, 7, 0x11):
         raise WavError(f"unknown WAV format tag {tag:#x}")
     if not (1 <= channels <= MAX_CHANNELS):
         raise WavError(f"bad channel count {channels}")
@@ -190,6 +192,9 @@ def wav_decode(data: bytes):
     if tag in (6, 7):
         if bits != 8:
             raise WavError(f"G.711 requires 8-bit codes, fmt says {bits}")
+    elif tag == 3:
+        if bits not in (32, 64):
+            raise WavError(f"IEEE-float WAV with {bits}-bit samples")
     elif bits not in (8, 16):
         raise WavError(f"unsupported PCM bit depth {bits}")
     if block_align != channels * (bits // 8):
@@ -209,7 +214,16 @@ def wav_decode(data: bytes):
     if n_frames * channels > MAX_SAMPLES:
         raise WavError(
             f"{n_frames}x{channels} samples exceed cap {MAX_SAMPLES}")
-    if tag in (6, 7):
+    if tag == 3:
+        floats = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        if not np.isfinite(floats).all():
+            raise WavError("float WAV contains non-finite samples")
+        # normalized [-1, 1) convention → 16-bit integer scale (clipped:
+        # real float files legally carry slight overs)
+        samples = np.clip(np.rint(floats.astype(np.float64) * 32767.0),
+                          -32768, 32767).astype(np.int32)
+        bits = 16
+    elif tag in (6, 7):
         codes = np.frombuffer(pcm, dtype=np.uint8)
         samples = _g711_lut(tag)[codes].astype(np.int32)
         bits = 16  # samples are on the expanded 16-bit linear scale
@@ -350,6 +364,42 @@ def _ima_decode(pcm: bytes, channels: int, block_align: int,
                     block[c].append(_ima_decode_nibble(states[c], b >> 4))
         frames.extend(zip(*block))
     return np.array(frames, dtype=np.int32)
+
+
+def wav_encode_float(samples, sample_rate: int, bits: int = 32) -> bytes:
+    """16-bit-scale integer samples → IEEE-float WAV (fmt tag 3, samples
+    stored as value/32767 on the normalized [-1, 1) convention). The
+    fixture inverse of the tag-3 decode path: float32 carries ~24 bits of
+    mantissa, so every 16-bit lattice value round-trips exactly."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if arr.ndim != 2 or arr.shape[0] < 1:
+        raise WavError(f"samples must be (n_frames, n_channels), got "
+                       f"shape {arr.shape}")
+    n_frames, channels = arr.shape
+    if not (1 <= channels <= MAX_CHANNELS):
+        raise WavError(f"bad channel count {channels}")
+    if not (1 <= sample_rate <= MAX_RATE):
+        raise WavError(f"bad sample rate {sample_rate}")
+    if arr.min() < -32768 or arr.max() > 32767:
+        raise WavError("16-bit samples out of [-32768, 32767]")
+    if bits == 32:
+        pcm = (arr / 32767.0).astype("<f4").tobytes()
+    elif bits == 64:
+        pcm = (arr / 32767.0).astype("<f8").tobytes()
+    else:
+        raise WavError(f"float WAV bits must be 32 or 64, not {bits}")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_encode_adpcm(samples, sample_rate: int,

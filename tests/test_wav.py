@@ -96,12 +96,36 @@ def _patch(data: bytes, off: int, fmt: str, val: int) -> bytes:
     return bytes(d)
 
 
-def test_float_and_extensible_are_unsupported_not_error():
+def test_extensible_is_unsupported_not_error():
     base = wav_encode([[1], [2]], 8000, bits=16)
-    for tag in (3, 0xFFFE):
-        with pytest.raises(WavUnsupportedError):
-            wav_decode(_patch(base, 20, "<H", tag))
+    with pytest.raises(WavUnsupportedError):
+        wav_decode(_patch(base, 20, "<H", 0xFFFE))
+    # float with a non-float bit width is malformed, not a decode
+    with pytest.raises(WavError, match="IEEE-float"):
+        wav_decode(_patch(base, 20, "<H", 3))
     assert issubclass(WavUnsupportedError, NotImplementedError)
+
+
+def test_float_wav_decodes_exactly():
+    """IEEE-float WAVs (tag 3) decode for real: every 16-bit lattice value
+    round-trips exactly through the /32767 normalized convention at both
+    float widths."""
+    from marky_spark.ops.wavcodec import wav_encode_float
+
+    rng = random.Random(0xF10A7)
+    sig = np.array([[rng.randint(-32767, 32767), rng.randint(-32767, 32767)]
+                    for _ in range(128)], dtype=np.int64)
+    for bits in (32, 64):
+        rate, ch, b, out = wav_decode(wav_encode_float(sig, 16000, bits))
+        assert (rate, ch, b) == (16000, 2, 16)
+        assert (out == sig).all(), bits
+    # non-finite samples are typed errors, not NaN propagation
+    import struct as _s
+    blob = bytearray(wav_encode_float(sig[:2], 8000))
+    at = blob.index(b"data") + 8
+    blob[at:at + 4] = _s.pack("<f", float("nan"))
+    with pytest.raises(WavError, match="non-finite"):
+        wav_decode(bytes(blob))
 
 
 def test_partial_frame_rejected():
@@ -232,7 +256,8 @@ def test_audio_features_poison_isolation(spark):
     assert rows["ok"]["ok"] == "ok" and rows["ok"]["n_frames"] == 2
     assert rows["txt"]["ok"] == "codec_unavailable"
     assert rows["bad"]["ok"].startswith("error: bad channel count")
-    assert rows["flt"]["ok"] == "codec_unavailable"
+    # tag 3 with a PCM16 bit width is malformed (real float is decoded)
+    assert rows["flt"]["ok"].startswith("error: IEEE-float")
     assert rows["nul"]["ok"] == "codec_unavailable"
 
 
