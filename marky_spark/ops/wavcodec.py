@@ -10,24 +10,28 @@ recognized-but-unimplemented encodings raise :class:`WavUnsupportedError`
 (a ``NotImplementedError`` → ``codec_unavailable`` rows), and decode
 allocations are bounded before they happen.
 
-Scope: canonical PCM (fmt tag 1) at 8-bit unsigned / 16-bit signed
-little-endian, ITU-T G.711 A-law (tag 6) and mu-law (tag 7) —
-the telephony encodings real speech corpora arrive in — expanded to
-16-bit-scale linear through the standard segment/mantissa formulas,
-IMA ADPCM (tag 0x11, the classic 4-bit voice-memo encoding):
-block-header predictor/step-index parse, per-nibble state machine,
-stereo word interleave, fact-chunk tail trim, and IEEE-float (tag 3,
-32/64-bit, normalized [-1,1) scaled to the 16-bit convention with
-typed rejection of non-finite samples)
-(bias 0x84 mu-law, 0x55-XOR A-law; the decode tables are derived from
-the formulas, not transcribed, and pinned by anchor values + the
-all-256-codes re-encode identity in tests). Any channel count up to 8.
-IEEE-float (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) are recognized and
-rejected as unsupported; everything else malformed is an error.
+Scope — five format families, all really decoded:
+
+- canonical PCM (fmt tag 1), 8-bit unsigned / 16-bit signed LE;
+- ITU-T G.711 A-law (tag 6) and mu-law (tag 7) — the telephony
+  encodings real speech corpora arrive in — expanded to 16-bit-scale
+  linear through the standard segment/mantissa formulas (bias 0x84
+  mu-law, 0x55-XOR A-law; the decode tables are derived from the
+  formulas, not transcribed, and pinned by anchor values + the
+  all-256-codes re-encode identity in tests);
+- IMA ADPCM (tag 0x11, the classic 4-bit voice-memo encoding):
+  block-header predictor/step-index parse, per-nibble state machine,
+  stereo word interleave, fact-chunk tail trim;
+- IEEE-float (tag 3, 32/64-bit): normalized [-1, 1) scaled to the
+  16-bit convention, typed rejection of non-finite samples.
+
+Any channel count up to 8. Only WAVE_FORMAT_EXTENSIBLE (0xFFFE) remains
+recognized-but-unsupported; everything else malformed is an error.
 
 ``wav_decode``'s ``bits`` return is the scale of the returned samples
-(8 for PCM8, 16 for PCM16 and for the expanded G.711 laws), so feature
-normalization downstream is always full-scale-correct.
+(8 for PCM8; 16 for PCM16 and for the expanded G.711 / ADPCM / float
+paths), so feature normalization downstream is always
+full-scale-correct.
 """
 from __future__ import annotations
 
@@ -46,7 +50,7 @@ class WavError(ValueError):
 
 class WavUnsupportedError(NotImplementedError):
     """Recognized WAV whose encoding this codec does not implement
-    (float, extensible, ADPCM…) — surfaces as ``codec_unavailable``."""
+    (WAVE_FORMAT_EXTENSIBLE) — surfaces as ``codec_unavailable``."""
 
 
 def looks_like_wav(data: bytes) -> bool:
