@@ -17,7 +17,7 @@ batch shape, ``mapInPandas`` signatures. The codec layer is split:
 - Payloads with no in-sandbox codec (lossy compressed audio, exotic
   modes) keep the deterministic digest-derived fake via
   ``auto_decode``/``auto_resize``; recognized-but-unimplemented modes
-  (arithmetic/12-bit JPEG, tiled/16-bit TIFF, extensible WAV)
+  (arithmetic/12-bit JPEG, tiled/16-bit TIFF)
   classify as ``codec_unavailable`` rows (each codec's Unsupported error
   is a NotImplementedError); ``decoder=``/``resizer=`` accept real
   codecs (e.g. PIL-based) in production through the same batch shape.

@@ -25,8 +25,9 @@ Scope — five format families, all really decoded:
 - IEEE-float (tag 3, 32/64-bit): normalized [-1, 1) scaled to the
   16-bit convention, typed rejection of non-finite samples.
 
-Any channel count up to 8. Only WAVE_FORMAT_EXTENSIBLE (0xFFFE) remains
-recognized-but-unsupported; everything else malformed is an error.
+Any channel count up to 8. WAVE_FORMAT_EXTENSIBLE (0xFFFE) dispatches
+on the SubFormat GUID's leading u16 to the same five families;
+everything else malformed is an error.
 
 ``wav_decode``'s ``bits`` return is the scale of the returned samples
 (8 for PCM8; 16 for PCM16 and for the expanded G.711 / ADPCM / float
@@ -49,8 +50,11 @@ class WavError(ValueError):
 
 
 class WavUnsupportedError(NotImplementedError):
-    """Recognized WAV whose encoding this codec does not implement
-    (WAVE_FORMAT_EXTENSIBLE) — surfaces as ``codec_unavailable``."""
+    """Recognized WAV whose encoding this codec does not implement —
+    surfaces as ``codec_unavailable``. Every registered WAV family this
+    repo has met is now really decoded, so nothing raises this today;
+    the class stays for production decoders that bolt on via the same
+    contract (and callers already route NotImplementedError)."""
 
 
 def looks_like_wav(data: bytes) -> bool:
@@ -163,8 +167,14 @@ def wav_decode(data: bytes):
         raise WavError("no data chunk")
     tag, channels, rate, _byte_rate, block_align, bits = fmt
     if tag == 0xFFFE:
-        raise WavUnsupportedError(
-            "WAV format tag 0xfffe (extensible) not implemented")
+        # WAVE_FORMAT_EXTENSIBLE: the real format rides in the first two
+        # bytes of the SubFormat GUID (the rest is the fixed KSDATAFORMAT
+        # suffix); the container semantics are otherwise identical
+        if len(fmt_body) < 40:
+            raise WavError("extensible fmt chunk lacks the SubFormat GUID")
+        tag = struct.unpack_from("<H", fmt_body, 24)[0]
+        if tag == 0xFFFE:
+            raise WavError("extensible SubFormat is itself extensible")
     if tag not in (1, 3, 6, 7, 0x11):
         raise WavError(f"unknown WAV format tag {tag:#x}")
     if not (1 <= channels <= MAX_CHANNELS):

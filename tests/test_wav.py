@@ -96,9 +96,25 @@ def _patch(data: bytes, off: int, fmt: str, val: int) -> bytes:
     return bytes(d)
 
 
-def test_extensible_is_unsupported_not_error():
-    base = wav_encode([[1], [2]], 8000, bits=16)
-    with pytest.raises(WavUnsupportedError):
+def test_extensible_dispatches_on_subformat():
+    """WAVE_FORMAT_EXTENSIBLE carries the real tag in the SubFormat GUID;
+    a PCM GUID decodes exactly like tag 1, a truncated extension is a
+    typed error, and a nested-extensible GUID is malformed."""
+    samples = [[1000, -1000], [2000, -2000], [3000, -3000]]
+    base = wav_encode(samples, 8000, bits=16)
+    guid_suffix = bytes.fromhex("000000001000800000aa00389b71")
+    ext = struct.pack("<HHI", 22, 16, 0x3) + struct.pack("<H", 1) \
+        + guid_suffix
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16) + ext
+    at = base.index(b"data")
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + base[at:])
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, bits, out = wav_decode(blob)
+    assert (rate, ch, bits) == (8000, 2, 16)
+    assert out.tolist() == samples
+    # short extension: typed
+    with pytest.raises(WavError, match="SubFormat"):
         wav_decode(_patch(base, 20, "<H", 0xFFFE))
     # float with a non-float bit width is malformed, not a decode
     with pytest.raises(WavError, match="IEEE-float"):
