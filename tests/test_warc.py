@@ -177,3 +177,48 @@ def test_warc_to_convert_end_to_end(spark):
     assert data["markdown"].startswith("| x | y |")
     plan = convert(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_crawl_to_curated_corpus_end_to_end(spark):
+    """THE pipeline this engine exists for, in one chain: WARC crawl
+    archives → record walk → convert (boilerplate stripped) → curate
+    (quality filter + lang-id + exact dedup + sampling) → training rows.
+    Exact duplicates across different URLs collapse; junk pages filter."""
+    from marky_spark.convert import convert
+    from marky_spark.ops.curate import curate
+    from marky_spark.ops.warc import records_to_docs
+
+    page = (b"<html><body><h1>The Quick Study</h1>"
+            + b"<p>the quick brown fox jumps over the lazy dog and the "
+            + b"words keep flowing with many common stopwords because "
+            + b"this is a real enough paragraph of english prose that "
+            + b"the quality scorer and the language model both have "
+            + b"something to work with here today</p>" * 3
+            + b"</body></html>")
+    junk = b"<html><body><p>!!!! ???? ++++</p></body></html>"
+    recs = []
+    for k, (uri, body) in enumerate([
+        ("http://a/page", page),
+        ("http://b/mirror-of-a", page),       # exact dup, different URL
+        ("http://c/junk", junk),
+    ]):
+        recs.append(_record(
+            "response", b"HTTP/1.1 200 OK\r\n\r\n" + body,
+            f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"Content-Type: application/http;msgtype=response\r\n"))
+    media = spark.createDataFrame([("crawl", bytearray(b"".join(recs)))],
+                                  "media_ref string, payload binary")
+    docs = records_to_docs(warc_records(media))
+    out = curate(docs, rates={"en": 1.0}, default_rate=1.0,
+                 min_quality_bp=1500)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the duplicate collapsed to the smallest doc_id; junk filtered
+    assert set(rows) == {"http://a/page"}
+    r = rows["http://a/page"]
+    assert r["pred_lang"] == "en"
+    assert r["quality_score_bp"] >= 1500
+    assert "# The Quick Study" in r["markdown"]
+    # and the whole chain is still one shuffle-light plan: the only
+    # exchanges are curate's dedup window (plus AQE shuffle reads)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
