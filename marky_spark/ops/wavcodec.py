@@ -232,9 +232,12 @@ def wav_decode(data: bytes):
         floats = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
         if not np.isfinite(floats).all():
             raise WavError("float WAV contains non-finite samples")
-        # normalized [-1, 1) convention → 16-bit integer scale (clipped:
-        # real float files legally carry slight overs)
-        samples = np.clip(np.rint(floats.astype(np.float64) * 32767.0),
+        # normalized [-1, 1) convention → 16-bit integer scale. Clamp in
+        # the FLOAT domain first: real files legally carry slight overs,
+        # and a hostile f8 of ~1e308 would overflow the scale multiply
+        # (correctly clipped either way, but warning-noisy)
+        floats = np.clip(floats.astype(np.float64), -2.0, 2.0)
+        samples = np.clip(np.rint(floats * 32767.0),
                           -32768, 32767).astype(np.int32)
         bits = 16
     elif tag in (6, 7):
