@@ -722,8 +722,8 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc_branch = warc.where(
         (F.col("ok") == "ok") & (F.col("warc_type") == "response")).select(
         F.lit("w").alias("branch"),
-        F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
-        F.concat(F.lit("W"), F.substring("media_ref", 2, 18))
+        F.substring("media_ref", 3, 18).cast("long").alias("doc_id"),
+        F.concat(F.lit("W"), F.substring("media_ref", 3, 18))
         .alias("media_ref"),
         F.col("content_type").alias("mime"),
         F.md5("payload").alias("payload_md5"),

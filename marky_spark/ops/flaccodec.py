@@ -571,9 +571,14 @@ def flac_encode(samples, sample_rate: int, bits: int = 16,
     else:
         md5.update(arr.astype("<i2").tobytes())
     info = bytearray()
-    min_bs = min(block_size, n_frames)
-    last_bs = n_frames % block_size or min(block_size, n_frames)
-    info += struct.pack(">HH", min(min_bs, last_bs), min(block_size, n_frames))
+    # Fixed-blocksize stream (frames address by frame number, blocking
+    # strategy 0): RFC 9639 marks such streams with min==max blocksize and
+    # explicitly allows a shorter FINAL block, so a ragged tail does NOT
+    # lower the min (writing the tail's size would both violate the
+    # 16-sample floor and mislabel the stream variable-blocksize).
+    # Single-block streams use the actual block size as min==max.
+    eff_bs = block_size if n_frames > block_size else n_frames
+    info += struct.pack(">HH", eff_bs, eff_bs)
     info += b"\x00\x00\x00" * 2  # min/max frame size unknown
     info += bytes([
         (sample_rate >> 12) & 0xFF, (sample_rate >> 4) & 0xFF,

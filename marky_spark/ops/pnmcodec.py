@@ -124,7 +124,20 @@ def _decode_ascii(data: bytes, magic: bytes) -> tuple[int, int, int, bytes]:
         out[got] = v
         got += 1
         i = j
+    if magic != b"P1" and maxval != 255:
+        return w, h, channels, _rescale(bytes(out), maxval)
     return w, h, channels, bytes(out)
+
+
+def _rescale(raster: bytes, maxval: int) -> bytes:
+    """Samples on a [0, maxval] lattice → full 8-bit scale, the spec's
+    'maxval is full intensity' semantics (round-half-up so maxval maps to
+    exactly 255 and 0 to 0) — keeps the cross-codec convention that two
+    encodings of the same image embed identically."""
+    import numpy as np
+
+    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.uint32)
+    return ((arr * 255 + maxval // 2) // maxval).astype(np.uint8).tobytes()
 
 
 def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
@@ -166,6 +179,14 @@ def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
     raster = data[at:at + need]
     if len(raster) != need:
         raise PnmError(f"raster is {len(raster)} bytes, want {need}")
+    if maxval != 255:
+        import numpy as np
+
+        arr = np.frombuffer(raster, dtype=np.uint8)
+        if int(arr.max(initial=0)) > maxval:
+            raise PnmError(
+                f"binary sample {int(arr.max())} exceeds maxval {maxval}")
+        return w, h, channels, _rescale(raster, maxval)
     return w, h, channels, raster
 
 

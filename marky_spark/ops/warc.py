@@ -288,7 +288,10 @@ def synth_warc_media(docs: DataFrame) -> DataFrame:
                     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                         gz.write(blob)
                     blob = buf.getvalue()
-                rows.append((f"w{i}", "application/warc", blob))
+                # 'wc' prefix: keeps the synthetic WARC namespace disjoint
+                # from synth_wav_media's 'w{i}' audio refs, so future
+                # unions of synthetic media tables can't collide
+                rows.append((f"wc{i}", "application/warc", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -175,6 +175,14 @@ def wav_decode(data: bytes):
         tag = struct.unpack_from("<H", fmt_body, 24)[0]
         if tag == 0xFFFE:
             raise WavError("extensible SubFormat is itself extensible")
+        if tag == 0x11:
+            # In WAVEFORMATEXTENSIBLE the WORD at offset 18 is a UNION
+            # (wValidBitsPerSample / wSamplesPerBlock / wReserved) and
+            # wBitsPerSample must be a container size (multiple of 8),
+            # so the plain-fmt ADPCM geometry below does not apply.
+            # Real-world extensible IMA ADPCM is vanishingly rare;
+            # reject it explicitly rather than guess at the union.
+            raise WavError("extensible IMA ADPCM is unsupported")
     if tag not in (1, 3, 6, 7, 0x11):
         raise WavError(f"unknown WAV format tag {tag:#x}")
     if not (1 <= channels <= MAX_CHANNELS):

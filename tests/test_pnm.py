@@ -64,6 +64,24 @@ def test_ascii_variants_decode():
         pnm_decode(b"P1\n2 1\n02")
 
 
+def test_sub255_maxval_rescales_to_full_intensity():
+    """maxval < 255 means 'maxval IS full intensity' (spec): samples are
+    rescaled onto the 8-bit lattice so e.g. a maxval-15 PGM is full-scale,
+    not near-black — two encodings of one image embed identically."""
+    # ASCII P2, maxval 15: 0→0, 15→255, 7→round(7*255/15)=119
+    assert pnm_decode(b"P2\n3 1\n15\n0 7 15\n") == \
+        (3, 1, 1, bytes([0, 119, 255]))
+    # binary P5, maxval 100: 0→0, 50→round-half-up 128, 100→255
+    assert pnm_decode(b"P5\n3 1\n100\n" + bytes([0, 50, 100])) == \
+        (3, 1, 1, bytes([0, 128, 255]))
+    # binary samples above maxval are malformed, never silently scaled
+    with pytest.raises(PnmError, match="exceeds maxval"):
+        pnm_decode(b"P5\n1 1\n100\n" + bytes([200]))
+    # P3 RGB keeps channel interleave through the rescale
+    assert pnm_decode(b"P3\n1 1\n3\n1 2 3\n") == \
+        (1, 1, 3, bytes([85, 170, 255]))
+
+
 def test_16bit_classifies():
     with pytest.raises(PnmUnsupportedError, match="16-bit"):
         pnm_decode(b"P5\n2 2\n65535\n" + bytes(8))

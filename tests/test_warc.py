@@ -103,7 +103,7 @@ def test_synth_matches_oracle_arithmetic(spark):
     out = warc_records(synth_warc_media(docs)).where("warc_type = 'response'")
     rows = {r["media_ref"]: r for r in out.collect()}
     for i in range(4):
-        r = rows[f"w{i}"]
+        r = rows[f"wc{i}"]  # 'wc' prefix: disjoint from synth_wav 'w{i}'
         assert bytes(r["payload"]) == f"body of doc {i}".encode()
         assert r["http_status"] == 200
         assert r["target_uri"] == f"http://synth/{i}"

@@ -119,6 +119,17 @@ def test_extensible_dispatches_on_subformat():
     # float with a non-float bit width is malformed, not a decode
     with pytest.raises(WavError, match="IEEE-float"):
         wav_decode(_patch(base, 20, "<H", 3))
+    # extensible IMA ADPCM: offset 18 is a UNION (wValidBitsPerSample /
+    # wSamplesPerBlock) so the plain-fmt geometry parse does not apply —
+    # the contract is an explicit typed reject, never a mis-decode
+    adpcm_guid = struct.pack("<H", 0x11) + guid_suffix
+    ext_adpcm = struct.pack("<HHI", 22, 4, 0x3) + adpcm_guid
+    fmt_adpcm = struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16) \
+        + ext_adpcm
+    body_adpcm = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_adpcm))
+                  + fmt_adpcm + base[at:])
+    with pytest.raises(WavError, match="extensible IMA ADPCM"):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body_adpcm)) + body_adpcm)
     assert issubclass(WavUnsupportedError, NotImplementedError)
 
 
