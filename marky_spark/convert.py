@@ -54,6 +54,16 @@ def convert_document(doc_id: str, spans: Any) -> dict[str, Any]:
     conv_kind = next((k for k, _, _, _ in parsed if k not in MEDIA_KINDS), "")
     n_in = len(parsed)
 
+    # ingest drop markers (kind '_drop_warc' / '_drop_archive' / ...):
+    # records/members the front door could NOT produce — cap breaches,
+    # stream truncations, non-archive files. They ride the pipeline as
+    # error rows so the metrics/lineage sink is the ONE place that
+    # accounts for everything the run didn't process (nothing silent).
+    if conv_kind.startswith("_drop"):
+        reason = next((t for k, t, _, _ in parsed if k == conv_kind), "")
+        return _row(doc_id, conv_kind, STATUS_ERROR,
+                    reason or "dropped at ingest", n_in, [], "")
+
     chunks: list[str] = []
     segments: list[tuple[str, str, str]] = []
     try:

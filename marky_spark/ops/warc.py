@@ -13,18 +13,27 @@ Implemented from the public WARC 1.0/1.1 grammar:
   ``response`` records the HTTP body split off from its status/header
   block (the part a text pipeline actually wants). Gzipped WARCs
   (member-per-record or whole-file, both appear in the wild) are
-  inflated first. ``mapInPandas`` fan-out — no shuffle, no driver
-  collect, same shape as explode_archive.
+  inflated INCREMENTALLY. ``mapInPandas`` fan-out — no shuffle, no
+  driver collect, same shape as explode_archive.
+- ``warc_records_from_dir`` — the file front door: a directory of real
+  ``.warc`` / ``.warc.gz`` files → the same record rows, reading each
+  file as a STREAM so memory stays bounded per record no matter how
+  large the file (a ~1 GiB Common Crawl WARC never materializes).
 - ``synth_warc_media`` — deterministic WARC corpus over doc ids: each
   doc's text becomes the HTTP body of one ``response`` record (plus a
   ``warcinfo`` header record), so the driver oracle pins the record
   walk, header parse, Content-Length math, and HTTP-body split with
   ``md5(text)`` arithmetic and no WARC library on the SQL side.
 
-Hostile input: record count and size caps, strict Content-Length
-accounting (a record that overruns its declared length or is missing
-its CRLF-CRLF terminator is malformed), typed :class:`WarcError` →
-per-blob error rows.
+Memory model (the 100 TB contract): records are parsed one at a time
+from a buffered stream and emitted in bounded pandas chunks — peak
+memory is O(MAX_RECORD_BYTES + chunk), never O(file). Malformed input
+mid-stream yields STREAM-TRUNCATION semantics: records before the
+failure are kept (a crawl salvages its valid prefix) and one trailing
+``error: ...`` row marks the truncation point; hostile streams hit the
+per-record size cap, the header-block cap, the record-count cap, or the
+cumulative :data:`MAX_STREAM_BYTES` DoS guard — all typed
+:class:`WarcError`.
 """
 from __future__ import annotations
 
@@ -42,9 +51,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-MAX_RECORDS = 65536
-MAX_RECORD_BYTES = 1 << 26
-MAX_TOTAL_BYTES = 1 << 28
+MAX_RECORDS = 1 << 20           # per stream (a 1 GiB crawl WARC has ~50k)
+MAX_RECORD_BYTES = 1 << 26      # 64 MiB: the per-record memory bound
+MAX_HEADER_BYTES = 1 << 16      # a record's entire named-header block
+MAX_STREAM_BYTES = 1 << 34      # 16 GiB cumulative: decompression-bomb guard
+CHUNK_ROWS = 256                # rows per emitted pandas batch
+CHUNK_BYTES = 1 << 25           # ... or 32 MiB of payload, whichever first
 
 
 class WarcError(ValueError):
@@ -81,37 +93,51 @@ RECORD_SCHEMA = StructType([
 ])
 
 
-def _parse_records(data: bytes) -> list[dict]:
-    """Raw (non-gzip) WARC bytes → list of record dicts."""
-    records: list[dict] = []
-    pos = 0
-    n = len(data)
+def _open_stream(f):
+    """Seekable raw stream → record stream (transparent gzip). A gzip
+    stream with multiple members (Common Crawl's record-per-member
+    layout) concatenates transparently under GzipFile."""
+    import gzip
+
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=f)
+    return f
+
+
+def _iter_records(stream) -> Iterator[dict]:
+    """Buffered binary stream → record dicts, ONE AT A TIME. Memory is
+    bounded by MAX_RECORD_BYTES regardless of stream length; cumulative
+    output is bounded by MAX_STREAM_BYTES (decompression-bomb guard)."""
+    n_records = 0
     total = 0
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
+    while True:
+        line = stream.readline(MAX_HEADER_BYTES + 1)
+        while line in (b"\r\n", b"\n"):  # inter-record blank lines
+            line = stream.readline(MAX_HEADER_BYTES + 1)
+        if not line:
             break
-        if len(records) >= MAX_RECORDS:
+        if n_records >= MAX_RECORDS:
             raise WarcError(f"more than {MAX_RECORDS} records")
-        eol = data.find(b"\r\n", pos)
-        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
-            raise WarcError(f"record {len(records)}: missing WARC/ version")
-        version = data[pos:eol].decode("ascii", "replace")
-        pos = eol + 2
+        if not line.startswith(b"WARC/") or not line.endswith(b"\r\n"):
+            raise WarcError(f"record {n_records}: missing WARC/ version")
+        version = line[:-2].decode("ascii", "replace")
         headers: dict[str, str] = {}
+        header_bytes = len(line)
         while True:
-            eol = data.find(b"\r\n", pos)
-            if eol < 0:
+            line = stream.readline(MAX_HEADER_BYTES + 1)
+            if not line.endswith(b"\r\n"):
                 raise WarcError("truncated record header block")
-            line = data[pos:eol]
-            pos = eol + 2
-            if not line:
+            header_bytes += len(line)
+            if header_bytes > MAX_HEADER_BYTES:
+                raise WarcError("record header block exceeds the cap")
+            body = line[:-2]
+            if not body:
                 break  # blank line ends the header block
-            if b":" not in line:
-                raise WarcError(f"bad WARC header line {line[:40]!r}")
-            k, v = line.split(b":", 1)
+            if b":" not in body:
+                raise WarcError(f"bad WARC header line {body[:40]!r}")
+            k, v = body.split(b":", 1)
             headers[k.strip().decode("ascii", "replace").lower()] = \
                 v.strip().decode("utf-8", "replace")
         try:
@@ -121,25 +147,29 @@ def _parse_records(data: bytes) -> list[dict]:
         if length < 0 or length > MAX_RECORD_BYTES:
             raise WarcError(f"record declares {length} bytes")
         total += length
-        if total > MAX_TOTAL_BYTES:
-            raise WarcError("records exceed the total cap")
-        block = data[pos:pos + length]
+        if total > MAX_STREAM_BYTES:
+            raise WarcError("records exceed the stream cap")
+        block = stream.read(length)
         if len(block) != length:
             raise WarcError("record block overruns the stream")
-        pos += length
-        if data[pos:pos + 4] != b"\r\n\r\n":
+        if stream.read(4) != b"\r\n\r\n":
             raise WarcError("record not terminated by CRLF CRLF")
-        pos += 4
-        records.append({
+        n_records += 1
+        yield {
             "version": version,
             "type": headers.get("warc-type", ""),
             "uri": headers.get("warc-target-uri"),
             "content_type": headers.get("content-type"),
             "block": block,
-        })
-    if not records:
+        }
+    if n_records == 0:
         raise WarcError("stream has no WARC records")
-    return records
+
+
+def _parse_records(data: bytes) -> list[dict]:
+    """Whole-blob convenience (tests / small inputs): bytes → record
+    dicts via the same streaming iterator, transparent gzip."""
+    return list(_iter_records(_open_stream(io.BytesIO(data))))
 
 
 def _split_http(block: bytes) -> tuple[int | None, bytes]:
@@ -157,63 +187,143 @@ def _split_http(block: bytes) -> tuple[int | None, bytes]:
     return status, block[sep + 4:]
 
 
+def _record_row(ref: str, idx: int, rec: dict) -> tuple:
+    body = rec["block"]
+    status = None
+    ctype = rec["content_type"] or ""
+    if rec["type"] in ("response", "request") and \
+            ctype.startswith("application/http"):
+        status, body = _split_http(rec["block"])
+    return (ref, idx, rec["type"], rec["uri"], ctype or None, status,
+            body, len(body), "ok")
+
+
+def _stream_rows(ref: str, raw) -> Iterator[list[tuple]]:
+    """One WARC stream → bounded row chunks. Mid-stream failure keeps
+    the valid prefix (crawl salvage) and appends ONE truncation row."""
+    rows: list[tuple] = []
+    nbytes = 0
+    idx = 0
+    try:
+        stream = _open_stream(raw)
+        for rec in _iter_records(stream):
+            rows.append(_record_row(ref, idx, rec))
+            idx += 1
+            nbytes += len(rec["block"])
+            if len(rows) >= CHUNK_ROWS or nbytes >= CHUNK_BYTES:
+                yield rows
+                rows, nbytes = [], 0
+    except WarcError as exc:
+        rows.append((ref, idx if idx else None, None, None, None, None,
+                     None, None, f"error: {exc}"))
+    except Exception as exc:  # noqa: BLE001 — poison isolation
+        rows.append((ref, idx if idx else None, None, None, None, None,
+                     None, None, f"error: {type(exc).__name__}: {exc}"))
+    if rows:
+        yield rows
+
+
+def _to_pdf(rows: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(rows, columns=[f.name for f in RECORD_SCHEMA.fields])
+
+
 def warc_records(media: DataFrame) -> DataFrame:
     """WARC payloads → one row per record; ``response`` records carry the
     HTTP body as ``payload`` (status split into ``http_status``), other
-    record types carry their raw block."""
-    import gzip
+    record types carry their raw block. Records stream out in bounded
+    chunks — a blob with 50k records never materializes 50k rows at
+    once on the Python side."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
-                try:
-                    if blob[:2] == b"\x1f\x8b":
-                        # whole-file OR member-per-record gzip: a multi-
-                        # member stream concatenates transparently
-                        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
-                            blob = f.read(MAX_TOTAL_BYTES + 1)
-                        if len(blob) > MAX_TOTAL_BYTES:
-                            raise WarcError("gzip exceeds the total cap")
-                    if not blob.startswith(b"WARC/"):
-                        rows.append((ref, None, None, None, None, None,
-                                     None, None, "not_warc"))
-                        continue
-                    records = _parse_records(blob)
-                except WarcError as exc:
-                    rows.append((ref, None, None, None, None, None,
-                                 None, None, f"error: {exc}"))
+                if not looks_like_warc(blob):
+                    yield _to_pdf([(ref, None, None, None, None, None,
+                                    None, None, "not_warc")])
                     continue
-                except Exception as exc:  # noqa: BLE001 — poison isolation
-                    rows.append((ref, None, None, None, None, None, None,
-                                 None, f"error: {type(exc).__name__}: {exc}"))
-                    continue
-                for idx, rec in enumerate(records):
-                    body = rec["block"]
-                    status = None
-                    ctype = rec["content_type"] or ""
-                    if rec["type"] in ("response", "request") and \
-                            ctype.startswith("application/http"):
-                        status, body = _split_http(rec["block"])
-                    rows.append((ref, idx, rec["type"], rec["uri"],
-                                 ctype or None, status, body, len(body),
-                                 "ok"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in RECORD_SCHEMA.fields])
+                for rows in _stream_rows(ref, io.BytesIO(blob)):
+                    yield _to_pdf(rows)
 
     return media.select("media_ref", "payload").mapInPandas(
         batches, schema=RECORD_SCHEMA)
 
 
-def records_to_docs(records: DataFrame) -> DataFrame:
+def _local_path(uri: str) -> str:
+    """binaryFile path URIs → worker-openable paths. Plain and file:
+    schemes open directly (POSIX / NFS / fuse mounts — the common
+    cluster layouts); other schemes (s3a://, hdfs://) would go through
+    an fsspec-style client and are rejected typed here."""
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):  # file:///x and file://host/x forms
+            path = path[1:]
+        return path
+    if "://" in uri:
+        raise WarcError(f"unsupported path scheme for streaming: {uri!r}")
+    return uri
+
+
+def list_binary_files(spark, path: str, glob: str | None = None,
+                      recursive: bool = True) -> DataFrame:
+    """Directory → (path, length) listing via the binaryFile source with
+    the CONTENT COLUMN PRUNED — Spark's binaryFile reader only loads
+    ``content`` when selected, so this is a pure metadata listing no
+    matter how large the files are. The scale path: list centrally,
+    fan file paths out to workers, stream each file worker-side."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path).select("path", "length")
+
+
+def warc_records_from_dir(spark, path: str,
+                          glob: str = "*.warc*") -> DataFrame:
+    """A directory of real ``.warc`` / ``.warc.gz`` files → record rows.
+
+    The true streaming front door: only (path, length) rides through
+    Spark; each worker opens its file and iterates records with
+    O(record) memory, so a ~1 GiB compressed / multi-GiB raw Common
+    Crawl file ingests without ever being held whole. One file = one
+    task (the listing is repartitioned by path) so big crawls spread
+    across the cluster."""
+    files = list_binary_files(spark, path, glob=glob)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for uri in pdf["path"]:
+                try:
+                    local = _local_path(str(uri))
+                    f = open(local, "rb")  # noqa: SIM115 — closed below
+                except (WarcError, OSError) as exc:
+                    yield _to_pdf([(str(uri), None, None, None, None, None,
+                                    None, None, f"error: {exc}")])
+                    continue
+                with f:
+                    for rows in _stream_rows(str(uri), f):
+                        yield _to_pdf(rows)
+
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    return files.repartition(n, "path").mapInPandas(
+        batches, schema=RECORD_SCHEMA)
+
+
+def records_to_docs(records: DataFrame,
+                    include_drops: bool = False) -> DataFrame:
     """``response`` record rows → the engine's INPUT_SCHEMA shape, so a
     crawl archive flows straight into marky_spark.convert.convert:
     doc_id = the record's target URI (the natural crawl key), one span
     whose kind is sniffed from the HTTP body by the same content sniff
     the CLI uses (never trusting Content-Type headers — crawls lie).
     Arrow-batched mapInPandas for the sniff (it needs the body bytes);
-    no shuffle, no driver collect."""
+    no shuffle, no driver collect.
+
+    ``include_drops=True`` additionally emits one ``_drop_warc`` marker
+    doc per non-ok row (truncation / not-WARC), which convert turns into
+    an error row — so the job's metrics sink accounts for every record
+    the walk could not produce (nothing dropped silently)."""
     from ..cli import sniff_kind
 
     out_schema = StructType([
@@ -241,7 +351,7 @@ def records_to_docs(records: DataFrame) -> DataFrame:
                        & (F.col("warc_type") == "response"))
     docs = ok.select("media_ref", "target_uri", "payload").mapInPandas(
         batches, schema=out_schema)
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.array(F.struct(
             F.col("kind"),
@@ -250,6 +360,18 @@ def records_to_docs(records: DataFrame) -> DataFrame:
             F.lit(0).alias("offset"),
         )).alias("spans"),
     )
+    if include_drops:
+        drops = records.where(F.col("ok") != "ok").select(
+            F.concat(F.col("media_ref"), F.lit("#drop")).alias("doc_id"),
+            F.array(F.struct(
+                F.lit("_drop_warc").alias("kind"),
+                F.col("ok").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )).alias("spans"),
+        )
+        out = out.unionByName(drops)
+    return out
 
 
 def synth_warc_media(docs: DataFrame) -> DataFrame:

@@ -32,7 +32,18 @@ def _is_local_path(p: str) -> bool:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="convert_job")
     ap.add_argument("--input", required=True,
-                    help="span-table parquet dir (or Iceberg table name)")
+                    help="span-table parquet dir (or Iceberg table name); "
+                         "with --input-format warc/archive/binary: a "
+                         "directory of raw crawl/bundle/document files")
+    ap.add_argument("--input-format", default="spans",
+                    choices=("spans", "warc", "archive", "binary"),
+                    help="spans (default): parquet/Iceberg span table; "
+                         "warc: dir of .warc/.warc.gz crawl files "
+                         "(streamed record-at-a-time); archive: dir of "
+                         "zip/tar[.gz|.bz2|.xz] bundles (streamed "
+                         "member-at-a-time); binary: dir of loose docs")
+    ap.add_argument("--glob", default=None,
+                    help="pathGlobFilter for the file-based input formats")
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=4)
@@ -50,8 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     kinds = kinds or None  # '--kinds " , "' means no restriction, not 'none'
 
     # cheap local checks BEFORE the JVM launch
-    is_table = _is_local_path(args.input) and "/" not in args.input \
-        and not os.path.exists(args.input)
+    is_table = args.input_format == "spans" and _is_local_path(args.input) \
+        and "/" not in args.input and not os.path.exists(args.input)
     if _is_local_path(args.input) and not is_table \
             and not os.path.exists(args.input):
         print(f"error: input {args.input!r} does not exist", file=sys.stderr)
@@ -80,7 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     try:
-        if is_table:
+        if args.input_format != "spans":
+            from marky_spark.ingest import LOADERS
+
+            loader = LOADERS[args.input_format]
+            df = (loader(spark, args.input, glob=args.glob) if args.glob
+                  else loader(spark, args.input))
+        elif is_table:
             df = spark.read.table(args.input)
         else:
             df = spark.read.parquet(args.input)

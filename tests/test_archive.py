@@ -261,3 +261,93 @@ def test_bzip2_xz_spark_routing(spark):
     rows = {r["media_ref"]: r for r in explode_archive(media).collect()}
     assert bytes(rows["b"]["payload"]) == b"bz body"
     assert bytes(rows["x"]["payload"]) == b"xz body"
+
+
+def test_archive_members_from_dir_streams_real_files(spark, tmp_path):
+    """The binaryFile front door: a directory of real .zip / .tar.gz /
+    .tar.xz bundles → member rows → convert. Only (path, length) rides
+    through Spark; each worker streams its file member-at-a-time."""
+    import lzma
+
+    from marky_spark.convert import convert
+    from marky_spark.ops.archive import archive_members_from_dir, members_to_docs
+
+    (tmp_path / "book.zip").write_bytes(_zip_of({
+        "ch1.html": b"<html><body><h1>One</h1><p>alpha</p></body></html>",
+        "data.csv": b"a,b\n1,2",
+    }))
+    tar = _tar_of({"notes.txt": b"plain member text"})
+    (tmp_path / "bundle.tar.gz").write_bytes(gzip.compress(tar))
+    (tmp_path / "bundle.tar.xz").write_bytes(lzma.compress(tar))
+
+    members = archive_members_from_dir(spark, str(tmp_path))
+    rows = {(r["media_ref"].rsplit("/", 1)[-1], r["member_name"]): r
+            for r in members.where("ok = 'ok'").collect()}
+    assert bytes(rows[("book.zip", "data.csv")]["payload"]) == b"a,b\n1,2"
+    assert rows[("book.zip", "ch1.html")]["kind"] == "html"
+    assert bytes(rows[("bundle.tar.gz", "notes.txt")]["payload"]) \
+        == b"plain member text"
+    assert bytes(rows[("bundle.tar.xz", "notes.txt")]["payload"]) \
+        == b"plain member text"
+    out = convert(members_to_docs(members)).where("status = 'ok'")
+    got = {r["doc_id"].rsplit("/", 1)[-1]: r["markdown"]
+           for r in out.collect()}
+    assert "# One" in got["ch1.html"]
+    assert got["data.csv"].startswith("| a | b |")
+
+
+def test_disk_targz_past_member_list_streams(tmp_path):
+    """A real on-disk .tar.gz whose raw size (~300 MiB) exceeds the old
+    whole-blob model walks member-at-a-time in bounded memory (tarfile
+    r|* streaming mode — the file-front-door path)."""
+    import tracemalloc
+
+    from marky_spark.ops.archive import _stream_rows
+
+    path = tmp_path / "big.tar.gz"
+    member = bytes(1 << 20)  # 1 MiB of zeros: compresses hard
+    with gzip.open(path, "wb", compresslevel=1) as gz, \
+            tarfile.open(fileobj=gz, mode="w|") as tf:
+        for i in range(300):
+            ti = tarfile.TarInfo(f"m{i}.bin")
+            ti.size = len(member)
+            tf.addfile(ti, io.BytesIO(member))
+    assert path.stat().st_size < (8 << 20)
+    tracemalloc.start()
+    count = 0
+    with open(path, "rb") as f:
+        for rows in _stream_rows("big", f, lambda n, d: "bin"):
+            assert all(r[-1] == "ok" for r in rows)
+            count += len(rows)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == 300
+    assert 300 * len(member) > (256 << 20)
+    assert peak < (96 << 20), f"peak {peak} bytes — not streaming"
+
+
+def test_midarchive_corruption_salvages_prefix(tmp_path):
+    """Salvage semantics: members before a corrupt region are kept; one
+    trailing error row marks the truncation index."""
+    from marky_spark.ops.archive import _stream_rows
+
+    # two valid members followed by a third declaring a size past the cap
+    # (tarfile itself treats garbage headers as EOF, so the typed
+    # mid-walk failure is the cap breach); blocks are hand-concatenated
+    # because tarfile pads archives to a 10 KiB record, burying anything
+    # appended after its EOF marker
+    def block(name: str, data: bytes) -> bytes:
+        ti = tarfile.TarInfo(name)
+        ti.size = len(data)
+        return ti.tobuf() + data + b"\x00" * (-len(data) % 512)
+
+    huge = tarfile.TarInfo("huge.bin")
+    huge.size = MAX_MEMBER_BYTES + 1
+    blob = (block("a.txt", b"alpha") + block("b.txt", b"beta")
+            + huge.tobuf() + b"\x00" * 1024)
+    chunks = list(_stream_rows("x", io.BytesIO(blob), lambda n, d: "txt"))
+    rows = [r for c in chunks for r in c]
+    assert [r[-1] for r in rows[:2]] == ["ok", "ok"]
+    assert rows[0][4] == b"alpha" and rows[1][4] == b"beta"
+    assert rows[2][-1].startswith("error:")
+    assert rows[2][2] == 2

@@ -85,3 +85,17 @@ def test_synth_corpus_deterministic_and_convertible(spark):
     agg = out.groupBy("status").count().collect()
     counts = {r["status"]: r["count"] for r in agg}
     assert counts.get("ok", 0) == 200, counts
+
+
+def test_drop_marker_spans_become_error_rows():
+    """Ingest drop markers (_drop_* kinds) surface as error rows carrying
+    the front door's reason — the metrics-sink accounting contract."""
+    from marky_spark.convert import convert_document
+
+    r = convert_document("f.warc.gz#drop", [
+        {"kind": "_drop_warc", "text": "error: records exceed the cap",
+         "media_ref": None, "offset": 0}])
+    assert r["status"] == "error"
+    assert r["conv_kind"] == "_drop_warc"
+    assert r["error"] == "error: records exceed the cap"
+    assert r["markdown"] == "" and r["out_spans"] == []

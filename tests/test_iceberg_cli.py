@@ -92,3 +92,41 @@ def test_cli_missing_input_exits_1():
     )
     assert proc.returncode == 1
     assert "does not exist" in proc.stderr
+
+
+def test_cli_warc_front_door_end_to_end(tmp_path):
+    """convert_job --input-format warc: a directory of real .warc.gz
+    crawl files flows through the streaming record walk into the full
+    resumable pipeline — the spark-submit shape of a Common Crawl job."""
+    import gzip
+
+    crawl_dir = tmp_path / "crawl"
+    crawl_dir.mkdir()
+
+    def record(uri: str, body: bytes) -> bytes:
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + b"Content-Type: application/http;msgtype=response\r\n"
+                + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                + http + b"\r\n\r\n")
+
+    for f in range(2):
+        with gzip.open(crawl_dir / f"part{f}.warc.gz", "wb") as gz:
+            for i in range(20):
+                gz.write(record(
+                    f"http://site/{f}/{i}",
+                    f"<html><body><h1>Doc {f}.{i}</h1><p>text body "
+                    f"{i}</p></body></html>".encode()))
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, "scripts/convert_job.py",
+         "--input", str(crawl_dir), "--input-format", "warc",
+         "--output", out_dir, "--buckets", "4", "--waves", "1",
+         "--local", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["docs"] == 40 and result["errors"] == 0

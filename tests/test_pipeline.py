@@ -264,3 +264,45 @@ def test_resume_after_compaction_crash_exactly_once(spark, tmp_path):
     assert final.count() == N_DOCS
     assert final.select("doc_id").distinct().count() == N_DOCS
     assert os.path.isdir(os.path.join(base, f"bucket={b}"))
+
+
+def test_ingest_drops_land_in_metrics_sink(spark, tmp_path):
+    """The ONE-place accounting contract: records/members the front door
+    could not produce ride the pipeline as _drop_* error rows, so the
+    job's metrics table counts them per wave and the out_spans table
+    carries their reasons — nothing the run skipped is silent."""
+    import gzip
+
+    from marky_spark.ingest import docs_from_warc_dir
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    html = b"<html><body><p>ok page</p></body></html>"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + html
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://ok/1\r\n"
+            b"Content-Type: application/http;msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n")
+    with gzip.open(crawl / "good.warc.gz", "wb") as gz:
+        gz.write(good)
+    # a truncated WARC: header promises more bytes than the file has
+    (crawl / "trunc.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nxx")
+
+    docs = docs_from_warc_dir(spark, str(crawl))
+    out_dir = str(tmp_path / "job_drops")
+    results = run_convert_job(spark, docs, out_dir, n_buckets=2, waves=1,
+                              partitions=2)
+    assert sum(r.n_docs for r in results) == 2  # 1 converted + 1 drop row
+    assert sum(r.n_errors for r in results) == 1
+
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    rows = {(r["conv_kind"], r["status"]): r["n_docs"]
+            for r in metrics.collect()}
+    assert rows[("_drop_warc", "error")] == 1
+    # and the drop row in out_spans carries the reason
+    drop = read_output(spark, out_dir).where(
+        "conv_kind = '_drop_warc'").collect()[0]
+    assert "error:" in drop["error"]
+    assert drop["status"] == "error"

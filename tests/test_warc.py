@@ -9,7 +9,7 @@ import random
 import pytest
 
 from marky_spark.ops.warc import (
-    MAX_RECORDS,
+    MAX_RECORD_BYTES,
     WarcError,
     _parse_records,
     _split_http,
@@ -57,8 +57,11 @@ def test_hostile_warcs_typed(mutate, msg):
         _parse_records(mutate(blob))
 
 
-def test_record_count_cap():
-    blob = _record("resource", b"") * (MAX_RECORDS + 1)
+def test_record_count_cap(monkeypatch):
+    from marky_spark.ops import warc as warc_mod
+
+    monkeypatch.setattr(warc_mod, "MAX_RECORDS", 100)
+    blob = _record("resource", b"") * 101
     with pytest.raises(WarcError, match="records"):
         _parse_records(blob)
 
@@ -138,7 +141,136 @@ def test_warc_mutations_stay_typed():
             recs = _parse_records(blob)
         except WarcError:
             continue
-        assert sum(len(r["block"]) for r in recs) <= 1 << 28
+        assert all(len(r["block"]) <= MAX_RECORD_BYTES for r in recs)
+
+
+class _RepeatRaw(io.RawIOBase):
+    """A virtual stream repeating one chunk N times — lets a test present
+    hundreds of MiB to the record walk without ever allocating them."""
+
+    def __init__(self, chunk: bytes, n: int) -> None:
+        self.chunk, self.total, self.pos = chunk, len(chunk) * n, 0
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self.pos >= self.total:
+            return 0
+        off = self.pos % len(self.chunk)
+        take = min(len(b), len(self.chunk) - off, self.total - self.pos)
+        b[:take] = self.chunk[off:off + take]
+        self.pos += take
+        return take
+
+
+def test_streaming_walk_is_memory_bounded():
+    """600 MiB of records (far past the old 256 MiB whole-blob cap) walk
+    with O(record) peak memory — the 100 TB contract: a crawl WARC never
+    materializes."""
+    import tracemalloc
+
+    from marky_spark.ops.warc import _iter_records
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n" + b"z" * (1 << 20)  # ~1 MiB record
+    rec = _record("response", body,
+                  b"Content-Type: application/http;msgtype=response\r\n")
+    n = (600 << 20) // len(rec) + 1  # ≥600 MiB virtual stream
+    stream = io.BufferedReader(_RepeatRaw(rec, n), buffer_size=1 << 16)
+    tracemalloc.start()
+    count = 0
+    for r in _iter_records(stream):
+        assert len(r["block"]) == len(body)
+        count += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n
+    assert count * len(rec) > (600 << 20)
+    assert peak < (32 << 20), f"peak {peak} bytes — not streaming"
+
+
+def test_disk_warc_past_old_cap_streams(tmp_path):
+    """A REAL on-disk .warc.gz whose raw size (~300 MiB) exceeds the old
+    whole-blob cap ingests record-at-a-time in bounded memory."""
+    import gzip
+    import tracemalloc
+
+    from marky_spark.ops.warc import _stream_rows
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n" + bytes(1 << 20)  # compresses hard
+    rec = _record("response", body,
+                  b"WARC-Target-URI: http://big/\r\n"
+                  b"Content-Type: application/http;msgtype=response\r\n")
+    n = 300
+    path = tmp_path / "big.warc.gz"
+    with gzip.open(path, "wb", compresslevel=1) as gz:
+        for _ in range(n):
+            gz.write(rec)
+    assert path.stat().st_size < (4 << 20)  # tiny on disk, huge raw
+    tracemalloc.start()
+    count = 0
+    with open(path, "rb") as f:
+        for rows in _stream_rows("big", f):
+            assert all(r[-1] == "ok" for r in rows)
+            count += len(rows)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n
+    assert n * len(rec) > (256 << 20)  # raw stream exceeds the old cap
+    assert peak < (96 << 20), f"peak {peak} bytes — not streaming"
+
+
+def test_midstream_corruption_salvages_prefix():
+    """Stream-truncation semantics: records before a malformed one are
+    kept (a crawl salvages its valid prefix); one trailing error row
+    marks the truncation point and index."""
+    from marky_spark.ops.warc import _stream_rows
+
+    good = _record("resource", b"first") + _record("resource", b"second")
+    blob = good + b"WARC/1.0\r\ngarbage without headers"
+    chunks = list(_stream_rows("x", io.BytesIO(blob)))
+    rows = [r for c in chunks for r in c]
+    assert [r[8] for r in rows[:2]] == ["ok", "ok"]
+    assert rows[0][6] == b"first" and rows[1][6] == b"second"
+    assert rows[2][8].startswith("error:")
+    assert rows[2][1] == 2  # truncation index: after two good records
+
+
+def test_records_from_dir_streams_real_files(spark, tmp_path):
+    """The binaryFile front door: a directory of real .warc / .warc.gz
+    files (one bigger than a yield chunk) → record rows → convert.
+    Only (path, length) rides through Spark; payload bytes never do."""
+    import gzip
+
+    from marky_spark.convert import convert
+    from marky_spark.ops.warc import records_to_docs, warc_records_from_dir
+
+    def page(i: int) -> bytes:
+        html = (f"<html><body><h1>Page {i}</h1><p>body text {i}</p>"
+                f"</body></html>").encode()
+        return _record(
+            "response", b"HTTP/1.1 200 OK\r\n\r\n" + html,
+            f"WARC-Target-URI: http://site/{i}\r\n".encode()
+            + b"Content-Type: application/http;msgtype=response\r\n")
+
+    # file 1: gzipped, 600 records (> one 256-row yield chunk)
+    with gzip.open(tmp_path / "a.warc.gz", "wb") as gz:
+        for i in range(600):
+            gz.write(page(i))
+    # file 2: plain, 5 records
+    with open(tmp_path / "b.warc", "wb") as f:
+        for i in range(600, 605):
+            f.write(page(i))
+    # decoy that must not match the glob
+    (tmp_path / "notes.txt").write_bytes(b"not a warc")
+
+    recs = warc_records_from_dir(spark, str(tmp_path))
+    assert recs.where("ok = 'ok'").count() == 605
+    docs = records_to_docs(recs)
+    out = convert(docs).where("status = 'ok'")
+    assert out.count() == 605
+    one = out.where("doc_id = 'http://site/42'").collect()[0]
+    assert "# Page 42" in one["markdown"]
 
 
 def test_warc_to_convert_end_to_end(spark):
