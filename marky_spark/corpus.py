@@ -623,9 +623,15 @@ def _binary_variant(kind: str, variant: int) -> str:
             if variant % 3 == 2:
                 rng.shuffle(ops)  # reading-order reassembly must re-sort
             pages.append(ops)
+        # variants 7,15,23,31: Type0 subset-font shape (hex strings +
+        # ToUnicode CMap); 3,11,19,27: /Differences over WinAnsi — the
+        # frozen goldens then pin both font-decoding chains forever
+        enc = ("cmap" if variant % 8 == 7
+               else "differences" if variant % 8 == 3 else "winansi")
         return fx.b64(fx.pdf_bytes(pages,
                                    compress=(variant % 8 != 5),
-                                   use_tj_array=(variant % 2 == 1)))
+                                   use_tj_array=(variant % 2 == 1),
+                                   encoding=enc))
     raise ValueError(kind)
 
 

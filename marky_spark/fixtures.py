@@ -400,8 +400,21 @@ def _pdf_escape(s: str) -> str:
 
 
 def pdf_bytes(pages: list[list[tuple[float, float, str]]],
-              compress: bool = True, use_tj_array: bool = False) -> bytes:
-    """Classic-xref PDF. pages: list of [(x, y, text), ...] show operations."""
+              compress: bool = True, use_tj_array: bool = False,
+              encoding: str = "winansi") -> bytes:
+    """Classic-xref PDF. pages: list of [(x, y, text), ...] show operations.
+
+    ``encoding`` picks the font/text wire format:
+    - ``winansi``      — Type1 /WinAnsiEncoding, literal strings (default)
+    - ``differences``  — Type1 with /BaseEncoding /WinAnsiEncoding and a
+      /Differences array remapping 'e'→eacute and 'o'→bullet, so the
+      decoded text carries é/• wherever the input had e/o (pins the
+      Differences + AGL-name resolution chain)
+    - ``cmap``         — Type0 subset-font shape: 2-byte codes assigned
+      by first appearance, hex show strings, and a /ToUnicode CMap
+      stream built from the text (pins the bfchar walk end-to-end;
+      ``use_tj_array`` is ignored — hex strings carry no word breaks)
+    """
     import zlib as _zlib
 
     objects: dict[int, bytes] = {}
@@ -412,6 +425,15 @@ def pdf_bytes(pages: list[list[tuple[float, float, str]]],
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     font_num = 3 + 2 * n_pages
+    codes: dict[str, int] = {}  # cmap flavor: char → 2-byte code
+
+    def hex_show(text: str) -> str:
+        out = []
+        for ch in text:
+            code = codes.setdefault(ch, len(codes) + 1)
+            out.append(f"{code:04X}")
+        return f"<{''.join(out)}>"
+
     for i, ops in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
@@ -422,7 +444,9 @@ def pdf_bytes(pages: list[list[tuple[float, float, str]]],
         ).encode()
         parts = ["BT /F1 12 Tf"]
         for x, y, text in ops:
-            if use_tj_array:
+            if encoding == "cmap":
+                parts.append(f"1 0 0 1 {x:g} {y:g} Tm {hex_show(text)} Tj")
+            elif use_tj_array:
                 words = text.split(" ")
                 arr = " -240 ".join(f"({_pdf_escape(w)})" for w in words)
                 parts.append(f"1 0 0 1 {x:g} {y:g} Tm [{arr}] TJ")
@@ -441,11 +465,43 @@ def pdf_bytes(pages: list[list[tuple[float, float, str]]],
         objects[content_num] = (
             head.encode() + b"\nstream\n" + stream + b"\nendstream"
         )
-    objects[font_num] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-        b"/Encoding /WinAnsiEncoding >>"
-    )
+    if encoding == "cmap":
+        bfchars = "\n".join(
+            f"<{code:04X}> <{ch.encode('utf-16-be').hex().upper()}>"
+            for ch, code in codes.items())
+        cmap_body = (
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(codes)} beginbfchar\n{bfchars}\nendbfchar\n"
+            "endcmap\nCMap currentdict /CMap defineresource pop\nend end"
+        ).encode("ascii")
+        objects[font_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SYNTH+Sub "
+            f"/Encoding /Identity-H /ToUnicode {font_num + 1} 0 R >>"
+        ).encode()
+        objects[font_num + 1] = (
+            f"<< /Length {len(cmap_body)} >>".encode()
+            + b"\nstream\n" + cmap_body + b"\nendstream"
+        )
+    elif encoding == "differences":
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ 101 /eacute 111 /bullet ] >> >>"
+        )
+    else:
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
 
+    return pdf_assemble(objects)
+
+
+def pdf_assemble(objects: dict[int, bytes]) -> bytes:
+    """Object-number → body map → a classic-xref PDF (/Root is object 1).
+    The low-level builder behind :func:`pdf_bytes`; tests use it directly
+    to compose fonts with ToUnicode CMaps / /Differences encodings."""
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):

@@ -350,16 +350,22 @@ class _Pdf:
                     out.append(obj)
         return out
 
-    def _walk_pages(self, node, out: list[dict], seen: set[int]) -> None:
+    def _walk_pages(self, node, out: list[dict], seen: set[int],
+                    inherited_res=None) -> None:
         node = self.resolve(node)
         if not isinstance(node, dict) or id(node) in seen:
             return
         seen.add(id(node))
         if node.get("/Type") == "/Page":
+            # /Resources is inheritable from the page-tree ancestors
+            # (PDF 32000-1 §7.7.3.4) — fonts commonly live on /Pages
+            if "/Resources" not in node and inherited_res is not None:
+                node["/Resources"] = inherited_res
             out.append(node)
             return
+        res = node.get("/Resources", inherited_res)
         for kid in self.resolve(node.get("/Kids")) or []:
-            self._walk_pages(kid, out, seen)
+            self._walk_pages(kid, out, seen, res)
 
     def content_bytes(self, page: dict) -> bytes:
         contents = self.resolve(page.get("/Contents"))
@@ -403,11 +409,372 @@ _KERN_SPACE = -100  # TJ adjustment (1/1000 em) that reads as a word gap
 
 
 def _decode_pdf_text(raw: bytes) -> str:
-    """WinAnsi ≈ cp1252 for the fixture-scoped font set."""
+    """WinAnsi ≈ cp1252, the no-font-info fallback."""
     try:
         return raw.decode("cp1252")
     except UnicodeDecodeError:
         return raw.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# per-font character decoding: ToUnicode CMaps and /Encoding tables
+# (SURVEY.md §2.3; PDF 32000-1 §9.6.6, §9.10.3 — subset-embedded fonts
+# carry their text mapping in a ToUnicode CMap, not in the byte values)
+# ---------------------------------------------------------------------------
+
+_MAX_CMAP_ENTRIES = 1 << 17  # hostile-CMap guard: bfrange can demand 2^31
+
+
+def _byte_table(codec: str) -> tuple[str, ...]:
+    out = []
+    for b in range(256):
+        try:
+            out.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            out.append("�")
+    return tuple(out)
+
+
+# StandardEncoding deviations from ASCII/Latin-1 (PDF 32000-1 Annex D.2):
+# the codes that differ from a plain cp1252 read, including the Adobe
+# quirk that 0x27/0x60 are typographic quotes
+_STD_DEV = {
+    0x27: "’", 0x60: "‘",
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ",
+    0xB1: "–", 0xB2: "†", 0xB3: "‡", 0xB4: "·",
+    0xB6: "¶", 0xB7: "•", 0xB8: "‚", 0xB9: "„",
+    0xBA: "”", 0xBB: "»", 0xBC: "…", 0xBD: "‰",
+    0xBF: "¿",
+    0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜",
+    0xC5: "¯", 0xC6: "˘", 0xC7: "˙", 0xC8: "¨",
+    0xCA: "˚", 0xCB: "¸", 0xCD: "˝", 0xCE: "˛",
+    0xCF: "ˇ", 0xD0: "—",
+    0xE1: "Æ", 0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø",
+    0xEA: "Œ", 0xEB: "º",
+    0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø",
+    0xFA: "œ", 0xFB: "ß",
+}
+_STD_UNDEF = (set(range(0x7F, 0xA1)) | {0xA0, 0xB0, 0xB5, 0xBE, 0xC0, 0xC9,
+              0xCC, 0xD1} | set(range(0xD2, 0xE1)) | {0xE2}
+              | set(range(0xE4, 0xE8)) | set(range(0xEC, 0xF1))
+              | {0xF2, 0xF3, 0xF4, 0xF6, 0xF7} | set(range(0xFC, 0x100)))
+
+
+def _std_table() -> tuple[str, ...]:
+    out = []
+    for b in range(256):
+        if b in _STD_DEV:
+            out.append(_STD_DEV[b])
+        elif b in _STD_UNDEF or b < 0x20:
+            out.append("�")
+        else:
+            out.append(chr(b))
+    return tuple(out)
+
+
+_ENC_TABLES: dict[str, tuple[str, ...]] = {}
+
+
+def _base_table(name) -> tuple[str, ...]:
+    """Named base encoding → 256-entry code→char table (cached)."""
+    key = name if isinstance(name, str) else "/StandardEncoding"
+    t = _ENC_TABLES.get(key)
+    if t is None:
+        if key == "/WinAnsiEncoding":
+            t = _byte_table("cp1252")
+        elif key == "/MacRomanEncoding":
+            t = _byte_table("mac_roman")
+        else:  # StandardEncoding, also the dict-without-BaseEncoding default
+            t = _std_table()
+        _ENC_TABLES[key] = t
+    return t
+
+
+# Adobe Glyph List subset: the names that appear in real /Differences
+# arrays for Latin-script documents. Accented letters compose via the
+# combining table below; uniXXXX / uXXXX names parse numerically.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "fraction": "⁄", "florin": "ƒ",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+    "sterling": "£", "yen": "¥", "currency": "¤",
+    "euro": "€", "section": "§", "paragraph": "¶",
+    "periodcentered": "·", "copyright": "©",
+    "registered": "®", "trademark": "™", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "logicalnot": "¬", "mu": "µ", "minus": "−",
+    "brokenbar": "¦", "ordfeminine": "ª",
+    "ordmasculine": "º", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³",
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Oslash": "Ø", "oslash": "ø", "Lslash": "Ł",
+    "lslash": "ł", "Thorn": "Þ", "thorn": "þ",
+    "Eth": "Ð", "eth": "ð", "germandbls": "ß",
+    "dotlessi": "ı", "fi": "ﬁ", "fl": "ﬂ",
+    "acute": "´", "dieresis": "¨", "tilde": "˜",
+    "circumflex": "ˆ", "macron": "¯", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "cedilla": "¸",
+    "hungarumlaut": "˝", "ogonek": "˛", "caron": "ˇ",
+    "nbspace": " ", "sfthyphen": "­",
+    # Greek + math names used by TeX/Type1 symbol-font /Differences
+    # (scientific PDFs are a large slice of real crawl corpora)
+    "alpha": "\u03b1", "beta": "\u03b2", "gamma": "\u03b3", "delta": "\u03b4",
+    "epsilon": "\u03b5", "zeta": "\u03b6", "eta": "\u03b7", "theta": "\u03b8",
+    "iota": "\u03b9", "kappa": "\u03ba", "lambda": "\u03bb", "nu": "\u03bd",
+    "xi": "\u03be", "pi": "\u03c0", "rho": "\u03c1", "sigma": "\u03c3",
+    "tau": "\u03c4", "upsilon": "\u03c5", "phi": "\u03c6", "chi": "\u03c7",
+    "psi": "\u03c8", "omega": "\u03c9", "sigma1": "\u03c2",
+    "theta1": "\u03d1", "omega1": "\u03d6", "rho1": "\u03f1",
+    "epsilon1": "\u03f5",
+    "Gamma": "\u0393", "Delta": "\u0394", "Theta": "\u0398",
+    "Lambda": "\u039b", "Xi": "\u039e", "Pi": "\u03a0",
+    "Sigma": "\u03a3", "Upsilon": "\u03a5", "Phi": "\u03a6",
+    "Psi": "\u03a8", "Omega": "\u03a9",
+    "arrowright": "\u2192", "arrowleft": "\u2190", "arrowup": "\u2191",
+    "arrowdown": "\u2193", "arrowboth": "\u2194",
+    "arrowdblright": "\u21d2", "arrowdblleft": "\u21d0",
+    "arrowdblboth": "\u21d4",
+    "infinity": "\u221e", "partialdiff": "\u2202", "gradient": "\u2207",
+    "summation": "\u2211", "product": "\u220f", "integral": "\u222b",
+    "radical": "\u221a", "proportional": "\u221d",
+    "approxequal": "\u2248", "equivalence": "\u2261",
+    "notequal": "\u2260", "lessequal": "\u2264",
+    "greaterequal": "\u2265", "element": "\u2208",
+    "notelement": "\u2209", "propersubset": "\u2282",
+    "propersuperset": "\u2283", "reflexsubset": "\u2286",
+    "reflexsuperset": "\u2287", "intersection": "\u2229",
+    "union": "\u222a", "emptyset": "\u2205",
+    "logicaland": "\u2227", "logicalor": "\u2228",
+    "negationslash": "\u0338", "universal": "\u2200",
+    "existential": "\u2203", "suchthat": "\u220b",
+    "therefore": "\u2234", "perpendicular": "\u22a5",
+    "angle": "\u2220", "circlemultiply": "\u2297",
+    "circleplus": "\u2295", "dotmath": "\u22c5",
+    "asteriskmath": "\u2217", "similar": "\u223c",
+    "congruent": "\u2245", "prime": "\u2032", "second": "\u2033",
+    "aleph": "\u2135", "Ifraktur": "\u2111", "Rfraktur": "\u211c",
+    "weierstrass": "\u2118", "lozenge": "\u25ca",
+    "minusplus": "\u2213", "asteriskcentered": "\u2217",
+}
+_COMBINING = {
+    "acute": "́", "grave": "̀", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "caron": "̌", "breve": "̆",
+    "macron": "̄", "hungarumlaut": "̋", "ogonek": "̨",
+    "dotaccent": "̇", "slash": "̷",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL glyph name → text (the /Differences resolution chain)."""
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1:
+        return name  # 'A', 'a' ... name themselves
+    if name.startswith("uni") and len(name) >= 7:
+        try:  # uniXXXX[XXXX...]: one or more UTF-16 code units
+            units = [int(name[i:i + 4], 16)
+                     for i in range(3, len(name) - 3, 4)]
+            return b"".join(u.to_bytes(2, "big") for u in units) \
+                .decode("utf-16-be", "replace")
+        except ValueError:
+            return "�"
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except (ValueError, OverflowError):
+            return "�"
+    if name[1:] in _COMBINING and name[0].isalpha():
+        import unicodedata
+
+        return unicodedata.normalize("NFC", name[0] + _COMBINING[name[1:]])
+    return "�"
+
+
+_CMAP_SECTION_RE = re.compile(
+    rb"begin(bfchar|bfrange|codespacerange)(.*?)end\1", re.DOTALL)
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream → (code → text map, code byte width).
+
+    Implements the subset real subset-font CMaps use: codespacerange
+    (fixes the code width), bfchar pairs, and bfrange with either a
+    destination start (incrementing) or a destination array. Destination
+    hex is UTF-16BE (possibly multi-unit — ligature expansions)."""
+    cmap: dict[int, str] = {}
+    nbytes = 0
+
+    def hexes(body: bytes):
+        toks = []
+        for m in _CMAP_HEX_RE.finditer(body):
+            if m.group(0) in (b"[", b"]"):
+                toks.append(m.group(0))
+            else:
+                toks.append(bytes.fromhex(
+                    m.group(1).translate(None, b" \t\r\n").decode("ascii")))
+        return toks
+
+    for sec in _CMAP_SECTION_RE.finditer(data):
+        kind, body = sec.group(1), sec.group(2)
+        toks = hexes(body)
+        if kind == b"codespacerange":
+            if toks and isinstance(toks[0], bytes) and toks[0]:
+                nbytes = max(nbytes, len(toks[0]))
+            continue
+        if kind == b"bfchar":
+            pairs = [t for t in toks if isinstance(t, bytes)]
+            for i in range(0, len(pairs) - 1, 2):
+                src, dst = pairs[i], pairs[i + 1]
+                if not src or len(cmap) >= _MAX_CMAP_ENTRIES:
+                    continue
+                cmap[int.from_bytes(src, "big")] = \
+                    dst.decode("utf-16-be", "replace")
+                nbytes = max(nbytes, len(src))
+            continue
+        # bfrange: <lo> <hi> <dst>   |   <lo> <hi> [ <d0> <d1> ... ]
+        i = 0
+        while i < len(toks) - 2:
+            lo_b, hi_b = toks[i], toks[i + 1]
+            if not (isinstance(lo_b, bytes) and isinstance(hi_b, bytes)
+                    and lo_b and hi_b):
+                i += 1
+                continue
+            lo = int.from_bytes(lo_b, "big")
+            hi = int.from_bytes(hi_b, "big")
+            nbytes = max(nbytes, len(lo_b))
+            if toks[i + 2] == b"[":
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != b"]":
+                    if isinstance(toks[j], bytes) and code <= hi \
+                            and len(cmap) < _MAX_CMAP_ENTRIES:
+                        cmap[code] = toks[j].decode("utf-16-be", "replace")
+                        code += 1
+                    j += 1
+                i = j + 1
+                continue
+            dst = toks[i + 2]
+            if isinstance(dst, bytes) and hi >= lo:
+                span = min(hi - lo, _MAX_CMAP_ENTRIES)
+                base = int.from_bytes(dst, "big") if dst else 0
+                width = max(len(dst), 2)
+                for off in range(span + 1):
+                    if len(cmap) >= _MAX_CMAP_ENTRIES:
+                        break
+                    cmap[lo + off] = (base + off).to_bytes(
+                        width, "big").decode("utf-16-be", "replace")
+            i += 3
+    return cmap, (nbytes or 1)
+
+
+class _FontDecoder:
+    """Per-font string decoding: ToUnicode CMap first (authoritative for
+    subset fonts), then the /Encoding table, then the cp1252 fallback."""
+
+    __slots__ = ("nbytes", "cmap", "table")
+
+    def __init__(self, nbytes: int, cmap: dict[int, str] | None,
+                 table: tuple[str, ...] | None):
+        self.nbytes = nbytes
+        self.cmap = cmap
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        if self.nbytes == 2:
+            out = []
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                s = self.cmap.get(code) if self.cmap else None
+                out.append("�" if s is None else s)
+            if len(raw) % 2:
+                out.append("�")
+            return "".join(out)
+        if self.cmap is None and self.table is None:
+            return _decode_pdf_text(raw)
+        out = []
+        for b in raw:
+            s = self.cmap.get(b) if self.cmap else None
+            if s is None and self.table is not None:
+                s = self.table[b]
+            if s is None:
+                s = _decode_pdf_text(bytes([b]))
+            out.append(s)
+        return "".join(out)
+
+
+def _font_decoder(pdf: "_Pdf", font: dict) -> _FontDecoder:
+    cmap = None
+    nbytes = 2 if font.get("/Subtype") == "/Type0" else 1
+    tu = pdf.resolve(font.get("/ToUnicode"))
+    if isinstance(tu, _Stream):
+        try:
+            cmap, cs_bytes = _parse_tounicode(tu.decoded())
+            if font.get("/Subtype") != "/Type0":
+                nbytes = cs_bytes
+            if not cmap:
+                cmap = None
+        except (ConvertError, ValueError):
+            cmap = None
+    table = None
+    enc = pdf.resolve(font.get("/Encoding"))
+    if isinstance(enc, str):
+        if enc in ("/WinAnsiEncoding", "/MacRomanEncoding",
+                   "/StandardEncoding", "/PDFDocEncoding"):
+            table = _base_table(enc)
+    elif isinstance(enc, dict):
+        t = list(_base_table(enc.get("/BaseEncoding")))
+        diffs = pdf.resolve(enc.get("/Differences"))
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str) and item.startswith("/"):
+                    if 0 <= code < 256:
+                        t[code] = _glyph_to_unicode(item[1:])
+                    code += 1
+        table = tuple(t)
+    return _FontDecoder(nbytes, cmap, table)
+
+
+def _page_fonts(pdf: "_Pdf", page: dict) -> dict[str, _FontDecoder]:
+    res = pdf.resolve(page.get("/Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = pdf.resolve(res.get("/Font"))
+    out: dict[str, _FontDecoder] = {}
+    if isinstance(fonts, dict):
+        for name, ref in fonts.items():
+            fd = pdf.resolve(ref)
+            if isinstance(fd, dict):
+                try:
+                    out[name] = _font_decoder(pdf, fd)
+                except Exception:  # noqa: BLE001 — a bad font never kills
+                    continue      # the page; its strings use the fallback
+    return out
 
 
 # content-stream tokenizer: one regex pass instead of a Python-level
@@ -426,13 +793,22 @@ _CONTENT_TOKEN_RE = re.compile(
 )
 
 
-def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text operators, yielding (x, y, text) runs."""
+def _extract_page_runs(
+        content: bytes,
+        fonts: dict[str, _FontDecoder] | None = None,
+) -> list[tuple[float, float, str]]:
+    """Interpret text operators, yielding (x, y, text) runs. ``fonts``
+    maps resource names (/F1 ...) to per-font decoders; ``Tf`` switches
+    the active one (text state persists across BT/ET per spec)."""
     runs: list[tuple[float, float, str]] = []
     stack: list = []
     x = y = 0.0          # text-line matrix translation
     lx = ly = 0.0        # line start (for T*/TD)
     leading = 0.0
+    cur_font: _FontDecoder | None = None
+
+    def dec(raw: bytes) -> str:
+        return cur_font.decode(raw) if cur_font else _decode_pdf_text(raw)
     pos = 0
     n = len(content)
     arr_stack: list[list] = []  # open [ ... ] operand(s); nesting preserved
@@ -511,26 +887,29 @@ def _extract_page_runs(content: bytes) -> list[tuple[float, float, str]]:
                 leading = float(stack[-1])
             elif op == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
-                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+                    runs.append((x, y, dec(stack[-1])))
             elif op == b"'":
                 ly -= leading
                 x, y = lx, ly
                 if stack and isinstance(stack[-1], bytes):
-                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+                    runs.append((x, y, dec(stack[-1])))
             elif op == b'"':
                 ly -= leading
                 x, y = lx, ly
                 if stack and isinstance(stack[-1], bytes):
-                    runs.append((x, y, _decode_pdf_text(stack[-1])))
+                    runs.append((x, y, dec(stack[-1])))
             elif op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     parts: list[str] = []
                     for item in stack[-1]:
                         if isinstance(item, bytes):
-                            parts.append(_decode_pdf_text(item))
+                            parts.append(dec(item))
                         elif isinstance(item, (int, float)) and item < _KERN_SPACE:
                             parts.append(" ")
                     runs.append((x, y, "".join(parts)))
+            elif op == b"Tf":
+                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                    cur_font = fonts.get(stack[-2], cur_font)
             elif op == b"BT":
                 x = y = lx = ly = 0.0
                 leading = 0.0
@@ -585,7 +964,8 @@ def extract_pdf_text(data: bytes) -> str:
         raise ConvertError("no pages found in PDF")
     page_texts = []
     for page in pages:
-        runs = _extract_page_runs(pdf.content_bytes(page))
+        runs = _extract_page_runs(pdf.content_bytes(page),
+                                  _page_fonts(pdf, page))
         text = _page_text(runs)
         if text:
             page_texts.append(text)

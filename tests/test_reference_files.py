@@ -26,7 +26,11 @@ PINS = {
     "xlsx": ("0b8138046eb6684cdf05db1296b3dc60f240673ed323199e514804db44915632", 594),
     "pptx": ("8a92ae3bd2d28d0f6e5ced5aa7cec4656f2fff558c15431d473e96695fa3a08f", 99885),
     "epub": ("7f7e0a54bc692a96b1e835a3d6380d39768f65ad750dde54d46af161956713f7", 145516),
-    "pdf": ("6efccce1f7ad9bae0072c4459c6a1ce08655b3a821b08592ad0da5fb79a5e3cf", 43716),
+    # pdf re-pinned 2026-08-18 when /Encoding /Differences + AGL names
+    # landed: the physics paper's accents/quotes/Greek now decode for real
+    # ("d'Annecy"→"d’Annecy", "D!decay"→"D→πππdecay"); unmapped symbol-font
+    # glyphs surface as U+FFFD instead of silently-wrong cp1252 ASCII
+    "pdf": ("94da4b032b28c9edfaf561bf8370e108c722f9682cc635286672be72fb7c2c4a", 43716),
 }
 
 # content spot-checks so a pin break points at the symptom, not just a hash
@@ -38,7 +42,8 @@ MUST_CONTAIN = {
     "xlsx": ["| Alpha | Beta | Gamma | Delta |"],
     "pptx": ["<!-- Slide number: 1 -->", "# AutoGen"],
     "epub": ["**Title:** Alice's Adventures in Wonderland", "**Authors:** Lewis Carroll"],
-    "pdf": ["SLAC-PUB-16505"],
+    "pdf": ["SLAC-PUB-16505", "Universit´e de Savoie",
+            "D→πππdecay"],
 }
 
 TEXT_KINDS = {"csv", "html", "ipynb"}
