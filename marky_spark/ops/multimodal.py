@@ -680,18 +680,42 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 hexs = hashlib.md5(str(i).encode()).hexdigest()
                 px = (hexs * (-(-n // len(hexs))))[:n].encode("ascii")
                 if i % 5 == 4:
+                    # TIFF shape variants under the same oracle samples:
+                    # i%7==3 → separate planes; i%7==5 → 16-bit (high
+                    # bytes are the oracle samples, low bytes constant)
+                    payload, bits = px, 8
+                    if i % 7 == 5:
+                        arr16 = bytearray(2 * n)
+                        arr16[0::2] = bytes([i % 249]) * n  # low (LE)
+                        arr16[1::2] = px                    # high (LE)
+                        payload, bits = bytes(arr16), 16
                     blob = tiff_encode(
-                        px, w, h, 3,
+                        payload, w, h, 3,
                         compression=("lzw", "packbits", "none")[i % 3],
                         predictor=2 if i % 2 else 1,
-                        rows_per_strip=3 if i % 2 == 0 else None)
+                        rows_per_strip=3 if i % 2 == 0 else None,
+                        bits=bits, planar=2 if i % 7 == 3 else 1)
                     rows.append((f"p{i}", "image/tiff", blob))
                     continue
                 if i % 5 == 3:
                     rows.append((f"p{i}", "image/x-portable-pixmap",
                                  pnm_encode(px, w, h, 3)))
                     continue
-                rows.append((f"p{i}", "image/png", png_encode(px, w, h, 3)))
+                # PNG shape variants — the ORACLE SAMPLES never change
+                # (16-bit high bytes ARE the 8-bit samples; deinterlace
+                # reorders nothing), so the same SQL arithmetic pins the
+                # Adam7 and 16-bit decode paths too:
+                #   i%7==1 → Adam7 8-bit;  i%7==2 → 16-bit (interlaced
+                #   on odd ids), low bytes a varying constant
+                if i % 7 == 2:
+                    arr = bytearray(2 * n)
+                    arr[0::2] = px
+                    arr[1::2] = bytes([i % 251]) * n
+                    blob = png_encode(bytes(arr), w, h, 3, depth=16,
+                                      interlace=(i % 2 == 1))
+                else:
+                    blob = png_encode(px, w, h, 3, interlace=(i % 7 == 1))
+                rows.append((f"p{i}", "image/png", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -7,14 +7,16 @@ scanlines, and the five per-row filters (None/Sub/Up/Average/Paeth).
 This module implements both directions:
 
 - :func:`png_decode` — signature + chunk walk (CRC-verified), concatenated
-  IDAT inflate, filter reconstruction, palette expansion. Supports bit
-  depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA), non-interlaced — the overwhelming majority of real-world PNGs
-  (reference parity: docx.go:196-198 / pptx.go:342-343 embed exactly such
-  image payloads as data URIs).
+  IDAT inflate, filter reconstruction, Adam7 deinterlacing, palette
+  expansion. Supports bit depths 8 and 16 (16-bit reduces to high bytes,
+  the exact ``>> 8``), color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA), interlace methods 0 and 1 — scanned-document
+  corpora carry both (reference parity: docx.go:196-198 / pptx.go:342-343
+  embed exactly such image payloads as data URIs).
 - :func:`png_encode` — the inverse, used by fixtures and the resize path;
   per-row filter types cycle 0..4 so a decoder must implement every filter
-  to round-trip (a filter bug cannot hide behind an all-None encoder).
+  to round-trip (a filter bug cannot hide behind an all-None encoder);
+  ``depth=16`` / ``interlace=True`` write the matching inverse shapes.
 - :func:`png_resize_nearest` — decode → nearest-neighbor resample
   (vectorized numpy index select) → re-encode.
 
@@ -66,24 +68,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_encode(pixels: bytes, width: int, height: int,
-               channels: int = 3) -> bytes:
-    """Raw interleaved 8-bit samples → PNG bytes.
-
-    Filter types cycle ``row % 5`` (None, Sub, Up, Average, Paeth): every
-    decoder filter path is exercised by any image ≥ 5 rows, so an encoder/
-    decoder pair cannot round-trip unless the filters are implemented
-    correctly in both directions.
-    """
-    if channels not in _COLOR_TYPE_FOR_CHANNELS:
-        raise PngError(f"unsupported channel count {channels}")
-    stride = width * channels
-    if len(pixels) != stride * height:
-        raise PngError(
-            f"pixel buffer is {len(pixels)} bytes, want {stride * height}")
+def _filter_rows(arr, bpp: int) -> bytearray:
+    """(rows, stride) uint8 array → filtered scanline bytes, filter types
+    cycling ``row % 5`` (None, Sub, Up, Average, Paeth) so every decoder
+    filter path is exercised by any image ≥ 5 rows. ``bpp`` is the
+    per-pixel byte offset the left-neighbor filters use."""
     import numpy as np
 
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    height, stride = arr.shape
     zero = np.zeros(stride, dtype=np.uint8)
     out = bytearray()
     prev = zero
@@ -92,18 +84,18 @@ def png_encode(pixels: bytes, width: int, height: int,
         ft = y % 5
         if ft == 0:
             filt = row
-        elif ft == 1:  # Sub: left neighbor (same-pixel offset = channels)
-            left = np.concatenate([zero[:channels], row[:-channels]])
+        elif ft == 1:  # Sub: left neighbor (same-pixel offset = bpp)
+            left = np.concatenate([zero[:bpp], row[:-bpp]])
             filt = (row.astype(np.int16) - left) % 256
         elif ft == 2:  # Up
             filt = (row.astype(np.int16) - prev) % 256
         elif ft == 3:  # Average
-            left = np.concatenate([zero[:channels], row[:-channels]])
+            left = np.concatenate([zero[:bpp], row[:-bpp]])
             filt = (row.astype(np.int16)
                     - (left.astype(np.int16) + prev.astype(np.int16)) // 2) % 256
         else:  # Paeth — scalar loop only here; rows are short
-            left = np.concatenate([zero[:channels], row[:-channels]])
-            upleft = np.concatenate([zero[:channels], prev[:-channels]])
+            left = np.concatenate([zero[:bpp], row[:-bpp]])
+            upleft = np.concatenate([zero[:bpp], prev[:-bpp]])
             filt = np.empty(stride, dtype=np.int16)
             for i in range(stride):
                 filt[i] = (int(row[i])
@@ -112,8 +104,45 @@ def png_encode(pixels: bytes, width: int, height: int,
         out.append(ft)
         out.extend(filt.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8,
-                       _COLOR_TYPE_FOR_CHANNELS[channels], 0, 0, 0)
+    return out
+
+
+def png_encode(pixels: bytes, width: int, height: int,
+               channels: int = 3, depth: int = 8,
+               interlace: bool = False) -> bytes:
+    """Raw interleaved samples → PNG bytes (8-bit, or big-endian 16-bit
+    with ``depth=16``; ``interlace=True`` writes Adam7 passes).
+
+    The interlaced writer GATHERS pass sub-images with the same strided
+    grid the decoder scatters onto — an independent inverse, so a
+    deinterlace bug cannot round-trip.
+    """
+    if channels not in _COLOR_TYPE_FOR_CHANNELS:
+        raise PngError(f"unsupported channel count {channels}")
+    if depth not in (8, 16):
+        raise PngError(f"unsupported encode depth {depth}")
+    bps = depth // 8
+    pixel_bytes = channels * bps
+    stride = width * pixel_bytes
+    if len(pixels) != stride * height:
+        raise PngError(
+            f"pixel buffer is {len(pixels)} bytes, want {stride * height}")
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, pixel_bytes)
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy, w_p, h_p in _adam7_passes(width, height,
+                                                      pixel_bytes):
+            sub = np.ascontiguousarray(arr[y0::dy, x0::dx])
+            out += _filter_rows(sub.reshape(h_p, w_p * pixel_bytes),
+                                pixel_bytes)
+    else:
+        out = _filter_rows(arr.reshape(height, stride), pixel_bytes)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth,
+                       _COLOR_TYPE_FOR_CHANNELS[channels], 0, 0,
+                       1 if interlace else 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -183,14 +212,54 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int,
     return bytes(out)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_passes(width: int, height: int,
+                  pixel_bytes: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p > 0 and h_p > 0:
+            out.append((x0, y0, dx, dy, w_p, h_p))
+    return out
+
+
+def _deinterlace(raw: bytes, width: int, height: int,
+                 pixel_bytes: int) -> bytes:
+    """Adam7: each pass is an independently-filtered sub-image; unfilter
+    each and scatter its pixels onto the (y0::dy, x0::dx) grid (vectorized
+    numpy strided assignment — no per-pixel Python)."""
+    import numpy as np
+
+    out = np.zeros((height, width, pixel_bytes), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, w_p, h_p in _adam7_passes(width, height, pixel_bytes):
+        stride_p = w_p * pixel_bytes
+        need = (stride_p + 1) * h_p
+        sub = _unfilter(raw[pos:pos + need], w_p, h_p, pixel_bytes, stride_p)
+        pos += need
+        arr = np.frombuffer(sub, dtype=np.uint8).reshape(h_p, w_p, pixel_bytes)
+        out[y0::dy, x0::dx] = arr
+    if pos != len(raw):
+        raise PngError("interlaced stream has trailing bytes")
+    return out.tobytes()
+
+
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes → (width, height, channels, raw interleaved 8-bit samples).
 
     Palette images (color type 3) are expanded to RGB, so ``channels``
-    reports the *decoded* sample layout. CRCs are verified; truncated or
-    corrupt streams raise :class:`PngError` (the multimodal operators turn
-    that into a per-blob error row — poison-pill isolation, never a task
-    failure).
+    reports the *decoded* sample layout. 16-bit images decode to their
+    high bytes (``sample >> 8`` — the standard 16→8 reduction, exact and
+    SQL-reconstructible); Adam7 interlaced streams deinterlace. CRCs are
+    verified; truncated or corrupt streams raise :class:`PngError` (the
+    multimodal operators turn that into a per-blob error row —
+    poison-pill isolation, never a task failure).
     """
     if not data.startswith(PNG_SIGNATURE):
         raise PngError("not a PNG (bad signature)")
@@ -229,14 +298,18 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise PngError(f"bad dimensions {width}x{height}")
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlace not supported")
-    if depth != 8:
-        raise PngError(f"bit depth {depth} not supported (8 only)")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
+    if depth not in (8, 16):
+        raise PngError(f"bit depth {depth} not supported (8/16 only)")
     if color_type not in _CHANNELS:
         raise PngError(f"unknown color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise PngError("16-bit palette is not a valid PNG shape")
     channels = _CHANNELS[color_type]
-    stride = width * channels
+    bps = depth // 8
+    pixel_bytes = channels * bps
+    stride = width * pixel_bytes
     if width * height > MAX_PIXELS:
         raise PngError(
             f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel cap")
@@ -244,7 +317,11 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     # few-KB decompression bomb cannot allocate beyond the declared (and
     # capped) image size — it raises an error row instead of OOMing the
     # executor.
-    expected = (stride + 1) * height
+    if interlace:
+        expected = sum((w_p * pixel_bytes + 1) * h_p for _, _, _, _, w_p, h_p
+                       in _adam7_passes(width, height, pixel_bytes))
+    else:
+        expected = (stride + 1) * height
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected)
@@ -253,7 +330,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 f"IDAT inflates past the {expected} bytes IHDR implies")
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    pixels = _unfilter(raw, width, height, channels, stride)
+    if interlace:
+        pixels = _deinterlace(raw, width, height, pixel_bytes)
+    else:
+        pixels = _unfilter(raw, width, height, pixel_bytes, stride)
+    if depth == 16:
+        # big-endian high bytes == sample >> 8, the exact 16→8 reduction
+        pixels = pixels[0::2]
     if color_type == 3:
         if not palette:
             raise PngError("palette image without PLTE")

@@ -7,16 +7,19 @@ workload — ship as TIFF more than any other container. Implemented from
 the public TIFF 6.0 layout:
 
 - decode: II/MM byte order, IFD entry walk (inline vs offset values),
-  8-bit grayscale / RGB / RGBA, chunky planar config, strip organization
-  (RowsPerStrip + StripOffsets/StripByteCounts), compressions 1 (none),
-  32773 (PackBits) and 5 (TIFF LZW: MSB-first codes, 9→12-bit widths
-  with the spec's early code-width change, CLEAR/EOI), horizontal
-  predictor (tag 317 = 2), strict bounds before any allocation.
+  8-bit AND 16-bit grayscale / RGB / RGBA (16-bit reduces to high bytes,
+  the exact ``>> 8`` — scanner output is commonly 16-bit gray), chunky
+  AND separate (planar = 2, strips plane-major) configurations, strip
+  organization (RowsPerStrip + StripOffsets/StripByteCounts),
+  compressions 1 (none), 32773 (PackBits) and 5 (TIFF LZW: MSB-first
+  codes, 9→12-bit widths with the spec's early code-width change,
+  CLEAR/EOI), horizontal predictor (tag 317 = 2, per-sample within each
+  plane), strict bounds before any allocation.
 - encode (fixture inverse): little-endian writer for the same pixel
-  shapes with the same three compressions + optional predictor and
-  multi-strip layout — lossless both ways, which is what lets the driver
-  oracle pin the decoder on SQL-reconstructible pixel streams exactly
-  like PNG (ops/pngcodec) and FLAC (ops/flaccodec).
+  shapes with the same three compressions + optional predictor,
+  multi-strip, 16-bit, and planar layouts — lossless both ways, which is
+  what lets the driver oracle pin the decoder on SQL-reconstructible
+  pixel streams exactly like PNG (ops/pngcodec) and FLAC (ops/flaccodec).
 
 Same poison-pill contract as every other codec: hostile input raises
 :class:`TiffError`, recognized-but-unimplemented shapes raise
@@ -277,11 +280,18 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffError(f"unknown TIFF compression {compression}")
     if 322 in tags or 324 in tags:
         raise TiffUnsupportedError("tiled TIFF not implemented")
-    if planar != 1:
-        raise TiffUnsupportedError(f"planar config {planar} not implemented")
+    if planar not in (1, 2):
+        raise TiffError(f"unknown planar config {planar}")
     if spp not in (1, 3, 4):
         raise TiffUnsupportedError(f"{spp} samples/pixel not implemented")
-    if len(bits) < spp or any(b != 8 for b in bits[:spp]):
+    if len(bits) < spp:
+        raise TiffError(f"BitsPerSample has {len(bits)} entries for "
+                        f"{spp} samples/pixel")
+    if all(b == 8 for b in bits[:spp]):
+        bps = 1
+    elif all(b == 16 for b in bits[:spp]):
+        bps = 2  # scanned-document scanners commonly emit 16-bit gray
+    else:
         raise TiffUnsupportedError(f"bit depths {bits} not implemented")
     if photometric not in (1, 2):
         raise TiffUnsupportedError(
@@ -294,18 +304,21 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffError(f"{width}x{height}x{spp} exceeds pixel cap")
     if len(offsets) != len(counts):
         raise TiffError("StripOffsets/StripByteCounts length mismatch")
-    n_strips = -(-height // rows_per_strip)
+    strips_per_plane = -(-height // rows_per_strip)
+    n_strips = strips_per_plane * (spp if planar == 2 else 1)
     if len(offsets) != n_strips:
         raise TiffError(
             f"{len(offsets)} strips for {height} rows at {rows_per_strip} "
             f"rows/strip (want {n_strips})")
 
-    row_bytes = width * spp
+    # planar=2: one sample per pixel per plane, strips grouped plane-major
+    row_bytes = width * (1 if planar == 2 else spp) * bps
     out = bytearray()
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data) or cnt < 0:
             raise TiffError(f"strip {s} outside stream")
-        rows = min(rows_per_strip, height - s * rows_per_strip)
+        s_in = s % strips_per_plane
+        rows = min(rows_per_strip, height - s_in * rows_per_strip)
         expect = rows * row_bytes
         raw = data[off:off + cnt]
         if compression == 1:
@@ -318,30 +331,48 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             strip = _lzw_decode(raw, expect)
         out += strip
-    pixels = np.frombuffer(bytes(out), dtype=np.uint8)
-    if predictor == 2:
-        grid = pixels.reshape(height, width, spp).astype(np.int64)
-        grid = np.cumsum(grid, axis=1) & 0xFF
-        pixels = grid.astype(np.uint8).ravel()
-    return width, height, spp, pixels.tobytes()
+    arr = np.frombuffer(bytes(out),
+                        dtype=np.uint8 if bps == 1 else order + "u2")
+    mask = (1 << (8 * bps)) - 1
+    if planar == 2:
+        grid = arr.reshape(spp, height, width).astype(np.int64)
+        if predictor == 2:
+            # horizontal differencing runs per SAMPLE within each plane
+            grid = np.cumsum(grid, axis=2) & mask
+        grid = np.transpose(grid, (1, 2, 0))
+    else:
+        grid = arr.reshape(height, width, spp).astype(np.int64)
+        if predictor == 2:
+            grid = np.cumsum(grid, axis=1) & mask
+    if bps == 2:
+        grid = grid >> 8  # the exact 16→8 reduction, same as png_decode
+    return width, height, spp, grid.astype(np.uint8).tobytes()
 
 
 def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
                 compression: str = "lzw", predictor: int = 1,
-                rows_per_strip: int | None = None) -> bytes:
-    """8-bit chunky samples → little-endian TIFF. Lossless for all three
+                rows_per_strip: int | None = None, bits: int = 8,
+                planar: int = 1) -> bytes:
+    """Chunky samples → little-endian TIFF. Lossless for all three
     compressions ("none", "packbits", "lzw"), optional horizontal
-    predictor, multi-strip when ``rows_per_strip`` < height."""
+    predictor, multi-strip when ``rows_per_strip`` < height; ``bits=16``
+    takes little-endian u16 samples; ``planar=2`` writes separate sample
+    planes (strips plane-major) — the decoder's adversarial inverse."""
     import numpy as np
 
     if channels not in (1, 3, 4):
         raise TiffError(f"unsupported channel count {channels}")
+    if bits not in (8, 16):
+        raise TiffError(f"unsupported encode bit depth {bits}")
+    if planar not in (1, 2):
+        raise TiffError(f"unknown planar config {planar}")
+    bps = bits // 8
     if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
         raise TiffError(f"bad dimensions {width}x{height}")
-    if len(pixels) != width * height * channels:
+    if len(pixels) != width * height * channels * bps:
         raise TiffError(
             f"pixel buffer is {len(pixels)} bytes, "
-            f"want {width * height * channels}")
+            f"want {width * height * channels * bps}")
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
     if comp_tag is None:
         raise TiffError(f"unknown compression {compression!r}")
@@ -351,27 +382,43 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
     if not (1 <= rows_per_strip):
         raise TiffError("rows_per_strip must be positive")
 
-    data = np.frombuffer(pixels, dtype=np.uint8)
-    if predictor == 2:
-        grid = data.reshape(height, width, channels).astype(np.int64)
-        grid[:, 1:, :] = (grid[:, 1:, :] - grid[:, :-1, :]) & 0xFF
-        data = grid.astype(np.uint8).ravel()
-    row_bytes = width * channels
+    mask = (1 << bits) - 1
+    sdtype = np.uint8 if bps == 1 else "<u2"
+    grid = np.frombuffer(pixels, dtype=sdtype).reshape(
+        height, width, channels).astype(np.int64)
     strips = []
-    for top in range(0, height, rows_per_strip):
-        rows = min(rows_per_strip, height - top)
-        raw = data[top * row_bytes:(top + rows) * row_bytes].tobytes()
+
+    def compress_rows(plane_bytes: bytes) -> None:
         if comp_tag == 1:
-            strips.append(raw)
+            strips.append(plane_bytes)
         elif comp_tag == 32773:
-            strips.append(_packbits_encode(raw))
+            strips.append(_packbits_encode(plane_bytes))
         else:
-            strips.append(_lzw_encode(raw))
+            strips.append(_lzw_encode(plane_bytes))
+
+    if planar == 2:
+        planes = np.transpose(grid, (2, 0, 1))  # (ch, h, w)
+        if predictor == 2:
+            planes = planes.copy()
+            planes[:, :, 1:] = (planes[:, :, 1:] - planes[:, :, :-1]) & mask
+        for c in range(channels):
+            plane = planes[c].astype(sdtype)
+            for top in range(0, height, rows_per_strip):
+                rows = min(rows_per_strip, height - top)
+                compress_rows(plane[top:top + rows].tobytes())
+    else:
+        if predictor == 2:
+            grid = grid.copy()
+            grid[:, 1:, :] = (grid[:, 1:, :] - grid[:, :-1, :]) & mask
+        flat = grid.astype(sdtype).reshape(height, width * channels)
+        for top in range(0, height, rows_per_strip):
+            rows = min(rows_per_strip, height - top)
+            compress_rows(flat[top:top + rows].tobytes())
 
     entries = [
         (256, 4, [width]),
         (257, 4, [height]),
-        (258, 3, [8] * channels),
+        (258, 3, [bits] * channels),
         (259, 3, [comp_tag]),
         (262, 3, [1 if channels == 1 else 2]),
         (273, 4, [0] * len(strips)),   # patched below
@@ -381,6 +428,8 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
     ]
     if predictor == 2:
         entries.append((317, 3, [predictor]))
+    if planar == 2:
+        entries.append((284, 3, [planar]))
     entries.sort(key=lambda e: e[0])
 
     header = b"II" + struct.pack("<HI", 42, 8)

@@ -264,3 +264,67 @@ def test_extract_embedded_media_end_to_end(spark):
     # the bridge is narrow: no Exchange anywhere in the chain
     plan = media._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_adam7_and_16bit_round_trip():
+    """Adam7 deinterlace + 16-bit decode: the encoder GATHERS pass grids
+    the decoder scatters (independent inverses), and 16-bit reduces to
+    high bytes (the exact >>8) across every channel count and odd dims."""
+    import random
+
+    rng = random.Random(7)
+    for ch in (1, 2, 3, 4):
+        for w, h in [(1, 1), (7, 5), (16, 16), (3, 9), (8, 1), (1, 8)]:
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            blob = png_encode(px, w, h, ch, interlace=True)
+            assert png_decode(blob) == (w, h, ch, px)
+            px16 = bytes(rng.randrange(256) for _ in range(w * h * ch * 2))
+            hi = px16[0::2]
+            assert png_decode(png_encode(px16, w, h, ch, depth=16)) \
+                == (w, h, ch, hi)
+            assert png_decode(png_encode(px16, w, h, ch, depth=16,
+                                         interlace=True)) == (w, h, ch, hi)
+
+
+def test_16bit_palette_and_bad_interlace_are_typed():
+    import struct as _struct
+
+    base = png_encode(bytes(27), 3, 3, 3)
+    # force IHDR depth=16 color=3 (invalid shape) with a fixed-up CRC
+    ihdr_at = base.index(b"IHDR")
+    body = bytearray(base[ihdr_at + 4:ihdr_at + 17])
+    body[8], body[9] = 16, 3
+    import zlib as _zlib
+
+    crc = _zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    blob = (base[:ihdr_at + 4] + bytes(body)
+            + _struct.pack(">I", crc) + base[ihdr_at + 21:])
+    with pytest.raises(PngError, match="16-bit palette"):
+        png_decode(blob)
+    # unknown interlace method stays typed
+    body = bytearray(base[ihdr_at + 4:ihdr_at + 17])
+    body[12] = 2
+    crc = _zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    blob = (base[:ihdr_at + 4] + bytes(body)
+            + _struct.pack(">I", crc) + base[ihdr_at + 21:])
+    with pytest.raises(PngError, match="interlace"):
+        png_decode(blob)
+
+
+def test_interlaced_mutations_stay_typed():
+    """Structure-aware mutations of an interlaced 16-bit PNG either decode
+    or raise PngError — never an untyped escape (poison-pill contract)."""
+    import random
+
+    from tests.test_mutation_fuzz import _mutate
+
+    rng = random.Random(0xADA7)
+    px16 = bytes(rng.randrange(256) for _ in range(11 * 9 * 3 * 2))
+    base = png_encode(px16, 11, 9, 3, depth=16, interlace=True)
+    for _ in range(400):
+        blob = _mutate(rng, base)
+        try:
+            w, h, ch, px = png_decode(blob)
+            assert w * h <= MAX_PIXELS and len(px) == w * h * ch
+        except PngError:
+            pass

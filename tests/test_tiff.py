@@ -220,3 +220,57 @@ def test_synth_corpus_mixes_tiff(spark):
         else:
             assert r["mime"] == "image/png" and blob[:4] == b"\x89PNG"
     assert n_tiff == 3
+
+
+def test_16bit_and_planar_round_trips():
+    """16-bit (high-byte reduction) and planar=2 (plane-major strips)
+    across compressions, predictor, and strip layouts."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    w, h = 9, 7
+    for ch in (1, 3, 4):
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (1, 2):
+                for planar in (1, 2):
+                    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                    blob = tiff_encode(px, w, h, ch, compression=comp,
+                                       predictor=pred, planar=planar,
+                                       rows_per_strip=3)
+                    assert tiff_decode(blob) == (w, h, ch, px)
+                    a16 = np.array([rng.randrange(65536)
+                                    for _ in range(w * h * ch)], dtype="<u2")
+                    blob = tiff_encode(a16.tobytes(), w, h, ch,
+                                       compression=comp, predictor=pred,
+                                       planar=planar, bits=16)
+                    assert tiff_decode(blob) == \
+                        (w, h, ch, (a16 >> 8).astype(np.uint8).tobytes())
+
+
+def test_planar_strip_count_enforced():
+    """planar=2 demands strips_per_plane x samples strips; a chunky strip
+    count on a planar file is a typed error, not a mis-parse."""
+    import re
+
+    px = bytes(range(54))  # 3x6 RGB... 3*6*3 = 54
+    blob = bytearray(tiff_encode(px, 3, 6, 3, compression="none", planar=2,
+                                 rows_per_strip=2))
+    # patch PlanarConfiguration (tag 284) back to 1: now 9 strips is wrong
+    at = blob.find(struct.pack("<HH", 284, 3))
+    assert at > 0
+    struct.pack_into("<I", blob, at + 8, 1)
+    with pytest.raises(TiffError, match="strips"):
+        tiff_decode(bytes(blob))
+
+
+def test_odd_bit_depths_stay_unsupported():
+    blob = bytearray(tiff_encode(bytes(12), 2, 2, 3, compression="none"))
+    at = blob.find(struct.pack("<HH", 258, 3))
+    assert at > 0
+    # BitsPerSample values live in the overflow area for 3 channels
+    (off,) = struct.unpack_from("<I", blob, at + 8)
+    struct.pack_into("<HHH", blob, off, 12, 12, 12)
+    with pytest.raises(TiffUnsupportedError, match="bit depths"):
+        tiff_decode(bytes(blob))
