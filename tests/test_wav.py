@@ -635,3 +635,59 @@ def test_adpcm_ragged_block_rejected_not_truncated():
     bad = _patch(good, fmt_at + 12, "<H", 12)
     with pytest.raises(WavError, match="whole per-channel words"):
         wav_decode(bad)
+
+
+def _ima_wav(blocks: bytes, channels: int = 1, spb: int = 9,
+             block_align: int = 8, rate: int = 8000) -> bytes:
+    """Hand-assembled IMA-ADPCM WAV (fmt tag 0x11) around raw block bytes."""
+    fmt = struct.pack("<HHIIHH", 0x11, channels, rate,
+                      rate * block_align // spb, block_align, 4)
+    fmt += struct.pack("<HH", 2, spb)  # cbSize, samples_per_block
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(blocks)) + blocks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ima_adpcm_hand_computed_vectors():
+    """Decode pinned against a NIBBLE TRACE computed by hand from the
+    IMA/DVI spec formulas (diff = step>>3 (+step if b4) (+step>>1 if b2)
+    (+step>>2 if b1); index += [-1,-1,-1,-1,2,4,6,8][n&7]) — fully
+    independent of the repo's encoder, so a shared encoder/decoder bug
+    cannot self-hide."""
+    # vector A: pred=0, idx=0; nibbles 3,4,8,15,0,2,12,7 (low nibble first)
+    hdr = struct.pack("<hBB", 0, 0, 0)
+    data = bytes([0x43, 0xF8, 0x20, 0x7C])
+    rate, ch, bits, out = wav_decode(_ima_wav(hdr + data))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert out[:, 0].tolist() == [0, 4, 11, 10, -5, -3, 7, -8, 23]
+
+    # vector B: clamping at both rails — pred=32760, idx=88 (step 32767);
+    # nibbles 7 (clamps high), 15 (big negative), then six zeros decay
+    hdr = struct.pack("<hBB", 32760, 88, 0)
+    data = bytes([0xF7, 0x00, 0x00, 0x00])
+    _, _, _, out = wav_decode(_ima_wav(hdr + data))
+    # n=7 clamps high (diff = 4095+32767+16383+8191); n=15's index
+    # bump (+8) CLAMPS at 88, so step stays 32767 for the big negative;
+    # the six zero nibbles then decay by step>>3 with the index walking
+    # down 88,87,86,... (29794>>3=3724, 27086>>3=3385, ...)
+    assert out[:, 0].tolist() == [32760, 32767, -28669, -24574, -20850,
+                                  -17465, -14388, -11590, -9047]
+
+
+def test_ima_adpcm_stereo_word_interleave_hand_computed():
+    """Stereo blocks interleave 4-byte nibble words per channel; each
+    channel's state machine advances independently (hand trace: left is
+    vector A's first 8 nibbles, right decodes all-zero nibbles from
+    pred=100, idx=4 → repeated +step>>3 with the index decaying)."""
+    hdr = struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 100, 4, 0)
+    left = bytes([0x43, 0xF8, 0x20, 0x7C])
+    right = bytes([0x00, 0x00, 0x00, 0x00])
+    blob = _ima_wav(hdr + left + right, channels=2, block_align=16)
+    _, ch, _, out = wav_decode(blob)
+    assert ch == 2
+    assert out[:, 0].tolist() == [0, 4, 11, 10, -5, -3, 7, -8, 23]
+    # right: step_table[4]=11 → +1 (11>>3); idx 4-1=3 (10) → +1; idx 2
+    # (9) → +1; idx 1 (8) → +1; idx 0 (7) → +0 for the rest (7>>3 = 0)
+    assert out[:, 1].tolist() == [100, 101, 102, 103, 104, 104, 104,
+                                  104, 104]
