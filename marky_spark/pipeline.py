@@ -216,6 +216,29 @@ def run_convert_job(
     return results
 
 
+def append_op_metrics(spark: SparkSession, out_dir: str, source: str,
+                      counters: dict[str, int]) -> None:
+    """Append operator-level counters (LSH dropped buckets/ids, archive
+    cap rejections, pdfmedia skips, ...) to the job's ``metrics_ops``
+    table — the ONE place a 100 TB run can see what its operators
+    silently bounded, next to the per-wave conversion metrics.
+
+    Rows are ``(source, key, value)``; idempotent callers should write
+    once per run. Example::
+
+        stats = {}
+        pairs = minhash_candidate_pairs(docs, drop_stats=stats)
+        ...
+        append_op_metrics(spark, out_dir, "minhash_lsh", stats)
+    """
+    if not counters:
+        return
+    rows = [(source, str(k), int(v)) for k, v in sorted(counters.items())]
+    (spark.createDataFrame(rows, "source string, key string, value long")
+     .coalesce(1)
+     .write.mode("append").parquet(os.path.join(out_dir, "metrics_ops")))
+
+
 def _clean_uncommitted(out_dir: str, pending_buckets: list[int]) -> None:
     """Remove orphaned bucket partitions left by a wave that crashed after
     writing files but before its manifest commit."""

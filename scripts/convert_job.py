@@ -92,11 +92,18 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.input_format != "spans":
+            from pyspark.storagelevel import StorageLevel
+
             from marky_spark.ingest import LOADERS
 
             loader = LOADERS[args.input_format]
             df = (loader(spark, args.input, glob=args.glob) if args.glob
                   else loader(spark, args.input))
+            # stage the ingest once: the wave loop's bucket filter cannot
+            # prune a file scan, so without this every wave re-parses
+            # every archive/WARC (waves x ingest cost). The cluster-scale
+            # twin is a staging-table write before the wave loop.
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         elif is_table:
             df = spark.read.table(args.input)
         else:

@@ -306,3 +306,36 @@ def test_ingest_drops_land_in_metrics_sink(spark, tmp_path):
         "conv_kind = '_drop_warc'").collect()[0]
     assert "error:" in drop["error"]
     assert drop["status"] == "error"
+
+
+def test_op_metrics_sink_carries_lsh_drop_stats(spark, tmp_path):
+    """Operator-level bounds (here: LSH mega-bucket drops) land in the
+    job's metrics_ops table via append_op_metrics — the one-place
+    accounting contract for what a run silently bounded."""
+    from marky_spark.ops.dedup import minhash_candidate_pairs
+    from marky_spark.pipeline import append_op_metrics
+
+    # 40 identical docs: every band bucket holds all 40 ids, far over a
+    # max_bucket of 8 → all buckets drop, zero candidate pairs
+    docs = spark.createDataFrame(
+        [(f"d{i}", "same template text repeated for the lsh bands "
+                   "again and again and again") for i in range(40)],
+        "doc_id string, text string")
+    stats: dict = {}
+    pairs = minhash_candidate_pairs(docs, max_bucket=8, drop_stats=stats)
+    assert pairs.count() == 0
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["n_dropped_ids"] >= stats["n_dropped_buckets"] * 40
+
+    out_dir = str(tmp_path / "job_ops")
+    append_op_metrics(spark, out_dir, "minhash_lsh", stats)
+    got = {(r["source"], r["key"]): r["value"] for r in
+           spark.read.parquet(f"{out_dir}/metrics_ops").collect()}
+    assert got[("minhash_lsh", "n_dropped_buckets")] \
+        == stats["n_dropped_buckets"]
+    assert got[("minhash_lsh", "n_dropped_ids")] == stats["n_dropped_ids"]
+    # appending accumulates (one row set per run)
+    append_op_metrics(spark, out_dir, "archive_explode",
+                      {"cap_rejected_members": 3})
+    rows = spark.read.parquet(f"{out_dir}/metrics_ops")
+    assert rows.count() == 3
