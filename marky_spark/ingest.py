@@ -53,11 +53,61 @@ def docs_from_warc_dir(spark: SparkSession, path: str,
     """Directory of WARC crawl files → INPUT_SCHEMA docs (response
     records only, doc_id = target URI). Drops (truncations, cap
     breaches) ride along as ``_drop_warc`` marker docs by default so
-    the job's metrics sink accounts for them."""
-    from .ops.warc import records_to_docs, warc_records_from_dir
+    the job's metrics sink accounts for them.
 
-    return records_to_docs(warc_records_from_dir(spark, path, glob=glob),
-                           include_drops=include_drops)
+    FUSED single Python stage: stream-parse, HTTP split, content sniff,
+    and doc shaping all happen in one ``mapInPandas`` pass — the
+    composable two-operator chain (``warc_records_from_dir`` →
+    ``records_to_docs``) crosses the JVM↔Python boundary twice more
+    with the full payload bytes, which measured ~2× slower on the
+    720k-doc pinned-core scaling runs."""
+    from .cli import sniff_kind
+    from .ops.warc import _local_path, _stream_rows, list_binary_files
+
+    files = list_binary_files(spark, path, glob=glob)
+
+    def doc_row(row: tuple) -> tuple | None:
+        (ref, _idx, wtype, uri, _ct, _status, payload, _n, ok) = row
+        if ok == "ok":
+            if wtype != "response":
+                return None
+            body = bytes(payload) if payload is not None else b""
+            kind = sniff_kind(uri or "", body) or "unknown"
+            return (uri or f"{ref}/record",
+                    [{"kind": kind, "text": body.decode("utf-8", "replace"),
+                      "media_ref": None, "offset": 0}])
+        if not include_drops:
+            return None
+        return (f"{ref}#drop",
+                [{"kind": "_drop_warc", "text": ok,
+                  "media_ref": None, "offset": 0}])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for uri in pdf["path"]:
+                try:
+                    f = open(_local_path(str(uri)), "rb")  # noqa: SIM115
+                except (ValueError, OSError) as exc:
+                    if include_drops:
+                        yield pd.DataFrame(
+                            [(f"{uri}#drop",
+                              [{"kind": "_drop_warc",
+                                "text": f"error: {exc}",
+                                "media_ref": None, "offset": 0}])],
+                            columns=["doc_id", "spans"])
+                    continue
+                with f:
+                    for rows in _stream_rows(str(uri), f):
+                        docs = [d for d in map(doc_row, rows)
+                                if d is not None]
+                        if docs:
+                            yield pd.DataFrame(
+                                docs, columns=["doc_id", "spans"])
+
+    from .schema import INPUT_SCHEMA
+
+    n = max(spark.sparkContext.defaultParallelism * 2, 1)
+    return files.repartition(n).mapInPandas(batches, schema=INPUT_SCHEMA)
 
 
 def docs_from_archive_dir(spark: SparkSession, path: str,

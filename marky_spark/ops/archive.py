@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 MAX_MEMBERS = 65536
 MAX_MEMBER_BYTES = 1 << 26      # 64 MiB: the per-member memory bound
 MAX_STREAM_BYTES = 1 << 34      # 16 GiB cumulative: decompression-bomb guard
-CHUNK_ROWS = 256                # rows per emitted pandas batch
+CHUNK_ROWS = 8192               # rows per emitted pandas batch
 CHUNK_BYTES = 1 << 25           # ... or 32 MiB of payload, whichever first
 
 
@@ -364,8 +364,10 @@ def archive_members_from_dir(spark, path: str,
                     for rows in _stream_rows(str(uri), f, sniff_kind):
                         yield _to_pdf(rows)
 
-    n = max(spark.sparkContext.defaultParallelism, 1)
-    return files.repartition(n, "path").mapInPandas(
+    # round-robin the FILE LIST (hashing paths would distribute
+    # binomially); 2 tasks/core so a slow file doesn't straggle the wave
+    n = max(spark.sparkContext.defaultParallelism * 2, 1)
+    return files.repartition(n).mapInPandas(
         batches, schema=MEMBER_SCHEMA)
 
 

@@ -55,7 +55,7 @@ MAX_RECORDS = 1 << 20           # per stream (a 1 GiB crawl WARC has ~50k)
 MAX_RECORD_BYTES = 1 << 26      # 64 MiB: the per-record memory bound
 MAX_HEADER_BYTES = 1 << 16      # a record's entire named-header block
 MAX_STREAM_BYTES = 1 << 34      # 16 GiB cumulative: decompression-bomb guard
-CHUNK_ROWS = 256                # rows per emitted pandas batch
+CHUNK_ROWS = 8192               # rows per emitted pandas batch
 CHUNK_BYTES = 1 << 25           # ... or 32 MiB of payload, whichever first
 
 
@@ -305,8 +305,10 @@ def warc_records_from_dir(spark, path: str,
                     for rows in _stream_rows(str(uri), f):
                         yield _to_pdf(rows)
 
-    n = max(spark.sparkContext.defaultParallelism, 1)
-    return files.repartition(n, "path").mapInPandas(
+    # round-robin the FILE LIST (hashing paths would distribute
+    # binomially); 2 tasks/core so a slow file doesn't straggle the wave
+    n = max(spark.sparkContext.defaultParallelism * 2, 1)
+    return files.repartition(n).mapInPandas(
         batches, schema=RECORD_SCHEMA)
 
 
