@@ -614,17 +614,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codecs end-to-end, MERGED (round-4 registry
-    consolidation, keeping the driver's 50-row cap while audio_meta
-    joined): the former png_decode branch (PNG incl. Adam7 + 16-bit /
-    TIFF incl. planar + 16-bit / PPM rotating by doc_id%5 and %7,
+    consolidation, keeping the driver's 50-row cap): the former
+    png_decode branch (PNG incl. Adam7 + 16-bit / TIFF incl. planar +
+    16-bit + tiles + Deflate / PPM rotating by doc_id%5, %7, %11,
     ops/pngcodec + tiffcodec + pnmcodec) UNIONs the former gif_decode
-    branch (real LZW, ops/gifcodec). Both oracles reconstruct the
-    decoded samples from doc_id arithmetic WITHOUT an imaging library,
-    so every container walk, inflate/unfilter/deinterlace, LZW decode,
-    and palette expansion must be spec-correct for the md5s to line up.
-    media_ref namespaces ('p'/'g') keep the branches disjoint."""
+    branch (real LZW, ops/gifcodec) and the former png_resize branch
+    (decode → nearest-neighbor resample → re-encode → decode again,
+    media_ref prefixed 'r'). All three oracles reconstruct the decoded
+    samples from doc_id arithmetic WITHOUT an imaging library, so every
+    container walk, inflate/unfilter/deinterlace, LZW decode, palette
+    expansion and the integer resample must be spec-correct for the
+    md5s to line up. media_ref namespaces ('p'/'g'/'rp') keep the
+    branches disjoint."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
+        resize_media,
         synth_gif_media,
         synth_png_media,
     )
@@ -632,25 +636,32 @@ def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cols = ["media_ref", "width", "height", "channels", "n_pixel_bytes",
             "pixel_md5", "ok"]
+    resized = resize_media(synth_png_media(docs), width=8, height=8)
+    resize_rows = (
+        decode_pixels(resized.select("media_ref", "payload"))
+        .select(F.concat(F.lit("r"), "media_ref").alias("media_ref"),
+                "width", "height", "channels", "n_pixel_bytes",
+                "pixel_md5", "ok"))
     return (decode_pixels(synth_png_media(docs)).select(*cols)
-            .unionByName(decode_pixels(synth_gif_media(docs)).select(*cols)))
+            .unionByName(decode_pixels(synth_gif_media(docs)).select(*cols))
+            .unionByName(resize_rows))
 
 
-def _q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG resize: decode → nearest-neighbor resample → re-encode →
-    decode again; the oracle recomputes the integer-arithmetic resample
-    over the reconstructed source samples in pure SQL."""
-    from marky_spark.ops.multimodal import (
-        decode_pixels,
-        resize_media,
-        synth_png_media,
-    )
+def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-document TIFF paths, hard-oracled: branch 'sc' exercises
+    the CCITT fax walk (G4 MMR / Modified Huffman / G3-1D with EOLs,
+    ops/faxcodec) plus bilevel LZW/Deflate/uncompressed row packing and
+    a tiled G4 layout; branch 'sj' exercises new-style JPEG-in-TIFF
+    (compression 7) with the shared-JPEGTables splice and per-strip
+    entropy decode. The oracle rebuilds every decoded sample as its
+    3-digit decimal from doc_id arithmetic (fax: '000'/'255' from the
+    hex-char threshold; JPEG: the uniform strip values, exact through
+    the Annex-K quantizer), so the md5 only matches when the real bit
+    walks are spec-correct."""
+    from marky_spark.ops.multimodal import scan_features, synth_scan_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    resized = resize_media(synth_png_media(docs), width=8, height=8)
-    return decode_pixels(resized.select("media_ref", "payload")).select(
-        "media_ref", "width", "height", "channels", "pixel_md5",
-    )
+    return scan_features(synth_scan_media(docs))
 
 
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,7 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "media_decode": _q_media_decode,
         "image_decode": _q_image_decode,
-        "png_resize": _q_png_resize,
+        "scan_decode": _q_scan_decode,
         "audio_meta": _q_audio_meta,
         "pixel_features": _q_pixel_features,
         "embedded_media": _q_embedded_media,
@@ -1442,6 +1453,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(rgb) AS pixel_md5,
                    'ok' AS ok
             FROM gr
+            UNION ALL
+            -- branch 'rp' (former png_resize): nearest-neighbor in
+            -- integer arithmetic — out (x,y) samples src (x*w//8, y*h//8)
+            SELECT 'rp' || doc_id AS media_ref,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(192 AS BIGINT) AS n_pixel_bytes,
+                   md5(array_to_string(list_transform(range(0, 64), i ->
+                       substr(px,
+                              (((i // 8) * h // 8) * w
+                               + ((i % 8) * w // 8)) * 3 + 1,
+                              3)), '')) AS pixel_md5,
+                   'ok' AS ok
+            FROM p
         """,
         "audio_meta": """
             -- container math reconstructed from doc_id arithmetic — no
@@ -1490,33 +1516,65 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS ok
             FROM documents
         """,
-        "png_resize": """
-            -- nearest-neighbor in integer arithmetic: out (x,y) samples
-            -- src (x*w//8, y*h//8); rebuilt over the reconstructed source
+        "scan_decode": """
+            -- scanned-document TIFFs: every decoded 8-bit sample rendered
+            -- as its 3-digit decimal, md5'd in raster order. Branch 'sc'
+            -- (CCITT G4/MH/G3 + bilevel LZW/Deflate/none, photometric 0):
+            -- pixel j is black (000) iff the j-th repeated-md5 hex char
+            -- is a..f, else white (255). Branch 'sj' (JPEG-in-TIFF):
+            -- 8-row strips of uniform value (i*7 + (r//8)*13) % 95 + 32,
+            -- exact through the Annex-K quantizer; gray on even ids,
+            -- gray-valued RGB (r=g=b, Cb=Cr=128 exact) on odd.
             WITH m AS (
                 SELECT doc_id,
                        4 + doc_id % 13 AS w,
                        4 + doc_id % 7 AS h
                 FROM documents),
-            p AS (
+            sc AS (
                 SELECT doc_id, w, h,
-                       substr(repeat(md5(doc_id::VARCHAR), ((w*h*3) // 32 + 1)::INT),
-                              1, (w*h*3)::INT) AS px
+                       substr(repeat(md5(doc_id::VARCHAR),
+                                     ((w*h) // 32 + 1)::INT),
+                              1, (w*h)::INT) AS chars
                 FROM m),
-            r AS (
-                SELECT doc_id,
-                       array_to_string(list_transform(range(0, 64), i ->
-                           substr(px,
-                                  (((i // 8) * h // 8) * w
-                                   + ((i % 8) * w // 8)) * 3 + 1,
-                                  3)), '') AS rpx
-                FROM p)
-            SELECT 'p' || doc_id AS media_ref,
-                   CAST(8 AS INT) AS width,
-                   CAST(8 AS INT) AS height,
-                   CAST(3 AS INT) AS channels,
-                   md5(rpx) AS pixel_md5
-            FROM r
+            scr AS (
+                SELECT doc_id, w, h,
+                       array_to_string(list_transform(range(1, (w*h)::INT + 1),
+                           j -> CASE WHEN unicode(substr(chars, j::INT, 1)) >= 97
+                                     THEN '000' ELSE '255' END), '') AS dec,
+                       len(list_filter(range(1, (w*h)::INT + 1),
+                           j -> unicode(substr(chars, j::INT, 1)) >= 97))
+                           AS black_n
+                FROM sc),
+            sj AS (
+                SELECT doc_id, w, h,
+                       CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+                FROM m),
+            sjr AS (
+                SELECT doc_id, w, h, ch,
+                       array_to_string(list_transform(range(0, h::INT), r ->
+                           repeat(lpad(((doc_id*7 + (r//8)*13) % 95 + 32)::VARCHAR,
+                                       3, '0'),
+                                  (w * ch)::INT)), '') AS dec
+                FROM sj)
+            SELECT 'sc' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(w*h AS BIGINT) AS n_samples,
+                   md5(dec) AS sample_md5,
+                   CAST(black_n AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM scr
+            UNION ALL
+            SELECT 'sj' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(ch AS INT) AS channels,
+                   CAST(w*h*ch AS BIGINT) AS n_samples,
+                   md5(dec) AS sample_md5,
+                   CAST(0 AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM sjr
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:

@@ -682,7 +682,10 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 if i % 5 == 4:
                     # TIFF shape variants under the same oracle samples:
                     # i%7==3 → separate planes; i%7==5 → 16-bit (high
-                    # bytes are the oracle samples, low bytes constant)
+                    # bytes are the oracle samples, low bytes constant);
+                    # i%11==7 → tiled layout (tags 322-325); compression
+                    # rotates through all four lossless codecs incl.
+                    # Deflate — every shape decodes to the SAME samples
                     payload, bits = px, 8
                     if i % 7 == 5:
                         arr16 = bytearray(2 * n)
@@ -691,10 +694,12 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                         payload, bits = bytes(arr16), 16
                     blob = tiff_encode(
                         payload, w, h, 3,
-                        compression=("lzw", "packbits", "none")[i % 3],
+                        compression=("lzw", "packbits", "none",
+                                     "deflate")[i % 4],
                         predictor=2 if i % 2 else 1,
                         rows_per_strip=3 if i % 2 == 0 else None,
-                        bits=bits, planar=2 if i % 7 == 3 else 1)
+                        bits=bits, planar=2 if i % 7 == 3 else 1,
+                        tile=(8, 8) if i % 11 == 7 else None)
                     rows.append((f"p{i}", "image/tiff", blob))
                     continue
                 if i % 5 == 3:
@@ -831,6 +836,122 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
                     for k in range(5 + i % 8)
                 ]
                 rows.append((f"v{i}", "video/avi", avi_encode(frames, w, h)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+SCAN_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("sample_md5", StringType()),
+    StructField("black_n", LongType()),
+    StructField("ok", StringType()),
+])
+
+_DEC3 = None  # lazy: 256-entry lookup of b"000".."255"
+
+
+def scan_features(media: DataFrame) -> DataFrame:
+    """Scanned-document TIFF decode, pinned by printable statistics: each
+    decoded 8-bit sample renders as its 3-digit decimal ('000'..'255'),
+    ``sample_md5`` is the md5 of that ASCII stream in raster order, and
+    ``black_n`` counts exactly-black samples. Both are SQL-reconstructible
+    (the driver oracle rebuilds the decimal stream from doc_id
+    arithmetic), so a real CCITT G4/MH/G3 bit walk or a real JPEG-in-TIFF
+    entropy decode must be spec-correct for the hashes to line up.
+    Vectorized (uint8 → 'S3' table lookup), poison-isolated."""
+    import numpy as np
+
+    from .tiffcodec import TiffUnsupportedError, tiff_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _DEC3
+        if _DEC3 is None:
+            _DEC3 = np.array([b"%03d" % v for v in range(256)], dtype="S3")
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = tiff_decode(blob)
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    dec = _DEC3[arr].tobytes()
+                    rows.append((ref, w, h, ch, arr.size,
+                                 hashlib.md5(dec).hexdigest(),
+                                 int((arr == 0).sum()), "ok"))
+                except TiffUnsupportedError:
+                    rows.append((ref, None, None, None, None, "", None,
+                                 "codec_unavailable"))
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    rows.append((ref, None, None, None, None, "", None,
+                                 f"error: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCAN_SCHEMA.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, schema=SCAN_SCHEMA)
+
+
+def synth_scan_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL scanned-document TIFF corpus derived from doc
+    ids — the test / bench corpus for the fax + JPEG-in-TIFF paths
+    (ops/faxcodec, ops/tiffcodec, ops/jpegcodec).
+
+    Branch 'sc' (bilevel, w = 4+i%13 by h = 4+i%7): pixel j is BLACK
+    exactly when the j-th char of the doc's repeated md5 hex is a..f, so
+    with the fax-default PhotometricInterpretation 0 the decoded sample
+    stream is '000'/'255' arithmetic an independent SQL engine rebuilds
+    WITHOUT a fax library. Compression rotates G4 / MH / G3-1D /
+    bilevel-LZW / Deflate / uncompressed by i%6, with a tiled G4 layout
+    on i%12==0, 3-row strips on even ids, and FillOrder 2 (LSB-first fax
+    byte order, tag 266) on the i%7<3 slice of the fax/uncompressed ids
+    — a real T.6/T.4 bit walk must be exact for the md5 to match.
+
+    Branch 'sj' (JPEG-in-TIFF, compression 7): 8-row strips, each strip
+    uniform value (i*7 + s*13) % 95 + 32 — the Annex-K quantizer
+    round-trips uniform blocks in 32..126 exactly (verified exhaustively
+    in tests/test_avi.py), and gray-valued RGB (r=g=b) keeps Cb=Cr=128
+    exact too, so the decoded samples ARE the strip values: the shared
+    JPEGTables splice (on i%3!=0), per-strip entropy decode, and the
+    strip-grid assembly are all pinned by the same decimal-stream md5."""
+    from .tiffcodec import tiff_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 4 + i % 7
+                n = w * h
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                chars = (hexs * (-(-n // len(hexs))))[:n]
+                bits = bytes(1 if c >= "a" else 0 for c in chars)
+                comp = ("g4", "mh", "g3", "lzw", "deflate", "none")[i % 6]
+                blob = tiff_encode(
+                    bits, w, h, 1, compression=comp, bits=1,
+                    tile=(8, 8) if i % 12 == 0 else None,
+                    rows_per_strip=3 if i % 12 != 0 and i % 2 == 0
+                    else None,
+                    # LSB-first fax byte order on a slice of the fax /
+                    # uncompressed ids — same decoded samples, so the
+                    # SQL oracle pins the FillOrder-2 bit walk for free
+                    fill_order=2 if comp not in ("lzw", "deflate")
+                    and i % 7 < 3 else 1)
+                rows.append((f"sc{i}", "image/tiff", blob))
+                ch = 3 if i % 2 else 1
+                vals = bytes(
+                    v for r in range(h)
+                    for v in [(i * 7 + (r // 8) * 13) % 95 + 32] * (w * ch))
+                blob = tiff_encode(
+                    vals, w, h, ch, compression="jpeg",
+                    rows_per_strip=8, jpeg_tables=i % 3 != 0)
+                rows.append((f"sj{i}", "image/tiff", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

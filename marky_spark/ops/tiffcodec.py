@@ -50,7 +50,11 @@ def looks_like_tiff(data: bytes) -> bool:
     return len(data) >= 8 and data[:4] in (TIFF_LITTLE, TIFF_BIG)
 
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE, ASCII, SHORT, LONG
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}  # BYTE, ASCII, SHORT, LONG, UNDEF
+
+# FillOrder 2 (tag 266): bits within each byte stored LSB-first — the
+# fax-machine byte order scanned-document TIFFs commonly carry
+_BITREV = bytes(int(f"{v:08b}"[::-1], 2) for v in range(256))
 
 
 def _read_ifd(data: bytes, order: str):
@@ -78,7 +82,7 @@ def _read_ifd(data: bytes, order: str):
             raw = data[voff:voff + size]
         else:
             raw = data[off + 8:off + 8 + size]
-        if typ in (1, 2):
+        if typ in (1, 2, 7):
             tags[tag] = list(raw)
         elif typ == 3:
             tags[tag] = list(struct.unpack(order + "H" * count, raw))
@@ -250,10 +254,92 @@ def _lzw_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _zlib_decode(src: bytes, expect: int) -> bytes:
+    import zlib
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(src, expect)
+        overrun = len(out) == expect and d.decompress(b"", 1)
+    except zlib.error as exc:
+        raise TiffError(f"bad Deflate strip: {exc}") from None
+    if len(out) != expect or overrun:
+        raise TiffError(
+            f"Deflate strip decoded {len(out)} bytes, want {expect}")
+    return out
+
+
+def _decompress(raw: bytes, expect: int, compression: int,
+                where: str) -> bytes:
+    """Byte-oriented strip/tile codecs (fax and JPEG are handled by the
+    caller — their output is pixels, not a raw byte plane)."""
+    if compression == 1:
+        if len(raw) != expect:
+            raise TiffError(f"{where} is {len(raw)} bytes, want {expect}")
+        return raw
+    if compression == 32773:
+        return _packbits_decode(raw, expect)
+    if compression in (8, 32946):  # Deflate (new + old code)
+        return _zlib_decode(raw, expect)
+    return _lzw_decode(raw, expect)
+
+
+def _unpack_bilevel(strip: bytes, rows: int, width: int,
+                    photometric: int):
+    """Row-packed MSB-first 1-bit raster → (rows, width) uint8 grid in
+    8-bit intensity (bit extraction + the photometric polarity)."""
+    import numpy as np
+
+    row_bytes = (width + 7) // 8
+    arr = np.frombuffer(strip, dtype=np.uint8).reshape(rows, row_bytes)
+    bits = np.unpackbits(arr, axis=1)[:, :width]
+    # photometric 0 = WhiteIsZero (the fax polarity): stored 0 → white
+    if photometric == 0:
+        return (1 - bits) * np.uint8(255)
+    return bits * np.uint8(255)
+
+
+def _jpeg_segment_decode(seg: bytes, jpeg_tables: bytes | None,
+                         where: str):
+    """One JPEG-compressed strip/tile → (w, h, channels, uint8 grid).
+
+    New-style TIFF JPEG (compression 7): when a JPEGTables tag is
+    present its abbreviated table stream (SOI…EOI) supplies the shared
+    DQT/DHT segments; each strip/tile is then an abbreviated image
+    stream spliced after those tables (TIFF 6.0 TechNote #2)."""
+    import numpy as np
+
+    from .jpegcodec import JpegError, jpeg_decode
+
+    if len(seg) < 4 or seg[:2] != b"\xff\xd8":
+        raise TiffError(f"{where}: JPEG strip missing SOI")
+    if jpeg_tables is not None:
+        if (len(jpeg_tables) < 4 or jpeg_tables[:2] != b"\xff\xd8"
+                or jpeg_tables[-2:] != b"\xff\xd9"):
+            raise TiffError("JPEGTables is not an SOI…EOI table stream")
+        seg = b"\xff\xd8" + jpeg_tables[2:-2] + seg[2:]
+    try:
+        w, h, ch, px = jpeg_decode(seg)
+    except NotImplementedError as exc:
+        raise TiffUnsupportedError(f"{where}: {exc}") from None
+    except JpegError as exc:
+        raise TiffError(f"{where}: {exc}") from None
+    return w, h, ch, np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+
+
 def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """TIFF bytes → ``(width, height, channels, pixels)`` with pixels the
-    raw 8-bit chunky sample stream — the same convention as png_decode."""
+    raw 8-bit chunky sample stream — the same convention as png_decode.
+
+    Strip AND tile organization; compressions 1 (none), 5 (LZW),
+    8/32946 (Deflate), 32773 (PackBits), 2/3/4 (CCITT fax via
+    ops/faxcodec: Modified Huffman, G3 1-D with EOLs, G4 MMR) and
+    7 (new-style JPEG with the shared JPEGTables stream, via
+    ops/jpegcodec); 1-bit bilevel, 8-bit and 16-bit samples; chunky and
+    planar; photometric 0 (WhiteIsZero), 1 and 2 (plus 6 for JPEG, where
+    the entropy stream itself is YCbCr and decodes to RGB)."""
     import numpy as np
+
+    from .faxcodec import FaxError, g4_decode, mh_decode
 
     if not looks_like_tiff(data):
         raise TiffError("not a TIFF (no II*/MM* header)")
@@ -262,24 +348,23 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     try:
         width = tags[256][0]
         height = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
     except KeyError as exc:
         raise TiffError(f"missing required TIFF tag {exc}") from None
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
-    rows_per_strip = tags.get(278, [height])[0] or height
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
+    fill_order = tags.get(266, [1])[0]
 
-    if compression == 6 or compression == 7:
-        raise TiffUnsupportedError("JPEG-in-TIFF not implemented")
-    if compression not in (1, 5, 32773):
+    if compression == 6:
+        raise TiffUnsupportedError("old-style JPEG-in-TIFF (compression 6) "
+                                   "not implemented")
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise TiffError(f"unknown TIFF compression {compression}")
-    if 322 in tags or 324 in tags:
-        raise TiffUnsupportedError("tiled TIFF not implemented")
+    if fill_order not in (1, 2):
+        raise TiffError(f"unknown FillOrder {fill_order}")
     if planar not in (1, 2):
         raise TiffError(f"unknown planar config {planar}")
     if spp not in (1, 3, 4):
@@ -287,13 +372,44 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if len(bits) < spp:
         raise TiffError(f"BitsPerSample has {len(bits)} entries for "
                         f"{spp} samples/pixel")
+    fax = compression in (2, 3, 4)
+    jpeg = compression == 7
     if all(b == 8 for b in bits[:spp]):
         bps = 1
     elif all(b == 16 for b in bits[:spp]):
         bps = 2  # scanned-document scanners commonly emit 16-bit gray
+    elif bits[:spp] == [1]:
+        bps = 0  # bilevel: row-packed MSB-first (or fax-coded)
     else:
         raise TiffUnsupportedError(f"bit depths {bits} not implemented")
-    if photometric not in (1, 2):
+    if fax and bps != 0:
+        raise TiffError(f"CCITT compression {compression} requires "
+                        f"1-bit samples, got {bits}")
+    if fill_order == 2 and not (fax or (bps == 0 and compression == 1)):
+        # FillOrder 2 occurs in the wild only on fax-origin bit streams;
+        # for byte-oriented codecs its meaning is contested, so stay typed
+        raise TiffUnsupportedError(
+            "FillOrder 2 (LSB-first) only implemented for CCITT/bilevel "
+            "uncompressed data")
+    if jpeg and bps != 1:
+        raise TiffError("JPEG-in-TIFF requires 8-bit samples")
+    if bps == 0 and predictor == 2:
+        raise TiffError("horizontal predictor is undefined for 1-bit data")
+    if compression == 3:
+        t4 = tags.get(292, [0])[0]
+        if t4 & 1:
+            raise TiffUnsupportedError("2-D Group 3 (T4Options bit 0) "
+                                       "not implemented")
+        if t4 & 2:
+            raise TiffUnsupportedError("uncompressed fax mode not "
+                                       "implemented")
+    if compression == 4 and tags.get(293, [0])[0] & 2:
+        raise TiffUnsupportedError("uncompressed fax mode not implemented")
+    if jpeg:
+        ok_photo = (0, 1, 2, 6)  # YCbCr decodes to RGB inside the JPEG
+    else:
+        ok_photo = (0, 1, 2)
+    if photometric not in ok_photo:
         raise TiffUnsupportedError(
             f"photometric {photometric} not implemented")
     if predictor not in (1, 2):
@@ -302,134 +418,331 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffError(f"bad dimensions {width}x{height}")
     if width * height * spp > MAX_PIXELS:
         raise TiffError(f"{width}x{height}x{spp} exceeds pixel cap")
-    if len(offsets) != len(counts):
-        raise TiffError("StripOffsets/StripByteCounts length mismatch")
-    strips_per_plane = -(-height // rows_per_strip)
-    n_strips = strips_per_plane * (spp if planar == 2 else 1)
-    if len(offsets) != n_strips:
-        raise TiffError(
-            f"{len(offsets)} strips for {height} rows at {rows_per_strip} "
-            f"rows/strip (want {n_strips})")
 
-    # planar=2: one sample per pixel per plane, strips grouped plane-major
-    row_bytes = width * (1 if planar == 2 else spp) * bps
-    out = bytearray()
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data) or cnt < 0:
-            raise TiffError(f"strip {s} outside stream")
-        s_in = s % strips_per_plane
-        rows = min(rows_per_strip, height - s_in * rows_per_strip)
-        expect = rows * row_bytes
-        raw = data[off:off + cnt]
-        if compression == 1:
-            if len(raw) != expect:
-                raise TiffError(
-                    f"strip {s} is {len(raw)} bytes, want {expect}")
-            strip = raw
-        elif compression == 32773:
-            strip = _packbits_decode(raw, expect)
-        else:
-            strip = _lzw_decode(raw, expect)
-        out += strip
-    arr = np.frombuffer(bytes(out),
-                        dtype=np.uint8 if bps == 1 else order + "u2")
-    mask = (1 << (8 * bps)) - 1
-    if planar == 2:
-        grid = arr.reshape(spp, height, width).astype(np.int64)
-        if predictor == 2:
-            # horizontal differencing runs per SAMPLE within each plane
-            grid = np.cumsum(grid, axis=2) & mask
-        grid = np.transpose(grid, (1, 2, 0))
+    tiled = any(t in tags for t in (322, 323, 324, 325))
+    if tiled:
+        try:
+            tile_w = tags[322][0]
+            tile_h = tags[323][0]
+            offsets = tags[324]
+            counts = tags[325]
+        except KeyError as exc:
+            raise TiffError(f"tiled TIFF missing tag {exc}") from None
+        if 273 in tags:
+            raise TiffError("TIFF carries both strip and tile offsets")
+        if not (1 <= tile_w <= 1 << 16 and 1 <= tile_h <= 1 << 16):
+            raise TiffError(f"bad tile size {tile_w}x{tile_h}")
+        across = -(-width // tile_w)
+        down = -(-height // tile_h)
+        if across * down * tile_w * tile_h * spp > 4 * MAX_PIXELS:
+            raise TiffError("tile grid exceeds pixel cap")
+        n_regions = across * down
     else:
-        grid = arr.reshape(height, width, spp).astype(np.int64)
-        if predictor == 2:
-            grid = np.cumsum(grid, axis=1) & mask
-    if bps == 2:
+        try:
+            offsets = tags[273]
+            counts = tags[279]
+        except KeyError as exc:
+            raise TiffError(f"missing required TIFF tag {exc}") from None
+        rows_per_strip = tags.get(278, [height])[0] or height
+        strips_per_plane = -(-height // rows_per_strip)
+        n_regions = strips_per_plane
+    if len(offsets) != len(counts):
+        raise TiffError("offsets/byte-counts length mismatch")
+    n_planes = spp if planar == 2 else 1
+    if len(offsets) != n_regions * n_planes:
+        raise TiffError(
+            f"{len(offsets)} strips/tiles, want {n_regions * n_planes}")
+
+    jpeg_tables = bytes(tags[347]) if jpeg and 347 in tags else None
+    sample_bytes = max(bps, 1)
+    plane_ch = 1 if planar == 2 else spp
+    # decode into one int64 grid; planes land in their own channel slice
+    grid = np.zeros((height, width, spp), dtype=np.int64)
+    mask = (1 << (8 * sample_bytes)) - 1
+
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if cnt < 0 or off + cnt > len(data):
+            raise TiffError(f"strip/tile {s} outside stream")
+        raw = data[off:off + cnt]
+        if fill_order == 2:
+            raw = raw.translate(_BITREV)
+        region = s % n_regions
+        plane = s // n_regions
+        if tiled:
+            ty, tx = divmod(region, across)
+            y0, x0 = ty * tile_h, tx * tile_w
+            rows, cols = tile_h, tile_w
+        else:
+            y0, x0 = region * rows_per_strip, 0
+            rows = min(rows_per_strip, height - y0)
+            cols = width
+        where = f"{'tile' if tiled else 'strip'} {s}"
+        if fax:
+            try:
+                if compression == 4:
+                    px = g4_decode(raw, cols, rows)
+                else:
+                    px = mh_decode(raw, cols, rows, eol=compression == 3)
+            except FaxError as exc:
+                raise TiffError(f"{where}: {exc}") from None
+            part = np.frombuffer(px, dtype=np.uint8).reshape(rows, cols)
+            part = part.astype(np.int64)
+            # fax color domain: 0 = white, 1 = black. photometric 0
+            # (the fax default) → white = 255
+            if photometric == 0:
+                part = (1 - part) * 255
+            else:
+                part = part * 255
+            part = part[:, :, None]
+        elif jpeg:
+            jw, jh, jch, jgrid = _jpeg_segment_decode(raw, jpeg_tables,
+                                                      where)
+            if jch != plane_ch:
+                raise TiffError(
+                    f"{where}: JPEG has {jch} channels, want {plane_ch}")
+            if jw < min(cols, width - x0) or jh < min(rows, height - y0):
+                raise TiffError(
+                    f"{where}: JPEG is {jw}x{jh}, smaller than its "
+                    f"{cols}x{rows} region")
+            part = jgrid[:rows, :cols].astype(np.int64)
+            if photometric == 0 and jch == 1:
+                part = 255 - part
+        elif bps == 0:
+            expect = rows * ((cols + 7) // 8)
+            strip = _decompress(raw, expect, compression, where)
+            part = _unpack_bilevel(strip, rows, cols, photometric)
+            part = part.astype(np.int64)[:, :, None]
+        else:
+            expect = rows * cols * plane_ch * sample_bytes
+            strip = _decompress(raw, expect, compression, where)
+            arr = np.frombuffer(
+                strip, dtype=np.uint8 if sample_bytes == 1 else order + "u2")
+            part = arr.reshape(rows, cols, plane_ch).astype(np.int64)
+
+        # clip tiles that overhang the right/bottom image edge
+        use_r = min(rows, height - y0)
+        use_c = min(cols, width - x0)
+        if use_r <= 0 or use_c <= 0:
+            raise TiffError(f"{where} lies outside the image")
+        part = part[:use_r, :use_c]
+        if planar == 2:
+            grid[y0:y0 + use_r, x0:x0 + use_c, plane] = part[:, :, 0]
+        else:
+            grid[y0:y0 + use_r, x0:x0 + use_c, :] = part
+
+    if predictor == 2:
+        # horizontal differencing ran per strip/tile row segment at
+        # encode time; cumsum must restart at every region's left edge
+        if tiled:
+            for x0 in range(0, width, tile_w):
+                seg = grid[:, x0:min(x0 + tile_w, width), :]
+                np.cumsum(seg, axis=1, out=seg)
+                seg &= mask
+        else:
+            np.cumsum(grid, axis=1, out=grid)
+            grid &= mask
+    if sample_bytes == 2 and not fax and not jpeg and bps != 0:
         grid = grid >> 8  # the exact 16→8 reduction, same as png_decode
     return width, height, spp, grid.astype(np.uint8).tobytes()
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full JPEG → (abbreviated JPEGTables stream, abbreviated image
+    stream): DQT/DHT/DRI segments move to the tables stream (TIFF 6.0
+    TechNote #2 layout, what libtiff writes for compression 7)."""
+    if stream[:2] != b"\xff\xd8":
+        raise TiffError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise TiffError("bad JPEG segment marker")
+        marker = stream[i + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", stream, i + 2)[0]
+        seg = stream[i:i + 2 + ln]
+        if marker in (0xDB, 0xC4, 0xDD):
+            tables += seg
+        else:
+            image += seg
+        i += 2 + ln
+        if marker == 0xDA:  # entropy data runs to EOI
+            image += stream[i:]
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
 
 
 def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
                 compression: str = "lzw", predictor: int = 1,
                 rows_per_strip: int | None = None, bits: int = 8,
-                planar: int = 1) -> bytes:
-    """Chunky samples → little-endian TIFF. Lossless for all three
-    compressions ("none", "packbits", "lzw"), optional horizontal
-    predictor, multi-strip when ``rows_per_strip`` < height; ``bits=16``
-    takes little-endian u16 samples; ``planar=2`` writes separate sample
-    planes (strips plane-major) — the decoder's adversarial inverse."""
+                planar: int = 1, tile: tuple[int, int] | None = None,
+                photometric: int | None = None, quality: int = 90,
+                jpeg_tables: bool = True, fill_order: int = 1) -> bytes:
+    """Chunky samples → little-endian TIFF — the decoder's adversarial
+    inverse for every shape it reads.
+
+    Compressions "none" / "packbits" / "lzw" / "deflate" (lossless, any
+    depth), "g4" / "mh" / "g3" (CCITT fax, ``bits=1`` only, pixels one
+    0/1 byte each) and "jpeg" (compression 7; abbreviated streams with a
+    shared JPEGTables tag when ``jpeg_tables``, per-strip full streams
+    otherwise). ``tile=(tw, th)`` writes a tiled layout (tags 322-325,
+    edge tiles zero-padded) instead of strips; ``bits=16`` takes
+    little-endian u16 samples; ``planar=2`` writes separate sample
+    planes; ``photometric`` overrides the polarity tag (0 flags
+    WhiteIsZero — the decoder then inverts bilevel/gray output);
+    ``fill_order=2`` writes fax/bilevel strips LSB-first (tag 266)."""
     import numpy as np
 
     if channels not in (1, 3, 4):
         raise TiffError(f"unsupported channel count {channels}")
-    if bits not in (8, 16):
+    if bits not in (1, 8, 16):
         raise TiffError(f"unsupported encode bit depth {bits}")
     if planar not in (1, 2):
         raise TiffError(f"unknown planar config {planar}")
-    bps = bits // 8
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+                "g4": 4, "mh": 2, "g3": 3, "jpeg": 7}.get(compression)
+    if comp_tag is None:
+        raise TiffError(f"unknown compression {compression!r}")
+    fax = comp_tag in (2, 3, 4)
+    jpeg = comp_tag == 7
+    if fax and bits != 1:
+        raise TiffError("CCITT compressions require bits=1")
+    if fill_order not in (1, 2):
+        raise TiffError(f"unknown FillOrder {fill_order}")
+    if fill_order == 2 and not (fax or (bits == 1 and comp_tag == 1)):
+        raise TiffError("FillOrder 2 encode is fax/bilevel-only")
+    if bits == 1:
+        if channels != 1 or planar != 1:
+            raise TiffError("bilevel encode requires 1 chunky channel")
+        if predictor != 1:
+            raise TiffError("predictor is undefined for 1-bit data")
+    if jpeg:
+        if bits != 8 or planar != 1 or channels not in (1, 3):
+            raise TiffError("JPEG encode requires 8-bit chunky gray/RGB")
+        if predictor != 1:
+            raise TiffError("predictor is undefined for JPEG data")
+    bps = 1 if bits == 1 else bits // 8
     if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
         raise TiffError(f"bad dimensions {width}x{height}")
     if len(pixels) != width * height * channels * bps:
         raise TiffError(
             f"pixel buffer is {len(pixels)} bytes, "
             f"want {width * height * channels * bps}")
-    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
-    if comp_tag is None:
-        raise TiffError(f"unknown compression {compression!r}")
     if predictor not in (1, 2):
         raise TiffError(f"unknown predictor {predictor}")
-    rows_per_strip = rows_per_strip or height
-    if not (1 <= rows_per_strip):
-        raise TiffError("rows_per_strip must be positive")
+    if photometric is None:
+        if bits == 1:
+            photometric = 0  # the fax/scan default: WhiteIsZero
+        elif jpeg and channels == 3:
+            photometric = 6  # YCbCr inside the entropy stream
+        else:
+            photometric = 1 if channels == 1 else 2
+    if tile is not None:
+        tile_w, tile_h = tile
+        if tile_w < 1 or tile_h < 1:
+            raise TiffError(f"bad tile size {tile_w}x{tile_h}")
+        rows_per_strip = None
+    else:
+        rows_per_strip = rows_per_strip or height
+        if rows_per_strip < 1:
+            raise TiffError("rows_per_strip must be positive")
 
     mask = (1 << bits) - 1
     sdtype = np.uint8 if bps == 1 else "<u2"
     grid = np.frombuffer(pixels, dtype=sdtype).reshape(
         height, width, channels).astype(np.int64)
-    strips = []
+    strips: list[bytes] = []
+    jpeg_tables_blob: bytes | None = None
 
-    def compress_rows(plane_bytes: bytes) -> None:
-        if comp_tag == 1:
-            strips.append(plane_bytes)
-        elif comp_tag == 32773:
-            strips.append(_packbits_encode(plane_bytes))
+    def encode_region(part: "np.ndarray") -> bytes:
+        """(rows, cols, plane_ch) int64 samples → one strip/tile blob."""
+        nonlocal jpeg_tables_blob
+        rows, cols, pch = part.shape
+        if fax:
+            from .faxcodec import g4_encode, mh_encode
+            raw = part[:, :, 0].astype(np.uint8).tobytes()
+            if comp_tag == 4:
+                return g4_encode(raw, cols, rows)
+            return mh_encode(raw, cols, rows, eol=comp_tag == 3)
+        if jpeg:
+            from .jpegcodec import jpeg_encode
+            stream = jpeg_encode(part.astype(np.uint8).tobytes(),
+                                 cols, rows, pch, quality=quality)
+            if jpeg_tables:
+                tables, image = _split_jpeg_tables(stream)
+                if jpeg_tables_blob is None:
+                    jpeg_tables_blob = tables
+                return image
+            return stream
+        if bits == 1:
+            packed = np.packbits(part[:, :, 0].astype(np.uint8), axis=1)
+            plane_bytes = packed.tobytes()
         else:
-            strips.append(_lzw_encode(plane_bytes))
+            p = part
+            if predictor == 2:
+                p = p.copy()
+                p[:, 1:, :] = (p[:, 1:, :] - p[:, :-1, :]) & mask
+            plane_bytes = p.astype(sdtype).tobytes()
+        if comp_tag == 1:
+            return plane_bytes
+        if comp_tag == 32773:
+            return _packbits_encode(plane_bytes)
+        if comp_tag == 8:
+            import zlib
+            return zlib.compress(plane_bytes, 6)
+        return _lzw_encode(plane_bytes)
 
-    if planar == 2:
-        planes = np.transpose(grid, (2, 0, 1))  # (ch, h, w)
-        if predictor == 2:
-            planes = planes.copy()
-            planes[:, :, 1:] = (planes[:, :, 1:] - planes[:, :, :-1]) & mask
-        for c in range(channels):
-            plane = planes[c].astype(sdtype)
+    n_planes = channels if planar == 2 else 1
+    plane_views = (np.transpose(grid, (2, 0, 1))[:, :, :, None]
+                   if planar == 2 else [grid])
+    for plane in range(n_planes):
+        pv = plane_views[plane]
+        if tile is not None:
+            for y0 in range(0, height, tile_h):
+                for x0 in range(0, width, tile_w):
+                    part = np.zeros((tile_h, tile_w, pv.shape[2]),
+                                    dtype=np.int64)
+                    r = min(tile_h, height - y0)
+                    c = min(tile_w, width - x0)
+                    part[:r, :c] = pv[y0:y0 + r, x0:x0 + c]
+                    strips.append(encode_region(part))
+        else:
             for top in range(0, height, rows_per_strip):
                 rows = min(rows_per_strip, height - top)
-                compress_rows(plane[top:top + rows].tobytes())
-    else:
-        if predictor == 2:
-            grid = grid.copy()
-            grid[:, 1:, :] = (grid[:, 1:, :] - grid[:, :-1, :]) & mask
-        flat = grid.astype(sdtype).reshape(height, width * channels)
-        for top in range(0, height, rows_per_strip):
-            rows = min(rows_per_strip, height - top)
-            compress_rows(flat[top:top + rows].tobytes())
+                strips.append(encode_region(pv[top:top + rows]))
 
     entries = [
         (256, 4, [width]),
         (257, 4, [height]),
         (258, 3, [bits] * channels),
         (259, 3, [comp_tag]),
-        (262, 3, [1 if channels == 1 else 2]),
-        (273, 4, [0] * len(strips)),   # patched below
+        (262, 3, [photometric]),
         (277, 3, [channels]),
-        (278, 4, [rows_per_strip]),
-        (279, 4, [len(s) for s in strips]),
     ]
+    if tile is not None:
+        entries += [(322, 4, [tile_w]), (323, 4, [tile_h]),
+                    (324, 4, [0] * len(strips)),   # patched below
+                    (325, 4, [len(s) for s in strips])]
+        offsets_tag = 324
+    else:
+        entries += [(273, 4, [0] * len(strips)),   # patched below
+                    (278, 4, [rows_per_strip]),
+                    (279, 4, [len(s) for s in strips])]
+        offsets_tag = 273
+    if fill_order == 2:
+        strips = [s.translate(_BITREV) for s in strips]
+        entries.append((266, 3, [2]))
+    if comp_tag == 3:
+        entries.append((292, 4, [0]))  # T4Options: 1-D, no fill
     if predictor == 2:
         entries.append((317, 3, [predictor]))
     if planar == 2:
         entries.append((284, 3, [planar]))
+    if jpeg_tables_blob is not None:
+        entries.append((347, 7, list(jpeg_tables_blob)))
     entries.sort(key=lambda e: e[0])
 
     header = b"II" + struct.pack("<HI", 42, 8)
@@ -453,12 +766,12 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
         strip_offsets.append(at)
         at += len(s)
     for row in fixed:
-        if row[0] == 273:
+        if row[0] == offsets_tag:
             row[2] = strip_offsets
     ifd = bytearray(struct.pack("<H", len(fixed)))
     for tag, typ, values, size in fixed:
         ifd += struct.pack("<HHI", tag, typ, len(values))
-        pack = {1: "B", 3: "H", 4: "I"}[typ]
+        pack = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         if size > 4:
             ifd += struct.pack("<I", overflow_base + len(overflow))
             for v in values:

@@ -115,6 +115,18 @@ def test_image_codec_mutations_stay_typed():
         bmp_encode(px, 16, 12, 3),
         avi_encode([jpeg_encode(px, 16, 12, 3)] * 3, 16, 12),
     ]
+    from marky_spark.ops.tiffcodec import tiff_encode
+    bl = bytes((i * 7 + i // 16) % 2 for i in range(16 * 12))
+    samples += [
+        tiff_encode(bl, 16, 12, 1, compression="g4", bits=1),
+        tiff_encode(bl, 16, 12, 1, compression="g4", bits=1, tile=(8, 8)),
+        tiff_encode(bl, 16, 12, 1, compression="g3", bits=1,
+                    rows_per_strip=5),
+        tiff_encode(bl, 16, 12, 1, compression="mh", bits=1),
+        tiff_encode(px, 16, 12, 3, compression="jpeg", rows_per_strip=8),
+        tiff_encode(px, 16, 12, 3, compression="jpeg", jpeg_tables=False),
+        tiff_encode(px, 16, 12, 3, compression="deflate", tile=(8, 8)),
+    ]
     n = max(N // 2, 50)
     for data in samples:
         for _ in range(n):

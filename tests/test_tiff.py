@@ -80,6 +80,30 @@ def test_big_endian_decodes():
     assert tiff_decode(bytes(blob)) == (3, 2, 1, px)
 
 
+def _with_tag(blob: bytes, tag: int, typ: int, values: list) -> bytes:
+    """Rebuild a little-endian single-IFD TIFF with one extra inline SHORT
+    tag inserted in sorted order, bumping strip/tile offsets by the 12
+    bytes the IFD grew."""
+    assert typ == 3 and len(values) == 1
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    entries = [bytearray(blob[ifd_off + 2 + 12 * k:ifd_off + 14 + 12 * k])
+               for k in range(n)]
+    entries.append(bytearray(struct.pack("<HHIH", tag, typ, 1, values[0])
+                             + b"\x00\x00"))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e, 0)[0])
+    tsize = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
+    for e in entries:
+        t, ty, cnt = struct.unpack_from("<HHI", e, 0)
+        # strip/tile data offsets AND overflow-value pointers both shift
+        if t in (273, 324) or tsize.get(ty, 8) * cnt > 4:
+            v = struct.unpack_from("<I", e, 8)[0]
+            struct.pack_into("<I", e, 8, v + 12)
+    tail = ifd_off + 2 + 12 * n + 4
+    return bytes(bytearray(blob[:ifd_off]) + struct.pack("<H", n + 1)
+                 + b"".join(entries) + struct.pack("<I", 0) + blob[tail:])
+
+
 def test_unsupported_shapes_classify():
     px = bytes(range(12))
     base = tiff_encode(px, 2, 2, 3, compression="none")
@@ -94,14 +118,20 @@ def test_unsupported_shapes_classify():
                 return bytes(out)
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(TiffUnsupportedError, match="JPEG"):
+    with pytest.raises(TiffUnsupportedError, match="old-style JPEG"):
+        tiff_decode(patch_tag(base, 259, 6))
+    # compression 7 is SUPPORTED now — but raw strips are not JPEG streams
+    with pytest.raises(TiffError, match="missing SOI"):
         tiff_decode(patch_tag(base, 259, 7))
-    with pytest.raises(TiffError, match="unknown TIFF compression"):
+    # compression 4 (G4) is supported, but only for 1-bit samples
+    with pytest.raises(TiffError, match="1-bit"):
         tiff_decode(patch_tag(base, 259, 4))
     with pytest.raises(TiffUnsupportedError, match="photometric"):
         tiff_decode(patch_tag(base, 262, 3))
     with pytest.raises(TiffUnsupportedError, match="samples/pixel"):
         tiff_decode(patch_tag(base, 277, 2))
+    with pytest.raises(TiffUnsupportedError, match="FillOrder"):
+        tiff_decode(_with_tag(base, 266, 3, [2]))
     assert issubclass(TiffUnsupportedError, NotImplementedError)
 
 
