@@ -226,70 +226,79 @@ def _transitions(row: bytearray) -> list[int]:
     return out
 
 
+def _decode_2d_row(br: _BitReader, ref: list[int],
+                   width: int) -> tuple[bytearray, list[int]]:
+    """Decode ONE two-dimensionally coded line against the reference
+    line's changing elements — the walk shared verbatim by T.6 (G4,
+    every line) and T.4 2-D (G3, lines whose EOL tag bit is 0)."""
+    from bisect import bisect_right
+
+    row = bytearray(width)
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    cur: list[int] = []
+    while a0 < width:
+        # b1: first changing element on ref line right of a0 with
+        # color opposite to a0's color (black-start = even index)
+        idx = bisect_right(ref, a0)
+        if (idx & 1) != color:
+            # parity mismatch: the element at idx starts the WRONG
+            # color; the next one starts the right color
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else width
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else width
+        mode = _read_mode(br)
+        if mode == "P":
+            if color:
+                for x in range(max(a0, 0), b2):
+                    row[x] = 1
+            a0 = b2
+        elif mode == "H":
+            start = max(a0, 0)
+            r1 = _read_run(br, white=color == 0)
+            r2 = _read_run(br, white=color == 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width or a1 > width:
+                raise FaxError("horizontal runs overrun the row")
+            if color:
+                for x in range(start, a1):
+                    row[x] = 1
+            else:
+                for x in range(a1, a2):
+                    row[x] = 1
+            if a1 < width:
+                cur.append(a1)
+            if a2 < width:
+                cur.append(a2)
+            a0 = a2
+        else:  # vertical mode, delta in -3..3
+            a1 = b1 + mode
+            if a1 < 0 or a1 > width:
+                raise FaxError("vertical mode outside the row")
+            if color:
+                for x in range(max(a0, 0), a1):
+                    row[x] = 1
+            if a1 < width:
+                cur.append(a1)
+            a0 = a1
+            color ^= 1
+    if len(cur) > 1 and any(cur[k] >= cur[k + 1]
+                            for k in range(len(cur) - 1)):
+        raise FaxError("non-monotonic changing elements")
+    return row, cur
+
+
 def g4_decode(data: bytes, width: int, height: int) -> bytes:
     """T.6 (Group 4 MMR) → one byte per pixel (0 white / 1 black),
     row-major, ``width*height`` bytes. Trailing EOFB is tolerated."""
     if width < 1 or height < 1 or width * height > MAX_FAX_PIXELS:
         raise FaxError(f"bad fax dimensions {width}x{height}")
-    from bisect import bisect_right
-
     br = _BitReader(data)
     out = bytearray()
     ref: list[int] = []  # changing elements of the reference line
     for _y in range(height):
-        row = bytearray(width)
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        cur: list[int] = []
-        while a0 < width:
-            # b1: first changing element on ref line right of a0 with
-            # color opposite to a0's color (black-start = even index)
-            idx = bisect_right(ref, a0)
-            if (idx & 1) != color:
-                # parity mismatch: the element at idx starts the WRONG
-                # color; the next one starts the right color
-                idx += 1
-            b1 = ref[idx] if idx < len(ref) else width
-            b2 = ref[idx + 1] if idx + 1 < len(ref) else width
-            mode = _read_mode(br)
-            if mode == "P":
-                if color:
-                    for x in range(max(a0, 0), b2):
-                        row[x] = 1
-                a0 = b2
-            elif mode == "H":
-                start = max(a0, 0)
-                r1 = _read_run(br, white=color == 0)
-                r2 = _read_run(br, white=color == 1)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width or a1 > width:
-                    raise FaxError("horizontal runs overrun the row")
-                if color:
-                    for x in range(start, a1):
-                        row[x] = 1
-                else:
-                    for x in range(a1, a2):
-                        row[x] = 1
-                if a1 < width:
-                    cur.append(a1)
-                if a2 < width:
-                    cur.append(a2)
-                a0 = a2
-            else:  # vertical mode, delta in -3..3
-                a1 = b1 + mode
-                if a1 < 0 or a1 > width:
-                    raise FaxError("vertical mode outside the row")
-                if color:
-                    for x in range(max(a0, 0), a1):
-                        row[x] = 1
-                if a1 < width:
-                    cur.append(a1)
-                a0 = a1
-                color ^= 1
-        if len(cur) > 1 and any(cur[k] >= cur[k + 1]
-                                for k in range(len(cur) - 1)):
-            raise FaxError("non-monotonic changing elements")
+        row, cur = _decode_2d_row(br, ref, width)
         out += row
         ref = cur
     return bytes(out)
@@ -305,46 +314,59 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     bits: list[str] = []
     ref: list[int] = []
     for y in range(height):
-        row = bytearray(pixels[y * width:(y + 1) * width])
-        if any(v not in (0, 1) for v in row):
-            raise FaxError("fax pixels must be 0 or 1")
-        cur = _transitions(row)
-        a0 = -1
-        color = 0
-        while a0 < width:
-            # a1: next changing element on the coding line right of a0
-            j = bisect_right(cur, a0 if a0 >= 0 else -1)
-            # a1 must start the OPPOSITE color of the current color;
-            # transitions alternate black,white,black,... so parity fixes it
-            if j < len(cur) and (j & 1) != color:
-                j += 1
-            a1 = cur[j] if j < len(cur) else width
-            idx = bisect_right(ref, a0)
-            if (idx & 1) != color:
-                idx += 1
-            b1 = ref[idx] if idx < len(ref) else width
-            b2 = ref[idx + 1] if idx + 1 < len(ref) else width
-            if b2 < a1:
-                bits.append(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bits.append(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                # horizontal: two runs from max(a0,0)
-                j2 = bisect_right(cur, a1 if a1 >= 0 else -1)
-                if j2 < len(cur) and (j2 & 1) == color:
-                    j2 += 1
-                a2 = cur[j2] if j2 < len(cur) else width
-                start = max(a0, 0)
-                bits.append(_MODE_H)
-                bits.append(_encode_run(a1 - start, white=color == 0))
-                bits.append(_encode_run(a2 - a1, white=color == 1))
-                a0 = a2
+        cur = _row_transitions(pixels, y, width)
+        _encode_2d_row(bits, cur, ref, width)
         ref = cur
     bits.append(_EOL + _EOL)  # EOFB
     return _pack_bits("".join(bits))
+
+
+def _row_transitions(pixels: bytes, y: int, width: int) -> list[int]:
+    row = bytearray(pixels[y * width:(y + 1) * width])
+    if any(v not in (0, 1) for v in row):
+        raise FaxError("fax pixels must be 0 or 1")
+    return _transitions(row)
+
+
+def _encode_2d_row(bits: list[str], cur: list[int], ref: list[int],
+                   width: int) -> None:
+    """Emit ONE two-dimensionally coded line (changing elements ``cur``)
+    against the reference line ``ref`` — shared by G4 and G3 2-D."""
+    from bisect import bisect_right
+
+    a0 = -1
+    color = 0
+    while a0 < width:
+        # a1: next changing element on the coding line right of a0
+        j = bisect_right(cur, a0 if a0 >= 0 else -1)
+        # a1 must start the OPPOSITE color of the current color;
+        # transitions alternate black,white,black,... so parity fixes it
+        if j < len(cur) and (j & 1) != color:
+            j += 1
+        a1 = cur[j] if j < len(cur) else width
+        idx = bisect_right(ref, a0)
+        if (idx & 1) != color:
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else width
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else width
+        if b2 < a1:
+            bits.append(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bits.append(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            # horizontal: two runs from max(a0,0)
+            j2 = bisect_right(cur, a1 if a1 >= 0 else -1)
+            if j2 < len(cur) and (j2 & 1) == color:
+                j2 += 1
+            a2 = cur[j2] if j2 < len(cur) else width
+            start = max(a0, 0)
+            bits.append(_MODE_H)
+            bits.append(_encode_run(a1 - start, white=color == 0))
+            bits.append(_encode_run(a2 - a1, white=color == 1))
+            a0 = a2
 
 
 def _encode_run(run: int, white: bool) -> str:
@@ -380,27 +402,99 @@ def mh_decode(data: bytes, width: int, height: int, *,
     out = bytearray()
     for y in range(height):
         if eol:
-            # scan forward over fill bits to the 000000000001 marker
-            guard = 0
-            while br.peek12() != 1:
-                if br.bits_left() < 12 or guard > 64:
-                    raise FaxError(f"missing EOL before row {y}")
-                if br.read_bit():
-                    raise FaxError("non-zero fill bit before EOL")
-                guard += 1
-            br.pos += 12
+            _scan_eol(br, y)
         elif y:
             br.align_byte()
-        x = 0
-        white = True
-        while x < width:
-            run = _read_run(br, white)
-            if x + run > width:
-                raise FaxError(f"run overruns row {y}")
-            out += (b"\x00" if white else b"\x01") * run
-            x += run
-            white = not white
+        out += _decode_1d_row(br, width, y)
     return bytes(out)
+
+
+def _scan_eol(br: _BitReader, y: int) -> None:
+    """Scan forward over fill bits to the 000000000001 EOL marker."""
+    guard = 0
+    while br.peek12() != 1:
+        if br.bits_left() < 12 or guard > 64:
+            raise FaxError(f"missing EOL before row {y}")
+        if br.read_bit():
+            raise FaxError("non-zero fill bit before EOL")
+        guard += 1
+    br.pos += 12
+
+
+def _decode_1d_row(br: _BitReader, width: int, y: int) -> bytearray:
+    row = bytearray(width)
+    x = 0
+    white = True
+    while x < width:
+        run = _read_run(br, white)
+        if x + run > width:
+            raise FaxError(f"run overruns row {y}")
+        if not white:
+            for k in range(x, x + run):
+                row[k] = 1
+        x += run
+        white = not white
+    return row
+
+
+def g3_2d_decode(data: bytes, width: int, height: int) -> bytes:
+    """T.4 two-dimensional Group 3 (TIFF compression 3 with T4Options
+    bit 0 set) → one byte per pixel. Every row is preceded by an EOL
+    (fill bits tolerated) plus the T.4 §2.2.4 tag bit: 1 = the row is
+    1-D (MH) coded, 0 = 2-D coded against the previous row — the same
+    vertical/horizontal/pass walk as G4."""
+    if width < 1 or height < 1 or width * height > MAX_FAX_PIXELS:
+        raise FaxError(f"bad fax dimensions {width}x{height}")
+    br = _BitReader(data)
+    out = bytearray()
+    ref: list[int] = []
+    for y in range(height):
+        _scan_eol(br, y)
+        if br.read_bit():  # tag bit 1 → 1-D line
+            row = _decode_1d_row(br, width, y)
+            cur = _transitions(row)
+        else:              # tag bit 0 → 2-D line vs the previous row
+            if y == 0:
+                raise FaxError("first G3 2-D row has no reference line")
+            row, cur = _decode_2d_row(br, ref, width)
+        out += row
+        ref = cur
+    return bytes(out)
+
+
+def g3_2d_encode(pixels: bytes, width: int, height: int, *,
+                 k: int = 4) -> bytes:
+    """One byte per pixel (0/1) → T.4 2-D stream (the fixture inverse of
+    :func:`g3_2d_decode`): every ``k``-th row is 1-D coded (the T.4
+    K-parameter error-containment rhythm), the rest 2-D against the
+    previous row."""
+    if width < 1 or height < 1 or len(pixels) != width * height:
+        raise FaxError("pixel buffer does not match dimensions")
+    if k < 1:
+        raise FaxError(f"bad K parameter {k}")
+    bits: list[str] = []
+    ref: list[int] = []
+    for y in range(height):
+        cur = _row_transitions(pixels, y, width)
+        one_d = y % k == 0
+        bits.append(_EOL + ("1" if one_d else "0"))
+        if one_d:
+            x = 0
+            white = True
+            row = pixels[y * width:(y + 1) * width]
+            while x < width:
+                run = 0
+                want = 0 if white else 1
+                while x + run < width and row[x + run] == want:
+                    run += 1
+                bits.append(_encode_run(run, white))
+                x += run
+                white = not white
+        else:
+            _encode_2d_row(bits, cur, ref, width)
+        ref = cur
+    bits.append(_EOL + "1")  # trailing EOL keeps strict readers happy
+    return _pack_bits("".join(bits))
 
 
 def mh_encode(pixels: bytes, width: int, height: int, *,

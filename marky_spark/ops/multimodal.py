@@ -907,9 +907,10 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
     with the fax-default PhotometricInterpretation 0 the decoded sample
     stream is '000'/'255' arithmetic an independent SQL engine rebuilds
     WITHOUT a fax library. Compression rotates G4 / MH / G3-1D /
-    bilevel-LZW / Deflate / uncompressed by i%6, with a tiled G4 layout
-    on i%12==0, 3-row strips on even ids, and FillOrder 2 (LSB-first fax
-    byte order, tag 266) on the i%7<3 slice of the fax/uncompressed ids
+    bilevel-LZW / Deflate / uncompressed / G3-2D (T4Options bit 0, EOL
+    tag bits, K=4 rhythm) by i%7, with a tiled layout on i%12==0, 3-row
+    strips on even ids, and FillOrder 2 (LSB-first fax byte order, tag
+    266) on the i%5<2 slice of the fax/uncompressed ids
     — a real T.6/T.4 bit walk must be exact for the md5 to match.
 
     Branch 'sj' (JPEG-in-TIFF, compression 7): 8-row strips, each strip
@@ -932,7 +933,8 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
                 hexs = hashlib.md5(str(i).encode()).hexdigest()
                 chars = (hexs * (-(-n // len(hexs))))[:n]
                 bits = bytes(1 if c >= "a" else 0 for c in chars)
-                comp = ("g4", "mh", "g3", "lzw", "deflate", "none")[i % 6]
+                comp = ("g4", "mh", "g3", "lzw", "deflate", "none",
+                        "g32d")[i % 7]
                 blob = tiff_encode(
                     bits, w, h, 1, compression=comp, bits=1,
                     tile=(8, 8) if i % 12 == 0 else None,
@@ -942,7 +944,7 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
                     # uncompressed ids — same decoded samples, so the
                     # SQL oracle pins the FillOrder-2 bit walk for free
                     fill_order=2 if comp not in ("lzw", "deflate")
-                    and i % 7 < 3 else 1)
+                    and i % 5 < 2 else 1)
                 rows.append((f"sc{i}", "image/tiff", blob))
                 ch = 3 if i % 2 else 1
                 vals = bytes(

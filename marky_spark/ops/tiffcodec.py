@@ -332,14 +332,15 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
     Strip AND tile organization; compressions 1 (none), 5 (LZW),
     8/32946 (Deflate), 32773 (PackBits), 2/3/4 (CCITT fax via
-    ops/faxcodec: Modified Huffman, G3 1-D with EOLs, G4 MMR) and
+    ops/faxcodec: Modified Huffman, G3 1-D and 2-D per T4Options, G4
+    MMR) and
     7 (new-style JPEG with the shared JPEGTables stream, via
     ops/jpegcodec); 1-bit bilevel, 8-bit and 16-bit samples; chunky and
     planar; photometric 0 (WhiteIsZero), 1 and 2 (plus 6 for JPEG, where
     the entropy stream itself is YCbCr and decodes to RGB)."""
     import numpy as np
 
-    from .faxcodec import FaxError, g4_decode, mh_decode
+    from .faxcodec import FaxError, g3_2d_decode, g4_decode, mh_decode
 
     if not looks_like_tiff(data):
         raise TiffError("not a TIFF (no II*/MM* header)")
@@ -395,11 +396,10 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffError("JPEG-in-TIFF requires 8-bit samples")
     if bps == 0 and predictor == 2:
         raise TiffError("horizontal predictor is undefined for 1-bit data")
+    g3_2d = False
     if compression == 3:
         t4 = tags.get(292, [0])[0]
-        if t4 & 1:
-            raise TiffUnsupportedError("2-D Group 3 (T4Options bit 0) "
-                                       "not implemented")
+        g3_2d = bool(t4 & 1)
         if t4 & 2:
             raise TiffUnsupportedError("uncompressed fax mode not "
                                        "implemented")
@@ -481,6 +481,8 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
             try:
                 if compression == 4:
                     px = g4_decode(raw, cols, rows)
+                elif g3_2d:
+                    px = g3_2d_decode(raw, cols, rows)
                 else:
                     px = mh_decode(raw, cols, rows, eol=compression == 3)
             except FaxError as exc:
@@ -585,7 +587,8 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
     inverse for every shape it reads.
 
     Compressions "none" / "packbits" / "lzw" / "deflate" (lossless, any
-    depth), "g4" / "mh" / "g3" (CCITT fax, ``bits=1`` only, pixels one
+    depth), "g4" / "mh" / "g3" / "g32d" (CCITT fax, ``bits=1`` only —
+    "g32d" writes T.4 2-D lines with T4Options bit 0 set), pixels one
     0/1 byte each) and "jpeg" (compression 7; abbreviated streams with a
     shared JPEGTables tag when ``jpeg_tables``, per-strip full streams
     otherwise). ``tile=(tw, th)`` writes a tiled layout (tags 322-325,
@@ -603,9 +606,11 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
     if planar not in (1, 2):
         raise TiffError(f"unknown planar config {planar}")
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
-                "g4": 4, "mh": 2, "g3": 3, "jpeg": 7}.get(compression)
+                "g4": 4, "mh": 2, "g3": 3, "g32d": 3,
+                "jpeg": 7}.get(compression)
     if comp_tag is None:
         raise TiffError(f"unknown compression {compression!r}")
+    g3_2d = compression == "g32d"
     fax = comp_tag in (2, 3, 4)
     jpeg = comp_tag == 7
     if fax and bits != 1:
@@ -662,10 +667,12 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
         nonlocal jpeg_tables_blob
         rows, cols, pch = part.shape
         if fax:
-            from .faxcodec import g4_encode, mh_encode
+            from .faxcodec import g3_2d_encode, g4_encode, mh_encode
             raw = part[:, :, 0].astype(np.uint8).tobytes()
             if comp_tag == 4:
                 return g4_encode(raw, cols, rows)
+            if g3_2d:
+                return g3_2d_encode(raw, cols, rows)
             return mh_encode(raw, cols, rows, eol=comp_tag == 3)
         if jpeg:
             from .jpegcodec import jpeg_encode
@@ -736,7 +743,8 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
         strips = [s.translate(_BITREV) for s in strips]
         entries.append((266, 3, [2]))
     if comp_tag == 3:
-        entries.append((292, 4, [0]))  # T4Options: 1-D, no fill
+        # T4Options: bit 0 = 2-D coding allowed, no uncompressed, no fill
+        entries.append((292, 4, [1 if g3_2d else 0]))
     if predictor == 2:
         entries.append((317, 3, [predictor]))
     if planar == 2:

@@ -13,6 +13,8 @@ import pytest
 from marky_spark.ops.faxcodec import (
     MAX_FAX_PIXELS,
     FaxError,
+    g3_2d_decode,
+    g3_2d_encode,
     g4_decode,
     g4_encode,
     mh_decode,
@@ -50,6 +52,43 @@ def test_mh_round_trip(w, h, eol):
     for px in (b"\x00" * (w * h), b"\x01" * (w * h),
                _noisy(w, h, w + h + eol)):
         assert mh_decode(mh_encode(px, w, h, eol=eol), w, h, eol=eol) == px
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 8])
+@pytest.mark.parametrize("w,h", SHAPES)
+def test_g3_2d_round_trip(w, h, k):
+    for px in (b"\x00" * (w * h), b"\x01" * (w * h),
+               _noisy(w, h, w * h + k)):
+        assert g3_2d_decode(g3_2d_encode(px, w, h, k=k), w, h) == px
+
+
+def test_g3_2d_spec_vector_tag_bits():
+    """Hand-assembled T.4 2-D stream, independent of the encoder: row 0
+    is 1-D (tag 1, white-8 = 10011), row 1 is 2-D (tag 0) coded V(0)
+    against it — EOL and tag-bit placement per T.4 §2.2.4."""
+    blob = _pack(_EOL + "1" + "10011" + _EOL + "0" + "1")
+    assert g3_2d_decode(blob, 8, 2) == b"\x00" * 16
+
+
+def test_g3_2d_spec_vector_vertical_shift():
+    """Row 0: 3 white + 5 black (1-D). Row 1: 4 white + 4 black, 2-D
+    coded as V(+1) then V(0) — the transition tracks the reference."""
+    blob = _pack(_EOL + "1" + "1000" + "0011"   # white-3, black-5
+                 + _EOL + "0" + "011" + "1")     # V(+1), V(0)
+    want = bytes([0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1])
+    assert g3_2d_decode(blob, 8, 2) == want
+
+
+def test_g3_2d_first_row_must_be_1d():
+    """A 2-D tag on row 0 has no reference line — typed error."""
+    blob = _pack(_EOL + "0" + "1")
+    with pytest.raises(FaxError, match="reference"):
+        g3_2d_decode(blob, 8, 1)
+
+
+def test_g3_2d_bad_k_rejected():
+    with pytest.raises(FaxError, match="K parameter"):
+        g3_2d_encode(b"\x00" * 4, 2, 2, k=0)
 
 
 def test_g4_vertical_pass_horizontal_mix():
@@ -200,14 +239,17 @@ def test_mutation_fuzz_never_crashes_untyped():
     base_g4 = g4_encode(px, w, h)
     base_mh = mh_encode(px, w, h)
     base_g3 = mh_encode(px, w, h, eol=True)
-    for _ in range(600):
-        kind = rng.randrange(3)
-        blob = bytearray((base_g4, base_mh, base_g3)[kind])
+    base_g32d = g3_2d_encode(px, w, h, k=4)
+    for _ in range(800):
+        kind = rng.randrange(4)
+        blob = bytearray((base_g4, base_mh, base_g3, base_g32d)[kind])
         for _k in range(rng.randrange(1, 4)):
             blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
         try:
             if kind == 0:
                 out = g4_decode(bytes(blob), w, h)
+            elif kind == 3:
+                out = g3_2d_decode(bytes(blob), w, h)
             else:
                 out = mh_decode(bytes(blob), w, h, eol=kind == 2)
             assert len(out) == w * h
@@ -229,7 +271,8 @@ def test_tiff_fillorder2_round_trip():
     px = _noisy(w, h, 266)
     outs = {tiff_decode(tiff_encode(px, w, h, 1, compression=comp,
                                     bits=1, fill_order=fo))
-            for comp in ("g4", "mh", "g3", "none") for fo in (1, 2)}
+            for comp in ("g4", "mh", "g3", "g32d", "none")
+            for fo in (1, 2)}
     assert len(outs) == 1
     with pytest.raises(TiffUnsupportedError, match="FillOrder"):
         tiff_decode(bytearray(  # patch tag 266 into an LZW bilevel file
@@ -268,7 +311,7 @@ def test_tiff_bilevel_cross_compression_consistency():
     w, h = 37, 19
     px = _noisy(w, h, 4242)
     outs = set()
-    for comp in ("g4", "mh", "g3", "lzw", "deflate", "none"):
+    for comp in ("g4", "mh", "g3", "g32d", "lzw", "deflate", "none"):
         for layout in ({"rows_per_strip": 5}, {"tile": (8, 8)}):
             blob = tiff_encode(px, w, h, 1, compression=comp, bits=1,
                                **layout)
