@@ -703,8 +703,13 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     rows.append((f"p{i}", "image/tiff", blob))
                     continue
                 if i % 5 == 3:
+                    # every third PPM id writes the 16-bit (maxval 65535,
+                    # 2-byte big-endian) raster — decode rescales back to
+                    # the SAME oracle samples, so the pixel oracle pins
+                    # the wide path with zero oracle edits
+                    mv = 65535 if i % 3 == 0 else 255
                     rows.append((f"p{i}", "image/x-portable-pixmap",
-                                 pnm_encode(px, w, h, 3)))
+                                 pnm_encode(px, w, h, 3, maxval=mv)))
                     continue
                 # PNG shape variants — the ORACLE SAMPLES never change
                 # (16-bit high bytes ARE the 8-bit samples; deinterlace

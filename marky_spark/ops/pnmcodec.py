@@ -8,10 +8,12 @@ codec in the set — header ``P4|P5|P6`` + whitespace/comment-separated
 width/height(/maxval), then raw samples (P4: row-padded 1-bit packed,
 P5: 8-bit gray, P6: 8-bit RGB).
 
-Scope: all six variants — binary P4/P5/P6 and ASCII P1/P2/P3 — at
-maxval <= 255 (8-bit); 16-bit maxvals are recognized and classify as
-:class:`PnmUnsupportedError` (→ ``codec_unavailable`` rows); anything
-malformed raises
+Scope: all six variants — binary P4/P5/P6 and ASCII P1/P2/P3 — at any
+spec-legal maxval (1..65535; above 255 the binary rasters carry 2-byte
+big-endian samples per the spec, ASCII samples just grow digits).
+Samples rescale to the full 8-bit lattice (round-half-up, maxval =
+full intensity), keeping the cross-codec convention that two encodings
+of the same image embed identically. Anything malformed raises
 :class:`PnmError` (the poison-pill contract). Allocation bounds are
 checked before the pixel read.
 """
@@ -28,8 +30,7 @@ class PnmError(ValueError):
 
 
 class PnmUnsupportedError(NotImplementedError):
-    """Recognized Netpbm shape this codec does not implement
-    (16-bit maxval)."""
+    """Recognized Netpbm shape this codec does not implement."""
 
 
 def looks_like_pnm(data: bytes) -> bool:
@@ -84,15 +85,13 @@ def _decode_ascii(data: bytes, magic: bytes) -> tuple[int, int, int, bytes]:
     else:
         (w, h, maxval), at = _header_ints(data, 2, 3)
         channels = 1 if magic == b"P2" else 3
-        if maxval > 255:
-            raise PnmUnsupportedError(
-                f"16-bit Netpbm (maxval {maxval}) not implemented")
-        if maxval < 1:
+        if not 1 <= maxval <= 65535:
             raise PnmError(f"bad maxval {maxval}")
     if w < 1 or h < 1 or w * h * channels > MAX_PIXELS:
         raise PnmError(f"bad dimensions {w}x{h}")
     need = w * h * channels
-    out = bytearray(need)
+    # a plain int list: 16-bit maxvals put samples beyond a bytearray
+    out = [0] * need
     got = 0
     i = at - 1  # the header terminator is ordinary whitespace here
     n = len(data)
@@ -116,7 +115,7 @@ def _decode_ascii(data: bytes, magic: bytes) -> tuple[int, int, int, bytes]:
         j = i
         while j < n and 0x30 <= data[j] <= 0x39:
             j += 1
-        if j == i or j - i > 3:
+        if j == i or j - i > (5 if maxval > 255 else 3):
             raise PnmError("bad ASCII sample")
         v = int(data[i:j])
         if v > maxval:
@@ -125,18 +124,21 @@ def _decode_ascii(data: bytes, magic: bytes) -> tuple[int, int, int, bytes]:
         got += 1
         i = j
     if magic != b"P1" and maxval != 255:
-        return w, h, channels, _rescale(bytes(out), maxval)
-    return w, h, channels, bytes(out)
+        return w, h, channels, _rescale(out, maxval)
+    return w, h, channels, bytes(bytearray(out))
 
 
-def _rescale(raster: bytes, maxval: int) -> bytes:
+def _rescale(samples, maxval: int) -> bytes:
     """Samples on a [0, maxval] lattice → full 8-bit scale, the spec's
     'maxval is full intensity' semantics (round-half-up so maxval maps to
     exactly 255 and 0 to 0) — keeps the cross-codec convention that two
-    encodings of the same image embed identically."""
+    encodings of the same image embed identically. ``samples`` is any
+    int sequence / numpy array (bytes for the 8-bit binary path)."""
     import numpy as np
 
-    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.uint32)
+    arr = np.frombuffer(samples, dtype=np.uint8).astype(np.uint32) \
+        if isinstance(samples, (bytes, bytearray)) \
+        else np.asarray(samples, dtype=np.uint32)
     return ((arr * 255 + maxval // 2) // maxval).astype(np.uint8).tobytes()
 
 
@@ -154,10 +156,7 @@ def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
     else:
         (w, h, maxval), at = _header_ints(data, 2, 3)
         channels = 1 if magic == b"P5" else 3
-        if maxval > 255:
-            raise PnmUnsupportedError(
-                f"16-bit Netpbm (maxval {maxval}) not implemented")
-        if maxval < 1:
+        if not 1 <= maxval <= 65535:
             raise PnmError(f"bad maxval {maxval}")
     if w < 1 or h < 1 or w * h * channels > MAX_PIXELS:
         raise PnmError(f"bad dimensions {w}x{h}")
@@ -175,26 +174,36 @@ def pnm_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # 1 bit = black per spec → 0; 0 bit = white → 255
         return w, h, 1, ((1 - bits) * np.uint8(255)).astype(
             np.uint8).tobytes()
-    need = w * h * channels
+    sample_bytes = 2 if maxval > 255 else 1
+    need = w * h * channels * sample_bytes
     raster = data[at:at + need]
     if len(raster) != need:
         raise PnmError(f"raster is {len(raster)} bytes, want {need}")
-    if maxval != 255:
-        import numpy as np
+    if maxval == 255:
+        return w, h, channels, raster
+    import numpy as np
 
-        arr = np.frombuffer(raster, dtype=np.uint8)
-        if int(arr.max(initial=0)) > maxval:
-            raise PnmError(
-                f"binary sample {int(arr.max())} exceeds maxval {maxval}")
-        return w, h, channels, _rescale(raster, maxval)
-    return w, h, channels, raster
+    # spec: 2-byte samples are big-endian ("most significant byte first")
+    arr = np.frombuffer(raster, dtype=">u2" if sample_bytes == 2
+                        else np.uint8)
+    if int(arr.max(initial=0)) > maxval:
+        raise PnmError(
+            f"binary sample {int(arr.max())} exceeds maxval {maxval}")
+    return w, h, channels, _rescale(arr, maxval)
 
 
 def pnm_encode(pixels: bytes, width: int, height: int,
-               channels: int = 3) -> bytes:
-    """8-bit chunky samples → binary PGM (1 channel) / PPM (3 channels)."""
+               channels: int = 3, maxval: int = 255) -> bytes:
+    """8-bit chunky samples → binary PGM (1 channel) / PPM (3 channels).
+
+    ``maxval`` other than 255 spreads each 8-bit sample onto the wider
+    lattice (round-half-up v*maxval/255 — the exact inverse of decode's
+    rescale for every maxval >= 255, so 16-bit round trips are lossless);
+    above 255 the raster is written as 2-byte big-endian per the spec."""
     if channels not in (1, 3):
         raise PnmError(f"unsupported channel count {channels}")
+    if not 1 <= maxval <= 65535:
+        raise PnmError(f"bad maxval {maxval}")
     if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
         raise PnmError(f"bad dimensions {width}x{height}")
     if len(pixels) != width * height * channels:
@@ -202,4 +211,12 @@ def pnm_encode(pixels: bytes, width: int, height: int,
             f"pixel buffer is {len(pixels)} bytes, "
             f"want {width * height * channels}")
     magic = b"P5" if channels == 1 else b"P6"
-    return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+    head = magic + f"\n{width} {height}\n{maxval}\n".encode("ascii")
+    if maxval == 255:
+        return head + pixels
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.uint32)
+    wide = (arr * maxval + 127) // 255
+    dtype = ">u2" if maxval > 255 else np.uint8
+    return head + wide.astype(dtype).tobytes()

@@ -1,6 +1,7 @@
 """Netpbm codec (binary P4/P5/P6): round-trips, header grammar (comments,
-whitespace), P4 bit expansion, ASCII/16-bit classification, hostile
-inputs, mutation fuzz, Spark routing, and the synth-corpus mix."""
+whitespace), P4 bit expansion, ASCII variants, 16-bit maxvals (2-byte
+big-endian rasters), hostile inputs, mutation fuzz, Spark routing, and
+the synth-corpus mix."""
 from __future__ import annotations
 
 import random
@@ -82,11 +83,28 @@ def test_sub255_maxval_rescales_to_full_intensity():
         (1, 1, 3, bytes([85, 170, 255]))
 
 
-def test_16bit_classifies():
-    with pytest.raises(PnmUnsupportedError, match="16-bit"):
-        pnm_decode(b"P5\n2 2\n65535\n" + bytes(8))
-    with pytest.raises(PnmUnsupportedError, match="16-bit"):
-        pnm_decode(b"P2\n2 2\n65535\n1 2 3 4")
+def test_16bit_decodes_for_real():
+    """maxval > 255: binary rasters are 2-byte big-endian, rescaled onto
+    the 8-bit lattice (round-half-up); spec caps maxval at 65535."""
+    # P5 maxval 65535: 0→0, 32896(=128*257)→128, 65535→255, 257→1
+    blob = b"P5\n4 1\n65535\n" + bytes.fromhex("0000 8080 ffff 0101"
+                                               .replace(" ", ""))
+    assert pnm_decode(blob) == (4, 1, 1, bytes([0, 128, 255, 1]))
+    # ASCII P2 carries the same lattice in decimal
+    assert pnm_decode(b"P2\n4 1\n65535\n0 32896 65535 257") == \
+        (4, 1, 1, bytes([0, 128, 255, 1]))
+    # encode→decode identity for every 8-bit value at a spread of maxvals
+    px = bytes(range(256))
+    for m in (256, 300, 1000, 4095, 65535):
+        assert pnm_decode(pnm_encode(px, 16, 16, 1, maxval=m)) == \
+            (16, 16, 1, px)
+    # 16-bit samples above maxval / maxval above the spec cap are typed
+    with pytest.raises(PnmError, match="exceeds maxval"):
+        pnm_decode(b"P5\n1 1\n1000\n\xff\xff")
+    with pytest.raises(PnmError, match="bad maxval"):
+        pnm_decode(b"P5\n1 1\n65536\n\x00\x00")
+    with pytest.raises(PnmError, match="raster"):
+        pnm_decode(b"P5\n2 2\n65535\n" + bytes(7))  # odd/truncated
     assert issubclass(PnmUnsupportedError, NotImplementedError)
 
 
@@ -114,7 +132,8 @@ def test_mutations_stay_typed():
     rng = random.Random(0x9B77)
     px = bytes((i * 13) % 256 for i in range(30 * 12 * 3))
     bases = [pnm_encode(px, 30, 12, 3), pnm_encode(px[:30 * 12], 30, 12, 1),
-             b"P4\n30 12\n" + bytes(4 * 12)]
+             b"P4\n30 12\n" + bytes(4 * 12),
+             pnm_encode(px[:30 * 12], 30, 12, 1, maxval=65535)]
     for k in range(600):
         blob = _mutate(rng, bases[k % len(bases)])
         try:
