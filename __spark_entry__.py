@@ -574,7 +574,12 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts → exact decimation). The oracle reconstructs every statistic
     from doc_id arithmetic WITHOUT a WAV or G.711 library, so the RIFF
     layout, PCM parse, and both G.711 segment formulas must all be
-    spec-correct for the values to line up. The
+    spec-correct for the values to line up. Branch 'wa' (one extra row
+    per doc) pins IMA ADPCM decode the hard way: the blob's nibble
+    stream is md5-hex arithmetic (the repo's ADPCM encoder is never
+    involved) and the oracle replays the adaptive predictor with a
+    RECURSIVE CTE over literal IMA step/index tables — every
+    clamp and table step must match or the hashes diverge. The
     driver projection coalesces the absent-channel sum (null for mono) to
     0 — an all/mostly-NULL BIGINT column round-trips as float NaN through
     the oracle's pandas bridge; the operator itself keeps the null."""
@@ -1675,8 +1680,13 @@ def oracle_sql() -> dict[str, str]:
             -- compress→expand round-trip is exact and every statistic
             -- (sums, zero crossings, peak, half-rate decimation) is
             -- integer arithmetic — no WAV or G.711 library on the oracle
-            -- side, which pins the codec's segment formulas themselves
-            WITH m AS (
+            -- side, which pins the codec's segment formulas themselves.
+            -- Branch 'wa' pins IMA ADPCM DECODE with the encoder nowhere
+            -- in the loop: the corpus blob's nibble stream IS md5-hex
+            -- arithmetic, and the recursive CTE below replays the IMA/DVI
+            -- state machine (step + index tables as literals) from the
+            -- block-header seeds, so every adaptive step must match.
+            WITH RECURSIVE m AS (
                 SELECT doc_id,
                        1 + doc_id % 2 AS ch,
                        8000 + (doc_id % 4) * 4000 AS rate,
@@ -1710,7 +1720,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, ch, rate, n, vals,
                        list_transform(range(0, n::INT),
                            f -> vals[(f*ch + 1)::INT]) AS c0
-                FROM s)
+                FROM s),
+            -- ---- branch 'wa': IMA ADPCM state-machine replay ----
+            ia AS (
+                SELECT doc_id, 4 * (2 + doc_id % 4) AS db,
+                       1 + 8 * (2 + doc_id % 4) AS spb
+                FROM documents),
+            iseed AS (
+                SELECT i.doc_id, b.block, i.spb, i.db,
+                       CAST(((i.doc_id * 157 + b.block * 101) % 1024)
+                            - 512 AS INT) AS pred,
+                       CAST((i.doc_id * 7 + b.block * 13) % 89 AS INT)
+                           AS idx
+                FROM ia i, (SELECT unnest(range(2)) AS block) b),
+            ist(doc_id, block, j, pred, idx, spb, db) AS (
+                SELECT doc_id, block, 0, pred, idx, spb, db FROM iseed
+                UNION ALL
+                SELECT doc_id, block, j + 1,
+                       CAST(greatest(-32768, least(32767,
+                           CASE WHEN nib >= 8 THEN pred - diff
+                                ELSE pred + diff END)) AS INT),
+                       CAST(greatest(0, least(88, idx +
+                           ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+                           AS INT),
+                       spb, db
+                FROM (
+                    SELECT s.*,
+                           strpos('0123456789abcdef', substr(
+                               repeat(md5(s.doc_id::VARCHAR),
+                                      CAST((4 * s.db) // 32 + 1 AS INT)),
+                               CAST(s.block * 2 * s.db + s.j + 1 AS INT),
+                               1)) - 1 AS nib,
+                           ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+                             34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+                             130,143,157,173,190,209,230,253,279,307,337,
+                             371,408,449,494,544,598,658,724,796,876,963,
+                             1060,1166,1282,1411,1552,1707,1878,2066,2272,
+                             2499,2749,3024,3327,3660,4026,4428,4871,5358,
+                             5894,6484,7132,7845,8630,9493,10442,11487,
+                             12635,13899,15289,16818,18500,20350,22385,
+                             24623,27086,29794,32767])[s.idx + 1] AS step
+                    FROM ist s WHERE s.j < s.spb - 1
+                ) t, LATERAL (SELECT step // 8
+                       + CASE WHEN nib % 8 >= 4 THEN step ELSE 0 END
+                       + CASE WHEN nib % 4 >= 2 THEN step // 2 ELSE 0 END
+                       + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                       AS diff) dd),
+            iagg AS (
+                SELECT doc_id, max(spb) AS spb, sum(pred) AS sum_all,
+                       max(abs(pred)) AS pk
+                FROM ist GROUP BY doc_id),
+            izc AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE pred * prev < 0) AS zc
+                FROM (SELECT doc_id, pred,
+                             lag(pred) OVER (PARTITION BY doc_id
+                                             ORDER BY block, j) AS prev
+                      FROM ist)
+                GROUP BY doc_id),
+            ids AS (
+                SELECT doc_id, sum(pred) AS dss
+                FROM ist WHERE (block * spb + j) % 2 = 0
+                GROUP BY doc_id)
             SELECT 'w' || doc_id AS media_ref,
                    CAST(rate AS INT) AS sample_rate,
                    CAST(ch AS INT) AS channels,
@@ -1729,6 +1800,20 @@ def oracle_sql() -> dict[str, str]:
                         f -> c0[(2*f + 1)::INT])) AS BIGINT) AS ds_sum_c0,
                    'ok' AS ok
             FROM c
+            UNION ALL
+            SELECT 'wa' || a.doc_id AS media_ref,
+                   CAST(8000 + (a.doc_id % 4) * 4000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(16 AS INT) AS bits,
+                   CAST(2 * a.spb AS BIGINT) AS n_frames,
+                   CAST(a.sum_all AS BIGINT) AS sum_c0,
+                   CAST(0 AS BIGINT) AS sum_c1,
+                   CAST(z.zc AS BIGINT) AS zc_c0,
+                   CAST(a.pk AS BIGINT) AS peak,
+                   CAST(a.spb AS BIGINT) AS ds_frames,
+                   CAST(d.dss AS BIGINT) AS ds_sum_c0,
+                   'ok' AS ok
+            FROM iagg a JOIN izc z USING (doc_id) JOIN ids d USING (doc_id)
         """,
         "frame_sample": """
             -- branch 'b': byte-slice stand-in frames; the corpus text is

@@ -174,6 +174,39 @@ def wav_feature_vec(blob: bytes, dim: int = 16) -> list[float] | None:
     return (vec + [0.0] * dim)[:dim]
 
 
+def _adpcm_blob(i: int, rate: int) -> bytes:
+    """Hand-assembled IMA ADPCM WAV (fmt tag 0x11) for doc ``i`` whose
+    NIBBLE stream is doc_id arithmetic — the repo's ADPCM encoder is
+    never involved, so the driver oracle's recursive-CTE replay of the
+    IMA state machine (step/index tables from the IMA/DVI spec) pins the
+    DECODER independently: 2 mono blocks, data_bytes = 4*(2 + i%4) per
+    block, block b's header predictor = ((i*157 + b*101) % 1024) - 512
+    and step index = (i*7 + b*13) % 89, nibble j = hex digit j of
+    md5(str(i)) repeated (low nibble first in each byte)."""
+    import struct
+
+    db = 4 * (2 + i % 4)           # nibble-word bytes per block
+    spb = 1 + 2 * db               # samples per block (header + nibbles)
+    nhex = 2 * 2 * db              # nibbles across both blocks
+    hexs = hashlib.md5(str(i).encode()).hexdigest()
+    chars = (hexs * (-(-nhex // len(hexs))))[:nhex]
+    nibs = [int(c, 16) for c in chars]
+    data = bytearray()
+    for b in range(2):
+        pred = ((i * 157 + b * 101) % 1024) - 512
+        idx = (i * 7 + b * 13) % 89
+        data += struct.pack("<hBB", pred, idx, 0)
+        blk = nibs[b * 2 * db:(b + 1) * 2 * db]
+        for k in range(0, len(blk), 2):
+            data.append(blk[k] | (blk[k + 1] << 4))
+    block_align = 4 + db
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // spb, block_align, 4, 2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synth_wav_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-WAV media table derived from doc ids (the test /
     bench corpus for the audio codec path). Per doc_id i:
@@ -206,7 +239,13 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     by an independent SQL engine from doc_id arithmetic alone — no WAV
     library on the oracle side — which means the RIFF layout, the PCM
     parse, AND the G.711 segment encode/decode formulas must ALL be
-    spec-correct for the driver oracle to match."""
+    spec-correct for the driver oracle to match.
+
+    Each doc additionally emits ``wa{i}``, a hand-assembled IMA ADPCM
+    blob (see :func:`_adpcm_blob`) whose nibble stream is itself doc_id
+    arithmetic — the driver oracle replays the adaptive state machine in
+    a recursive CTE, pinning the ADPCM decoder with the repo's encoder
+    nowhere in the loop."""
     import numpy as np
 
     from .flaccodec import flac_encode
@@ -248,6 +287,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 rows.append((f"w{i}",
                              "audio/flac" if i % 4 == 3 else "audio/wav",
                              blob))
+                rows.append((f"wa{i}", "audio/wav", _adpcm_blob(i, rate)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -230,7 +230,7 @@ def test_audio_features_spark(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     feats = {r["media_ref"]: r
              for r in audio_features(synth_wav_media(docs)).collect()}
-    assert len(feats) == 8
+    assert len(feats) == 16  # 'w{i}' PCM/G.711/FLAC + 'wa{i}' IMA ADPCM
     import hashlib
 
     def sample(code: int, law: int) -> int:
@@ -265,6 +265,44 @@ def test_audio_features_spark(spark):
         assert r["peak"] == max(abs(v) for v in vals)
         assert r["ds_frames"] == n // 2
         assert r["ds_sum_c0"] == sum(c0[::2])
+
+    # branch 'wa': IMA ADPCM, checked against an in-test state-machine
+    # replay written from the IMA/DVI spec (the corpus nibbles are md5
+    # arithmetic — neither the repo encoder NOR decoder is involved here)
+    step_t = __import__("marky_spark.ops.wavcodec",
+                        fromlist=["_IMA_STEP_TABLE"])._IMA_STEP_TABLE
+    idx_t = (-1, -1, -1, -1, 2, 4, 6, 8)
+    for i in (0, 2, 5, 7):
+        db = 4 * (2 + i % 4)
+        spb = 1 + 2 * db
+        hexs = hashlib.md5(str(i).encode()).hexdigest()
+        chars = (hexs * (-(-(4 * db) // len(hexs))))[:4 * db]
+        c0 = []
+        for b in range(2):
+            pred = ((i * 157 + b * 101) % 1024) - 512
+            idx = (i * 7 + b * 13) % 89
+            c0.append(pred)
+            for ch_ in chars[b * 2 * db:(b + 1) * 2 * db]:
+                nib = int(ch_, 16)
+                step = step_t[idx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = max(-32768, min(32767,
+                           pred - diff if nib & 8 else pred + diff))
+                idx = max(0, min(88, idx + idx_t[nib & 7]))
+                c0.append(pred)
+        r = feats[f"wa{i}"]
+        assert r["ok"] == "ok"
+        assert (r["channels"], r["bits"], r["n_frames"]) == (1, 16, 2 * spb)
+        assert r["sum_c0"] == sum(c0)
+        assert r["zc_c0"] == sum(1 for a, b in zip(c0, c0[1:]) if a * b < 0)
+        assert r["peak"] == max(abs(v) for v in c0)
+        assert (r["ds_frames"], r["ds_sum_c0"]) == (spb, sum(c0[::2]))
 
 
 def test_audio_features_poison_isolation(spark):
