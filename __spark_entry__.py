@@ -658,7 +658,10 @@ def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops/faxcodec) plus bilevel LZW/Deflate/uncompressed row packing and
     a tiled G4 layout; branch 'sj' exercises new-style JPEG-in-TIFF
     (compression 7) with the shared-JPEGTables splice and per-strip
-    entropy decode. The oracle rebuilds every decoded sample as its
+    entropy decode; branch 'sn' exercises OLD-style JPEG-in-TIFF
+    (compression 6, one JPEGInterchangeFormat stream — the subset real
+    legacy scanner files carry). The oracle rebuilds every decoded
+    sample as its
     3-digit decimal from doc_id arithmetic (fax: '000'/'255' from the
     hex-char threshold; JPEG: the uniform strip values, exact through
     the Annex-K quantizer), so the md5 only matches when the real bit
@@ -1580,6 +1583,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS black_n,
                    'ok' AS ok
             FROM sjr
+            UNION ALL
+            -- branch 'sn': OLD-style JPEG-in-TIFF (compression 6, one
+            -- JPEGInterchangeFormat stream) — uniform (i*7) % 95 + 32
+            -- over the whole image, exact through the Annex-K quantizer
+            SELECT 'sn' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(ch AS INT) AS channels,
+                   CAST(w*h*ch AS BIGINT) AS n_samples,
+                   md5(repeat(lpad(((doc_id*7) % 95 + 32)::VARCHAR, 3, '0'),
+                              (w*h*ch)::INT)) AS sample_md5,
+                   CAST(0 AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM sj
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:

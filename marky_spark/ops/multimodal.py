@@ -924,7 +924,12 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
     in tests/test_avi.py), and gray-valued RGB (r=g=b) keeps Cb=Cr=128
     exact too, so the decoded samples ARE the strip values: the shared
     JPEGTables splice (on i%3!=0), per-strip entropy decode, and the
-    strip-grid assembly are all pinned by the same decimal-stream md5."""
+    strip-grid assembly are all pinned by the same decimal-stream md5.
+
+    Branch 'sn' (OLD-style JPEG-in-TIFF, compression 6 — deprecated but
+    still in old scanner archives): one JPEGInterchangeFormat stream
+    (tag 513/514), uniform value (i*7) % 95 + 32 over the whole image so
+    the Annex-K round trip stays exact."""
     from .tiffcodec import tiff_encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -959,6 +964,13 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
                     vals, w, h, ch, compression="jpeg",
                     rows_per_strip=8, jpeg_tables=i % 3 != 0)
                 rows.append((f"sj{i}", "image/tiff", blob))
+                # branch 'sn': old-style JPEG-in-TIFF (compression 6,
+                # deprecated but still in old scanner archives) — one
+                # JPEGInterchangeFormat stream, uniform value so the
+                # Annex-K round trip is exact over the whole image
+                vals6 = bytes([(i * 7) % 95 + 32]) * (w * h * ch)
+                blob = tiff_encode(vals6, w, h, ch, compression="jpeg6")
+                rows.append((f"sn{i}", "image/tiff", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

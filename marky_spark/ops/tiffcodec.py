@@ -359,10 +359,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     predictor = tags.get(317, [1])[0]
     fill_order = tags.get(266, [1])[0]
 
-    if compression == 6:
-        raise TiffUnsupportedError("old-style JPEG-in-TIFF (compression 6) "
-                                   "not implemented")
-    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32773, 32946):
         raise TiffError(f"unknown TIFF compression {compression}")
     if fill_order not in (1, 2):
         raise TiffError(f"unknown FillOrder {fill_order}")
@@ -375,6 +372,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
                         f"{spp} samples/pixel")
     fax = compression in (2, 3, 4)
     jpeg = compression == 7
+    jpeg6 = compression == 6
     if all(b == 8 for b in bits[:spp]):
         bps = 1
     elif all(b == 16 for b in bits[:spp]):
@@ -392,7 +390,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffUnsupportedError(
             "FillOrder 2 (LSB-first) only implemented for CCITT/bilevel "
             "uncompressed data")
-    if jpeg and bps != 1:
+    if (jpeg or jpeg6) and bps != 1:
         raise TiffError("JPEG-in-TIFF requires 8-bit samples")
     if bps == 0 and predictor == 2:
         raise TiffError("horizontal predictor is undefined for 1-bit data")
@@ -405,7 +403,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
                                        "implemented")
     if compression == 4 and tags.get(293, [0])[0] & 2:
         raise TiffUnsupportedError("uncompressed fax mode not implemented")
-    if jpeg:
+    if jpeg or jpeg6:
         ok_photo = (0, 1, 2, 6)  # YCbCr decodes to RGB inside the JPEG
     else:
         ok_photo = (0, 1, 2)
@@ -418,6 +416,37 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffError(f"bad dimensions {width}x{height}")
     if width * height * spp > MAX_PIXELS:
         raise TiffError(f"{width}x{height}x{spp} exceeds pixel cap")
+
+    if jpeg6:
+        # Old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated by TechNote
+        # #2). The per-strip tag-512/517-521 table machinery was never
+        # implemented interoperably; what real old scanner files carry —
+        # and what libtiff itself reads — is JPEGInterchangeFormat
+        # (tag 513/514) pointing at one COMPLETE JPEG stream. Decode
+        # that subset; files without an interchange stream stay typed.
+        if 513 not in tags:
+            raise TiffUnsupportedError(
+                "old-style JPEG-in-TIFF (compression 6) without a "
+                "JPEGInterchangeFormat stream not implemented")
+        if planar == 2:
+            raise TiffError("old-style JPEG cannot be planar")
+        jif_off = tags[513][0]
+        jif_len = tags.get(514, [len(data) - jif_off])[0]
+        if jif_off < 0 or jif_len < 2 or jif_off + jif_len > len(data):
+            raise TiffError("JPEGInterchangeFormat outside stream")
+        jw, jh, jch, jgrid = _jpeg_segment_decode(
+            data[jif_off:jif_off + jif_len], None, "interchange stream")
+        if jch != spp:
+            raise TiffError(
+                f"interchange JPEG has {jch} channels, want {spp}")
+        if jw < width or jh < height:
+            raise TiffError(
+                f"interchange JPEG is {jw}x{jh}, smaller than the "
+                f"{width}x{height} image")
+        out = jgrid[:height, :width].astype(np.int64)
+        if photometric == 0 and jch == 1:
+            out = 255 - out
+        return width, height, spp, out.astype(np.uint8).tobytes()
 
     tiled = any(t in tags for t in (322, 323, 324, 325))
     if tiled:
@@ -607,12 +636,13 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
         raise TiffError(f"unknown planar config {planar}")
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
                 "g4": 4, "mh": 2, "g3": 3, "g32d": 3,
-                "jpeg": 7}.get(compression)
+                "jpeg": 7, "jpeg6": 6}.get(compression)
     if comp_tag is None:
         raise TiffError(f"unknown compression {compression!r}")
     g3_2d = compression == "g32d"
     fax = comp_tag in (2, 3, 4)
     jpeg = comp_tag == 7
+    jpeg6 = comp_tag == 6
     if fax and bits != 1:
         raise TiffError("CCITT compressions require bits=1")
     if fill_order not in (1, 2):
@@ -624,11 +654,14 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
             raise TiffError("bilevel encode requires 1 chunky channel")
         if predictor != 1:
             raise TiffError("predictor is undefined for 1-bit data")
-    if jpeg:
+    if jpeg or jpeg6:
         if bits != 8 or planar != 1 or channels not in (1, 3):
             raise TiffError("JPEG encode requires 8-bit chunky gray/RGB")
         if predictor != 1:
             raise TiffError("predictor is undefined for JPEG data")
+        if jpeg6 and (tile is not None or rows_per_strip):
+            raise TiffError("old-style JPEG writes one interchange "
+                            "stream, not strips/tiles")
     bps = 1 if bits == 1 else bits // 8
     if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
         raise TiffError(f"bad dimensions {width}x{height}")
@@ -641,7 +674,7 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
     if photometric is None:
         if bits == 1:
             photometric = 0  # the fax/scan default: WhiteIsZero
-        elif jpeg and channels == 3:
+        elif (jpeg or jpeg6) and channels == 3:
             photometric = 6  # YCbCr inside the entropy stream
         else:
             photometric = 1 if channels == 1 else 2
@@ -674,11 +707,11 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
             if g3_2d:
                 return g3_2d_encode(raw, cols, rows)
             return mh_encode(raw, cols, rows, eol=comp_tag == 3)
-        if jpeg:
+        if jpeg or jpeg6:
             from .jpegcodec import jpeg_encode
             stream = jpeg_encode(part.astype(np.uint8).tobytes(),
                                  cols, rows, pch, quality=quality)
-            if jpeg_tables:
+            if jpeg and jpeg_tables:
                 tables, image = _split_jpeg_tables(stream)
                 if jpeg_tables_blob is None:
                     jpeg_tables_blob = tables
@@ -729,7 +762,12 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
         (262, 3, [photometric]),
         (277, 3, [channels]),
     ]
-    if tile is not None:
+    if jpeg6:
+        # one interchange stream: tag 513 points at the full JPEG
+        entries += [(513, 4, [0]),                  # patched below
+                    (514, 4, [len(strips[0])])]
+        offsets_tag = 513
+    elif tile is not None:
         entries += [(322, 4, [tile_w]), (323, 4, [tile_h]),
                     (324, 4, [0] * len(strips)),   # patched below
                     (325, 4, [len(s) for s in strips])]

@@ -118,6 +118,8 @@ def test_unsupported_shapes_classify():
                 return bytes(out)
         raise AssertionError(f"tag {tag} not found")
 
+    # compression 6 without a JPEGInterchangeFormat stream (tag 513) —
+    # the per-strip old-style tag machinery — stays typed-unsupported
     with pytest.raises(TiffUnsupportedError, match="old-style JPEG"):
         tiff_decode(patch_tag(base, 259, 6))
     # compression 7 is SUPPORTED now — but raw strips are not JPEG streams
@@ -304,3 +306,37 @@ def test_odd_bit_depths_stay_unsupported():
     struct.pack_into("<HHH", blob, off, 12, 12, 12)
     with pytest.raises(TiffUnsupportedError, match="bit depths"):
         tiff_decode(bytes(blob))
+
+
+def test_old_style_jpeg_interchange():
+    """Compression 6 with a JPEGInterchangeFormat stream (tag 513/514)
+    decodes the complete JPEG — the subset real old scanner files carry;
+    hostile offsets and channel mismatches stay typed."""
+    w, h = 20, 13
+    px = bytes([77]) * (w * h)
+    blob = tiff_encode(px, w, h, 1, compression="jpeg6")
+    assert tiff_decode(blob) == (w, h, 1, px)  # uniform → Annex-K exact
+    px3 = bytes([90]) * (w * h * 3)
+    assert tiff_decode(tiff_encode(px3, w, h, 3,
+                                   compression="jpeg6"))[3] == px3
+    inv = tiff_encode(px, w, h, 1, compression="jpeg6", photometric=0)
+    assert tiff_decode(inv)[3] == bytes([255 - 77]) * (w * h)
+
+    def retag(b: bytes, tag: int, v: int) -> bytes:
+        out = bytearray(b)
+        (n,) = struct.unpack_from("<H", out, 8)
+        for k in range(n):
+            off = 10 + 12 * k
+            if struct.unpack_from("<H", out, off)[0] == tag:
+                struct.pack_into("<I", out, off + 8, v)
+        return bytes(out)
+
+    with pytest.raises(TiffError, match="outside stream"):
+        tiff_decode(retag(blob, 513, 10 ** 7))
+    with pytest.raises(TiffError, match="channels"):
+        # claim 1 sample/pixel over the 3-channel interchange stream
+        rgb = tiff_encode(px3, w, h, 3, compression="jpeg6")
+        tiff_decode(retag(rgb, 277, 1))
+    # encoder contract: old-style writes ONE stream, never strips/tiles
+    with pytest.raises(TiffError, match="interchange"):
+        tiff_encode(px, w, h, 1, compression="jpeg6", rows_per_strip=4)
