@@ -358,6 +358,9 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
     fill_order = tags.get(266, [1])[0]
+    orientation = tags.get(274, [1])[0]
+    if orientation not in range(1, 9):
+        raise TiffError(f"unknown orientation {orientation}")
 
     if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32773, 32946):
         raise TiffError(f"unknown TIFF compression {compression}")
@@ -446,7 +449,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         out = jgrid[:height, :width].astype(np.int64)
         if photometric == 0 and jch == 1:
             out = 255 - out
-        return width, height, spp, out.astype(np.uint8).tobytes()
+        return _oriented(out.astype(np.uint8), orientation, spp)
 
     tiled = any(t in tags for t in (322, 323, 324, 325))
     if tiled:
@@ -574,7 +577,31 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
             grid &= mask
     if sample_bytes == 2 and not fax and not jpeg and bps != 0:
         grid = grid >> 8  # the exact 16→8 reduction, same as png_decode
-    return width, height, spp, grid.astype(np.uint8).tobytes()
+    return _oriented(grid.astype(np.uint8), orientation, spp)
+
+
+def _oriented(grid, orientation: int, spp: int):
+    """Apply TIFF/EXIF Orientation (tag 274) so callers always get
+    display-order rasters — scanner output is routinely stored rotated.
+    Values 5-8 transpose, so the returned (width, height) swap."""
+    import numpy as np
+
+    if orientation == 2:
+        grid = grid[:, ::-1]
+    elif orientation == 3:
+        grid = grid[::-1, ::-1]
+    elif orientation == 4:
+        grid = grid[::-1, :]
+    elif orientation == 5:          # transpose about the main diagonal
+        grid = np.swapaxes(grid, 0, 1)
+    elif orientation == 6:          # stored row 0 = display right edge
+        grid = np.swapaxes(grid, 0, 1)[:, ::-1]
+    elif orientation == 7:          # transverse
+        grid = np.swapaxes(grid, 0, 1)[::-1, ::-1]
+    elif orientation == 8:          # stored row 0 = display left edge
+        grid = np.swapaxes(grid, 0, 1)[::-1, :]
+    h, w = grid.shape[:2]
+    return w, h, spp, np.ascontiguousarray(grid).tobytes()
 
 
 def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:

@@ -95,8 +95,9 @@ def _with_tag(blob: bytes, tag: int, typ: int, values: list) -> bytes:
     tsize = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
     for e in entries:
         t, ty, cnt = struct.unpack_from("<HHI", e, 0)
-        # strip/tile data offsets AND overflow-value pointers both shift
-        if t in (273, 324) or tsize.get(ty, 8) * cnt > 4:
+        # strip/tile/interchange data offsets AND overflow-value
+        # pointers all shift
+        if t in (273, 324, 513) or tsize.get(ty, 8) * cnt > 4:
             v = struct.unpack_from("<I", e, 8)[0]
             struct.pack_into("<I", e, 8, v + 12)
     tail = ifd_off + 2 + 12 * n + 4
@@ -340,3 +341,29 @@ def test_old_style_jpeg_interchange():
     # encoder contract: old-style writes ONE stream, never strips/tiles
     with pytest.raises(TiffError, match="interchange"):
         tiff_encode(px, w, h, 1, compression="jpeg6", rows_per_strip=4)
+
+
+def test_orientation_tag_274():
+    """All 8 EXIF/TIFF orientations decode to display order; 5-8 swap
+    the returned dimensions. Checked against numpy-computed expectations
+    on an asymmetric grid."""
+    w, h = 5, 3
+    src = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    base = tiff_encode(src.tobytes(), w, h, 3, compression="none")
+    expect = {
+        1: src, 2: src[:, ::-1], 3: src[::-1, ::-1], 4: src[::-1, :],
+        5: np.swapaxes(src, 0, 1), 6: np.swapaxes(src, 0, 1)[:, ::-1],
+        7: np.swapaxes(src, 0, 1)[::-1, ::-1],
+        8: np.swapaxes(src, 0, 1)[::-1, :],
+    }
+    for o, want in expect.items():
+        blob = base if o == 1 else _with_tag(base, 274, 3, [o])
+        dw, dh, dc, out = tiff_decode(blob)
+        assert (dh, dw) == want.shape[:2], o
+        assert out == np.ascontiguousarray(want).tobytes(), o
+    with pytest.raises(TiffError, match="orientation"):
+        tiff_decode(_with_tag(base, 274, 3, [9]))
+    # orientation composes with the old-style JPEG early-return path
+    g = tiff_encode(bytes([70]) * 12, 4, 3, 1, compression="jpeg6")
+    dw, dh, _, out = tiff_decode(_with_tag(g, 274, 3, [6]))
+    assert (dw, dh) == (3, 4) and out == bytes([70]) * 12
