@@ -230,6 +230,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
+    exif_orientation = 1
     frame = None  # (w, h, comps) — comps: [(cid, hs, vs, tq)]
     scan = None
     progressive = False
@@ -253,6 +254,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 4:pos + 2 + seg_len]
         if len(body) != seg_len - 2:
             raise JpegError("truncated segment")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            # EXIF rides an APP1 TIFF IFD; only Orientation (274) matters
+            # to pixel consumers. Malformed EXIF is IGNORED (browser /
+            # libtiff behavior) — the image itself is still valid.
+            exif_orientation = _exif_orientation(body[6:]) \
+                or exif_orientation
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
@@ -381,7 +388,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if vs < vmax:
                 p = np.repeat(p, vmax // vs, axis=0)
             full.append(p[:h, :w])
-        return _color_assemble(full, w, h)
+        return _exif_apply(_color_assemble(full, w, h),
+                           exif_orientation)
 
     if frame is None or scan is None:
         raise JpegError("missing SOF/SOS")
@@ -472,7 +480,61 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
 
-    return _color_assemble(full, w, h)
+    return _exif_apply(_color_assemble(full, w, h), exif_orientation)
+
+
+def _exif_orientation(tiff: bytes):
+    """Orientation (tag 274) from an APP1-embedded TIFF IFD0, or None.
+    Bounded, never raises — malformed EXIF does not poison a valid
+    image (the same forgiveness browsers and libtiff apply)."""
+    try:
+        if tiff[:2] == b"II":
+            u16, u32 = "<H", "<I"
+        elif tiff[:2] == b"MM":
+            u16, u32 = ">H", ">I"
+        else:
+            return None
+        if struct.unpack_from(u16, tiff, 2)[0] != 42:
+            return None
+        (ifd,) = struct.unpack_from(u32, tiff, 4)
+        (n,) = struct.unpack_from(u16, tiff, ifd)
+        for k in range(min(n, 256)):
+            at = ifd + 2 + 12 * k
+            tag = struct.unpack_from(u16, tiff, at)[0]
+            typ = struct.unpack_from(u16, tiff, at + 2)[0]
+            if tag == 274 and typ == 3:
+                v = struct.unpack_from(u16, tiff, at + 8)[0]
+                return v if 1 <= v <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
+def _exif_apply(res, orientation: int):
+    """Reorder decoded samples into display order per EXIF orientation
+    (values 5-8 swap the returned width/height)."""
+    if orientation == 1:
+        return res
+    import numpy as np
+
+    w, h, ch, px = res
+    grid = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    if orientation == 2:
+        grid = grid[:, ::-1]
+    elif orientation == 3:
+        grid = grid[::-1, ::-1]
+    elif orientation == 4:
+        grid = grid[::-1, :]
+    elif orientation == 5:
+        grid = np.swapaxes(grid, 0, 1)
+    elif orientation == 6:
+        grid = np.swapaxes(grid, 0, 1)[:, ::-1]
+    elif orientation == 7:
+        grid = np.swapaxes(grid, 0, 1)[::-1, ::-1]
+    elif orientation == 8:
+        grid = np.swapaxes(grid, 0, 1)[::-1, :]
+    h2, w2 = grid.shape[:2]
+    return w2, h2, ch, np.ascontiguousarray(grid).tobytes()
 
 
 def _color_assemble(full, w: int, h: int) -> tuple[int, int, int, bytes]:

@@ -381,3 +381,41 @@ def test_dqt_segments_are_standard_annex_k():
     for k in range(64):
         natural[_ZIGZAG[k]] = body[k]
     assert natural == _STD_LUMA_Q
+
+
+def test_exif_orientation_applies():
+    """APP1 EXIF Orientation (tag 274) reorders decoded samples into
+    display order; 5-8 swap dimensions; malformed EXIF is ignored
+    (browser/libtiff forgiveness — the image itself is still valid)."""
+    import struct
+
+    import numpy as np
+
+    w, h = 12, 8
+    px = bytes([55]) * (w * h)
+    base = jpeg_encode(px, w, h, 1, quality=90)
+
+    def with_exif(jpeg: bytes, orientation: int, order: bytes = b"II"):
+        fmt = "<" if order == b"II" else ">"
+        tiff = (order + struct.pack(fmt + "HI", 42, 8)
+                + struct.pack(fmt + "H", 1)
+                + struct.pack(fmt + "HHIHH", 274, 3, 1, orientation, 0)
+                + struct.pack(fmt + "I", 0))
+        body = b"Exif\x00\x00" + tiff
+        return (jpeg[:2] + b"\xff\xe1"
+                + struct.pack(">H", len(body) + 2) + body + jpeg[2:])
+
+    for o in range(1, 9):
+        for order in (b"II", b"MM"):
+            dw, dh, _, out = jpeg_decode(with_exif(base, o, order))
+            assert (dw, dh) == ((w, h) if o < 5 else (h, w)), (o, order)
+            assert out == px, (o, order)
+    dw0, dh0, _, p0 = jpeg_decode(base)
+    g0 = np.frombuffer(p0, dtype=np.uint8).reshape(dh0, dw0)
+    _, _, _, p6 = jpeg_decode(with_exif(base, 6))
+    assert p6 == np.ascontiguousarray(
+        np.swapaxes(g0, 0, 1)[:, ::-1]).tobytes()
+    # out-of-range and malformed EXIF leave the image untouched
+    assert jpeg_decode(with_exif(base, 0))[3] == p0
+    assert jpeg_decode(
+        with_exif(base, 6).replace(b"II", b"XX", 1))[:2] == (w, h)
