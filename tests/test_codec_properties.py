@@ -124,3 +124,44 @@ def test_archive_round_trip_property(texts, seed):
     assert dict(_tar_members(buf.getvalue())) == members
     assert dict(_tar_members(gzip.decompress(
         gzip.compress(buf.getvalue())))) == members
+
+
+@given(dims=dims, codec=st.sampled_from(["g4", "mh", "mh_eol", "g3_2d"]),
+       k=st.integers(1, 6), seed=st.integers(0, 2**31))
+@FAST
+def test_fax_round_trip_property(dims, codec, k, seed):
+    from marky_spark.ops.faxcodec import (
+        g3_2d_decode,
+        g3_2d_encode,
+        g4_decode,
+        g4_encode,
+        mh_decode,
+        mh_encode,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 2, size=w * h, dtype=np.uint8).tobytes()
+    if codec == "g4":
+        assert g4_decode(g4_encode(px, w, h), w, h) == px
+    elif codec == "g3_2d":
+        assert g3_2d_decode(g3_2d_encode(px, w, h, k=k), w, h) == px
+    else:
+        eol = codec == "mh_eol"
+        assert mh_decode(mh_encode(px, w, h, eol=eol), w, h, eol=eol) == px
+
+
+@given(dims=dims, channels=st.sampled_from([1, 3]),
+       maxval=st.integers(255, 65535), seed=st.integers(0, 2**31))
+@FAST
+def test_pnm_wide_maxval_round_trip_property(dims, channels, maxval, seed):
+    """encode(maxval)→decode is the identity for EVERY maxval >= 255:
+    the round-half-up spread and rescale are exact inverses."""
+    from marky_spark.ops.pnmcodec import pnm_decode, pnm_encode
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * channels,
+                      dtype=np.uint8).tobytes()
+    assert pnm_decode(pnm_encode(px, w, h, channels, maxval=maxval)) == \
+        (w, h, channels, px)
