@@ -774,8 +774,10 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("a").alias("branch"),
         F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
         "media_ref",
-        F.when(F.substring("media_ref", 2, 18).cast("long") % 3 == 0,
-               "application/zip")
+        F.when(F.substring("media_ref", 2, 18).cast("long") % 4 == 3,
+               "application/x-7z-compressed")
+        .when(F.substring("media_ref", 2, 18).cast("long") % 3 == 0,
+              "application/zip")
         .when(F.substring("media_ref", 2, 18).cast("long") % 3 == 1,
               "application/gzip")
         .otherwise("application/x-tar").alias("mime"),
@@ -1650,9 +1652,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'a' AS branch,
                    doc_id,
                    'z' || doc_id AS media_ref,
-                   CASE doc_id % 3
-                        WHEN 0 THEN 'application/zip'
-                        WHEN 1 THEN 'application/gzip'
+                   CASE WHEN doc_id % 4 = 3
+                        THEN 'application/x-7z-compressed'
+                        WHEN doc_id % 3 = 0 THEN 'application/zip'
+                        WHEN doc_id % 3 = 1 THEN 'application/gzip'
                         ELSE 'application/x-tar' END AS mime,
                    md5(text) AS payload_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -11,9 +11,11 @@ Operators:
 - ``explode_archive`` — archive payloads → (member_name, member_idx,
   kind, payload, n_bytes) rows via ``mapInPandas`` (same fan-out shape as
   frame_sample: one input row → N output rows, no shuffle, no driver
-  collect). Containers: zip (PK\\x03\\x04), gzip single-member
-  (\\x1f\\x8b — a ``.tar.gz`` explodes into the tar's members), POSIX
-  tar (ustar magic at offset 257), bzip2, xz. Non-archives pass through
+  collect). Containers: zip (PK\\x03\\x04, incl. bzip2/LZMA members via
+  stdlib zipfile), gzip single-member (\\x1f\\x8b — a ``.tar.gz``
+  explodes into the tar's members), POSIX tar (ustar magic at offset
+  257), bzip2, xz, and 7z (ops/sevenzip: Copy/LZMA/LZMA2/BZip2
+  single-coder folders, encoded headers). Non-archives pass through
   as a ``not_archive`` row (callers route them to convert directly).
 - ``archive_members_from_dir`` — the file front door: a directory of
   real .zip/.tar/.tar.gz/... files → the same member rows, each file
@@ -21,9 +23,9 @@ Operators:
   the central directory; tar/tgz walked in ``r|*`` streaming mode), so
   memory stays bounded per member no matter how large the archive.
 - ``synth_archive_media`` — deterministic archive corpus over doc ids
-  (each doc's text wrapped as zip / gzip / tar rotating by doc_id), the
-  fixture the driver oracle pins: extraction must recover EXACTLY the
-  member bytes, so payload md5s are SQL-reconstructible.
+  (each doc's text wrapped as zip / gzip / tar / 7z rotating by doc_id),
+  the fixture the driver oracle pins: extraction must recover EXACTLY
+  the member bytes, so payload md5s are SQL-reconstructible.
 
 Memory model (the 100 TB contract): members are extracted ONE AT A
 TIME and emitted in bounded pandas chunks — peak memory is
@@ -244,10 +246,39 @@ def _iter_members(fileobj) -> Iterator[tuple[str, bytes]]:
     elif looks_like_xz(head):
         yield from _iter_stream_single(
             fileobj, lzma.LZMAFile, "xz", "member", budget)
+    elif head[:6] == b"7z\xbc\xaf\x27\x1c":
+        yield from _iter_7z(fileobj, budget)
     elif looks_like_tar(head):
         yield from _iter_tar(fileobj, budget)
     else:
         raise ArchiveError("not an archive")
+
+
+def _iter_7z(fileobj, budget: _Budget) -> Iterator[tuple[str, bytes]]:
+    """7z stream → (name, bytes). 7z's header lives at the archive TAIL
+    and folders are solid, so the container is read whole (like zip's
+    central directory, the random-access model is inherent); per-folder
+    output is capped inside ops/sevenzip and members still flow through
+    the shared budget/member caps."""
+    from .sevenzip import SevenZipError, sevenzip_members
+
+    blob = fileobj.read()
+    try:
+        members = sevenzip_members(blob)
+    except SevenZipError as exc:
+        raise ArchiveError(f"bad 7z: {exc}") from None
+    except NotImplementedError as exc:
+        raise ArchiveError(f"unsupported 7z: {exc}") from None
+    if len(members) > MAX_MEMBERS:
+        raise ArchiveError(
+            f"7z has {len(members)} members (cap {MAX_MEMBERS})")
+    for name, data in members:
+        if len(data) > MAX_MEMBER_BYTES:
+            raise ArchiveError(
+                f"member {name!r} is {len(data)} bytes (cap "
+                f"{MAX_MEMBER_BYTES})")
+        budget.add(len(data))
+        yield name, data
 
 
 def _zip_members(blob: bytes) -> list[tuple[str, bytes]]:
@@ -418,13 +449,17 @@ def members_to_docs(members: DataFrame,
 
 def synth_archive_media(docs: DataFrame) -> DataFrame:
     """Deterministic archive corpus over doc ids: doc i's UTF-8 text
-    wrapped as (i % 3) → zip (deflate) / gzip / tar, each with one member
-    named ``doc<i>.txt``. Extraction must recover EXACTLY the text bytes,
-    so the driver oracle pins all three container walks with
-    ``md5(text)`` arithmetic and no archive library on the SQL side."""
+    wrapped as (i % 4) → zip (deflate) / gzip / tar / 7z (ops/sevenzip
+    writer — the coder rotates copy/LZMA/LZMA2/BZip2 by id and every
+    third 7z id compresses its HEADER too), each with one member named
+    ``doc<i>.txt``. Extraction must recover EXACTLY the text bytes, so
+    the driver oracle pins all four container walks with ``md5(text)``
+    arithmetic and no archive library on the SQL side."""
     import gzip
     import tarfile
     import zipfile
+
+    from .sevenzip import sevenzip_write
 
     from .multimodal import MEDIA_SCHEMA
 
@@ -436,7 +471,11 @@ def synth_archive_media(docs: DataFrame) -> DataFrame:
                 data = str(text).encode("utf-8")
                 name = f"doc{i}.txt"
                 buf = io.BytesIO()
-                if i % 3 == 0:
+                if i % 4 == 3:
+                    buf.write(sevenzip_write(
+                        [(name, data)], encoded_header=i % 3 == 0))
+                    mime = "application/x-7z-compressed"
+                elif i % 3 == 0:
                     with zipfile.ZipFile(buf, "w",
                                          zipfile.ZIP_DEFLATED) as zf:
                         # fixed date_time keeps the corpus deterministic

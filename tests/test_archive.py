@@ -141,18 +141,23 @@ def test_spark_explode_fanout_and_kinds(spark):
 
 def test_synth_archive_matches_oracle_arithmetic(spark):
     """The synthetic corpus really wraps each doc's text: member bytes ==
-    text bytes for all three containers."""
+    text bytes for all four containers."""
     from marky_spark.ops.archive import synth_archive_media
+    from marky_spark.ops.sevenzip import looks_like_7z, sevenzip_members
 
     docs = spark.createDataFrame(
-        [(i, f"document body {i} with words") for i in range(6)],
+        [(i, f"document body {i} with words") for i in range(12)],
         "doc_id long, text string")
     media = {r["media_ref"]: r for r in synth_archive_media(docs).collect()}
-    for i in range(6):
+    for i in range(12):
         r = media[f"z{i}"]
         blob = bytes(r["payload"])
         expect = f"document body {i} with words".encode()
-        if i % 3 == 0:
+        if i % 4 == 3:
+            assert r["mime"] == "application/x-7z-compressed"
+            assert looks_like_7z(blob)
+            assert sevenzip_members(blob) == [(f"doc{i}.txt", expect)]
+        elif i % 3 == 0:
             assert r["mime"] == "application/zip" and looks_like_zip(blob)
             assert _zip_members(blob) == [(f"doc{i}.txt", expect)]
         elif i % 3 == 1:
