@@ -13,8 +13,10 @@ so ``spark.read`` → convert → curate → sink is one declarative plan.
   streamed record-at-a-time with O(record) worker memory (only the
   path rides through Spark; a ~1 GiB Common Crawl file never
   materializes).
-- :func:`docs_from_archive_dir` — ``.zip`` / ``.tar[.gz|.bz2|.xz]``
-  bundles, streamed member-at-a-time the same way.
+- :func:`docs_from_archive_dir` — ``.zip`` / ``.tar[.gz|.bz2|.xz]`` /
+  ``.7z`` bundles, streamed member-at-a-time the same way (7z's
+  tail-header layout makes the container whole-read like zip's central
+  directory; folder output stays capped inside ops/sevenzip).
 - :func:`docs_from_dir` — loose documents (the reference's own input
   shape): binaryFile loads each file's bytes, the CLI's content sniff
   routes it, binary container kinds ride base64 (the wire convention
