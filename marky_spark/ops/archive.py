@@ -472,8 +472,11 @@ def synth_archive_media(docs: DataFrame) -> DataFrame:
                 name = f"doc{i}.txt"
                 buf = io.BytesIO()
                 if i % 4 == 3:
+                    # coder_offset spreads the single-member corpus
+                    # across all six coders (incl. both filter chains)
                     buf.write(sevenzip_write(
-                        [(name, data)], encoded_header=i % 3 == 0))
+                        [(name, data)], encoded_header=i % 3 == 0,
+                        coder_offset=i // 4))
                     mime = "application/x-7z-compressed"
                 elif i % 3 == 0:
                     with zipfile.ZipFile(buf, "w",

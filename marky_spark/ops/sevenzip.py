@@ -15,12 +15,14 @@ Written from the public ``7zFormat.txt`` spec shipped with 7-Zip/p7zip:
   kUnPackInfo with per-folder coder graphs, kSubStreamsInfo), kFilesInfo
   (kEmptyStream / kEmptyFile bit vectors, UTF-16-LE kName)
 
-Scope (honest subset): single-coder folders with the coders stdlib can
-decompress — Copy (00), LZMA (03 01 01, replayed through a synthesized
+Scope (honest subset): folders whose coders stdlib can decompress —
+Copy (00), LZMA (03 01 01, replayed through a synthesized
 ``FORMAT_ALONE`` header so no private lzma APIs are touched), LZMA2 (21,
 ``FORMAT_RAW`` with the dict-size property byte decoded per spec) and
 BZip2 (04 02 02) — plus encoded (compressed) headers built from the same
-folder machinery. Filter-chain folders (BCJ/delta pipelines, AES) raise
+folder machinery, and the common two-coder [LZMA/LZMA2 → BCJ-x86|delta]
+filter chains (decoded in one pass through liblzma's raw filter-chain
+support). Longer chains, AES, and exotic filters raise
 :class:`SevenZipUnsupportedError`; anything malformed raises
 :class:`SevenZipError` (the poison-pill contract). Both header CRCs are
 verified; folder output is size-capped BEFORE decompression (bomb guard)
@@ -259,18 +261,103 @@ def _folder_out_size(folder: dict) -> int:
     raise SevenZipError("folder with no final output stream")
 
 
+_FILTER_X86 = b"\x03\x03\x01\x03"
+_FILTER_DELTA = b"\x03"
+
+
+def _filter_spec(cid: bytes, props: bytes) -> dict:
+    """Outer-filter coder → liblzma raw-chain filter entry."""
+    import lzma
+
+    if cid == _FILTER_X86:
+        if props:
+            raise SevenZipUnsupportedError("BCJ x86 with a start offset")
+        return {"id": lzma.FILTER_X86}
+    if cid == _FILTER_DELTA:
+        if len(props) != 1:
+            raise SevenZipError("delta filter without its distance byte")
+        return {"id": lzma.FILTER_DELTA, "dist": props[0] + 1}
+    raise SevenZipUnsupportedError(
+        f"filter coder {cid.hex() or '00'} not supported")
+
+
+def _lzma_chain_spec(cid: bytes, props: bytes) -> dict:
+    """Compressor coder → liblzma raw-chain filter entry (chains only
+    compose inside liblzma, so the compressor must be LZMA1/LZMA2)."""
+    import lzma
+
+    if cid == _CODER_LZMA2:
+        if len(props) != 1 or props[0] > 40:
+            raise SevenZipError("bad LZMA2 dict-size property")
+        dict_size = (0xFFFFFFFF if props[0] == 40
+                     else (2 | (props[0] & 1)) << (props[0] // 2 + 11))
+        return {"id": lzma.FILTER_LZMA2, "dict_size": dict_size}
+    if cid == _CODER_LZMA:
+        if len(props) != 5:
+            raise SevenZipError("LZMA coder without 5-byte properties")
+        p = props[0]
+        if p >= 225:
+            raise SevenZipError("bad LZMA lc/lp/pb byte")
+        return {"id": lzma.FILTER_LZMA1, "lc": p % 9, "lp": (p // 9) % 5,
+                "pb": p // 45,
+                "dict_size": int.from_bytes(props[1:5], "little")}
+    raise SevenZipUnsupportedError(
+        f"chained compressor {cid.hex() or '00'} not supported")
+
+
+def _decode_chain_folder(folder: dict, packed: bytes,
+                         out_size: int) -> bytes:
+    """Two-coder folder [compressor → filter]: the common real-world 7z
+    layout for executables (BCJ x86) and structured binary (delta).
+    Decoded in one pass through liblzma's raw filter chain."""
+    import lzma
+
+    coders = folder["coders"]
+    if any((c[1], c[2]) != (1, 1) for c in coders):
+        raise SevenZipUnsupportedError("multi-stream coder in chain")
+    if len(folder["bind"]) != 1:
+        raise SevenZipError("two-coder folder needs exactly one bind pair")
+    in_idx, out_idx = folder["bind"][0]
+    # global stream indexing: coder k's single in/out stream has index k
+    if not (0 <= in_idx <= 1 and 0 <= out_idx <= 1) or in_idx == out_idx:
+        raise SevenZipError("bad bind pair indices")
+    filt_k, comp_k = in_idx, out_idx
+    # the packed stream must feed the compressor (its in-stream is the
+    # unbound one); a folder filtered AFTER compression is not a layout
+    # any writer produces
+    filters = [_filter_spec(*_cp(coders[filt_k])),
+               _lzma_chain_spec(*_cp(coders[comp_k]))]
+    dec = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=filters)
+    try:
+        return dec.decompress(packed, max_length=out_size + 1)
+    except lzma.LZMAError as exc:
+        raise SevenZipError(f"bad filtered stream: {exc}") from None
+
+
+def _cp(coder) -> tuple[bytes, bytes]:
+    return coder[0], coder[3]
+
+
 def _decode_folder(folder: dict, packed: bytes) -> bytes:
-    if len(folder["coders"]) != 1 or folder["bind"]:
-        kinds = "+".join(c[0].hex() or "00" for c in folder["coders"])
-        raise SevenZipUnsupportedError(
-            f"multi-coder folder ({kinds}) — filter chains not supported")
-    cid, n_in, n_out, props = folder["coders"][0]
-    if (n_in, n_out) != (1, 1):
-        raise SevenZipUnsupportedError("multi-stream coder")
     out_size = _folder_out_size(folder)
     if out_size > MAX_FOLDER_BYTES:
         raise SevenZipError(
             f"folder declares {out_size} bytes (cap {MAX_FOLDER_BYTES})")
+    if len(folder["coders"]) == 2:
+        out = _decode_chain_folder(folder, packed, out_size)
+        if len(out) != out_size:
+            raise SevenZipError(
+                f"folder decompressed to {len(out)} bytes, "
+                f"declared {out_size}")
+        return out
+    if len(folder["coders"]) != 1 or folder["bind"]:
+        kinds = "+".join(c[0].hex() or "00" for c in folder["coders"])
+        raise SevenZipUnsupportedError(
+            f"multi-coder folder ({kinds}) — only [compressor → filter] "
+            f"chains are supported")
+    cid, n_in, n_out, props = folder["coders"][0]
+    if (n_in, n_out) != (1, 1):
+        raise SevenZipUnsupportedError("multi-stream coder")
     if cid == _CODER_COPY:
         out = packed
     elif cid == _CODER_LZMA:
@@ -486,41 +573,74 @@ def _w_bitvector(bits: list[bool]) -> bytes:
     return bytes(out)
 
 
-def _encode_one(coder: str, data: bytes) -> tuple[bytes, bytes, bytes]:
-    """(packed, codec_id, props) for one member under the given coder."""
+def _encode_one(coder: str, data: bytes) -> tuple[bytes, bytes, list[int]]:
+    """(packed, serialized_folder, out_sizes) for one member."""
+    n = len(data)
     if coder == "copy":
-        return data, _CODER_COPY, b""
+        body, _ = _w_folder(_CODER_COPY, b"")
+        return data, body, [n]
     if coder == "lzma":
         import lzma
 
         alone = lzma.compress(data, format=lzma.FORMAT_ALONE, preset=6)
-        return alone[13:], _CODER_LZMA, alone[:5]
+        body, _ = _w_folder(_CODER_LZMA, alone[:5])
+        return alone[13:], body, [n]
     if coder == "lzma2":
         import lzma
 
         packed = lzma.compress(data, format=lzma.FORMAT_RAW, filters=[
             {"id": lzma.FILTER_LZMA2, "preset": 6}])
         # dict-size property 24 → 16 MiB ≥ preset 6's 8 MiB dictionary
-        return packed, _CODER_LZMA2, b"\x18"
+        body, _ = _w_folder(_CODER_LZMA2, b"\x18")
+        return packed, body, [n]
     if coder == "bzip2":
         import bz2
 
-        return bz2.compress(data), _CODER_BZIP2, b""
+        body, _ = _w_folder(_CODER_BZIP2, b"")
+        return bz2.compress(data), body, [n]
+    if coder in ("lzma2+x86", "lzma2+delta"):
+        import lzma
+
+        if coder == "lzma2+x86":
+            filt_chain = {"id": lzma.FILTER_X86}
+            filt_coder = (_FILTER_X86, b"")
+        else:
+            filt_chain = {"id": lzma.FILTER_DELTA, "dist": 4}
+            filt_coder = (_FILTER_DELTA, b"\x03")   # distance byte = dist-1
+        packed = lzma.compress(data, format=lzma.FORMAT_RAW, filters=[
+            filt_chain, {"id": lzma.FILTER_LZMA2, "preset": 6}])
+        body, _ = _w_chain_folder((_CODER_LZMA2, b"\x18"), filt_coder)
+        # both filters are length-preserving: intermediate == final size
+        return packed, body, [n, n]
     raise SevenZipError(f"unknown writer coder {coder!r}")
 
 
-def _w_folder(cid: bytes, props: bytes) -> bytes:
+def _w_coder(cid: bytes, props: bytes) -> bytes:
     flag = len(cid) | (0x20 if props else 0)
-    out = _w_number(1) + bytes([flag]) + cid
+    out = bytes([flag]) + cid
     if props:
         out += _w_number(len(props)) + props
     return out
 
 
+def _w_folder(cid: bytes, props: bytes) -> tuple[bytes, int]:
+    """Single-coder folder → (serialized folder, n out-streams)."""
+    return _w_number(1) + _w_coder(cid, props), 1
+
+
+def _w_chain_folder(comp: tuple[bytes, bytes],
+                    filt: tuple[bytes, bytes]) -> tuple[bytes, int]:
+    """[compressor → filter] folder: coder 0 = compressor (fed by the
+    packed stream), coder 1 = filter, bind pair (in#1 ← out#0)."""
+    body = (_w_number(2) + _w_coder(*comp) + _w_coder(*filt)
+            + _w_number(1) + _w_number(0))    # bind pair (1, 0)
+    return body, 2
+
+
 def _w_streams_info(pack_pos: int, pack_sizes: list[int],
-                    folder_entries: list[tuple[bytes, bytes, int]]) -> bytes:
-    """kPackInfo + kUnPackInfo for 1-coder-1-stream folders:
-    folder_entries = [(codec_id, props, out_size)]."""
+                    folder_entries: list[tuple[bytes, list[int]]]) -> bytes:
+    """kPackInfo + kUnPackInfo:
+    folder_entries = [(serialized_folder, [out_sizes...])]."""
     out = bytearray()
     out += _w_number(_K_PACK_INFO)
     out += _w_number(pack_pos) + _w_number(len(pack_sizes))
@@ -530,40 +650,46 @@ def _w_streams_info(pack_pos: int, pack_sizes: list[int],
     out += _w_number(_K_END)
     out += _w_number(_K_UNPACK_INFO)
     out += _w_number(_K_FOLDER) + _w_number(len(folder_entries)) + b"\x00"
-    for cid, props, _ in folder_entries:
-        out += _w_folder(cid, props)
+    for body, _ in folder_entries:
+        out += body
     out += _w_number(_K_OUT_SIZES)
-    for _, _, size in folder_entries:
-        out += _w_number(size)
+    for _, sizes in folder_entries:
+        for size in sizes:
+            out += _w_number(size)
     out += _w_number(_K_END)
     out += _w_number(_K_END)
     return bytes(out)
 
 
 def sevenzip_write(members: list[tuple[str, bytes]],
-                   encoded_header: bool = False) -> bytes:
-    """``[(name, data)]`` → 7z archive, one single-coder folder per
-    non-empty member with the coder rotating copy/LZMA/LZMA2/BZip2 by
-    position (every decode path gets exercised); empty members ride the
+                   encoded_header: bool = False,
+                   coder_offset: int = 0) -> bytes:
+    """``[(name, data)]`` → 7z archive, one folder per non-empty member
+    with the coder rotating copy / LZMA / LZMA2 / BZip2 / LZMA2+BCJ-x86
+    / LZMA2+delta by position (every decode path, including the
+    two-coder filter chains, gets exercised); empty members ride the
     kEmptyStream bit vector. ``encoded_header=True`` wraps the header in
     an LZMA-compressed kEncodedHeader folder — the layout every stock
-    7-Zip build writes — so the reader's two-level walk is pinned too."""
+    7-Zip build writes — so the reader's two-level walk is pinned too.
+    ``coder_offset`` shifts the rotation's starting point, so a corpus
+    of single-member archives still spreads across every coder."""
     if len(members) > MAX_ENTRIES:
         raise SevenZipError("too many members")
-    coders = ("copy", "lzma", "lzma2", "bzip2")
+    coders = ("copy", "lzma", "lzma2", "bzip2", "lzma2+x86", "lzma2+delta")
     packed_parts: list[bytes] = []
-    folder_entries: list[tuple[bytes, bytes, int]] = []
+    folder_entries: list[tuple[bytes, list[int]]] = []
     empty_bits: list[bool] = []
-    k = 0
+    k = coder_offset
     for name, data in members:
         if not name:
             raise SevenZipError("member with empty name")
         empty_bits.append(not data)
         if not data:
             continue
-        packed, cid, props = _encode_one(coders[k % len(coders)], data)
+        packed, fbody, out_sizes = _encode_one(coders[k % len(coders)],
+                                               data)
         packed_parts.append(packed)
-        folder_entries.append((cid, props, len(data)))
+        folder_entries.append((fbody, out_sizes))
         k += 1
 
     body = bytearray()
@@ -596,8 +722,9 @@ def sevenzip_write(members: list[tuple[str, bytes]],
         hdr_packed = alone[13:]
         enc = bytearray()
         enc += _w_number(_K_ENCODED_HEADER)
-        enc += _w_streams_info(len(pack_region), [len(hdr_packed)],
-                               [(_CODER_LZMA, alone[:5], len(header))])
+        enc += _w_streams_info(
+            len(pack_region), [len(hdr_packed)],
+            [(_w_folder(_CODER_LZMA, alone[:5])[0], [len(header)])])
         pack_region += hdr_packed
         header = bytes(enc)
 

@@ -142,3 +142,18 @@ def test_zip_exotic_methods_explode():
                     compress_type=zipfile.ZIP_LZMA)
     assert _zip_members(buf.getvalue()) == [
         ("bz.txt", b"hello bzip2 " * 50), ("lz.txt", b"hello lzma " * 50)]
+
+
+def test_filter_chain_folders_round_trip():
+    """Two-coder [LZMA2 → BCJ-x86 | delta] folders — the common
+    real-world 7z layout for executables/structured binary — decode
+    through liblzma's raw filter chains; longer chains stay typed."""
+    members = [(f"m{k}.bin",
+                bytes([(k * 17 + j) % 251 for j in range(3000 + k)]))
+               for k in range(8)]  # rotation covers both chain coders
+    for eh in (False, True):
+        assert sevenzip_members(
+            sevenzip_write(members, encoded_header=eh)) == members
+    code = (b"\xe8\x10\x00\x00\x00" + b"\x90" * 20) * 200
+    m2 = [("pad%d" % k, b"x" * 100) for k in range(4)] + [("prog.exe", code)]
+    assert sevenzip_members(sevenzip_write(m2)) == m2
