@@ -2,8 +2,10 @@
 behind ops/multimodal (after PNG, BMP, GIF).
 
 Baseline sequential DCT (SOF0/1) and progressive DCT (SOF2), 8-bit
-samples, 1- or 3-component scans, arbitrary sampling factors up to 2×2
-(4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart markers, JFIF YCbCr color.
+and 12-bit samples (12-bit reduces to 8 via the exact high-bits shift,
+the 16-bit-TIFF convention), 1- or 3-component scans, arbitrary sampling
+factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart markers,
+JFIF YCbCr color.
 Decoding is honestly structural: marker walk, quantization/Huffman table
 management, entropy-decoded MCU stream (bit reader over the byte-unstuffed
 scan), dequantize → de-zigzag → 2-D IDCT (numpy matrix form) → plane
@@ -11,7 +13,7 @@ assembly → chroma upsample → color convert. Progressive decoding follows
 T.81 §G.1.2 — spectral selection (per-band scans with EOBn run lengths)
 plus successive approximation (DC bit refinement, AC correction-bit
 descent) accumulated into a zigzag coefficient store across scans, then
-the same batched IDCT. Arithmetic coding, 12-bit precision and
+the same batched IDCT. Arithmetic coding and
 hierarchical modes raise :class:`JpegUnsupportedError` (a
 NotImplementedError, so the multimodal operators classify those blobs as
 ``codec_unavailable``); malformed payloads raise plain :class:`JpegError`
@@ -57,7 +59,7 @@ class JpegError(ValueError):
 
 class JpegUnsupportedError(JpegError, NotImplementedError):
     """Recognized JPEG, but a mode this codec does not implement
-    (progressive/arithmetic/12-bit/hierarchical). Subclasses
+    (arithmetic coding, hierarchical mode). Subclasses
     NotImplementedError so the multimodal operators classify these blobs
     as ``codec_unavailable`` (the payload is fine — the codec is partial),
     distinct from malformed-payload ``error:`` rows."""
@@ -231,7 +233,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
     exif_orientation = 1
-    frame = None  # (w, h, comps) — comps: [(cid, hs, vs, tq)]
+    frame = None  # (w, h, comps, prec) — comps: [(cid, hs, vs, tq)]
     scan = None
     progressive = False
     prog_coefs = None  # per-comp int32 (by, bx, 64) zigzag-order coefficients
@@ -292,8 +294,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if len(body) < 6:
                 raise JpegError("truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise JpegUnsupportedError(f"unsupported precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                # T.81: SOF0 (baseline) is 8-bit only; 12-bit rides the
+                # extended-sequential (SOF1) / progressive (SOF2) frames
+                raise JpegError("12-bit precision in a baseline SOF0")
             if w <= 0 or h <= 0 or w * h > JPEG_MAX_PIXELS:
                 raise JpegError(f"bad dimensions {w}x{h}")
             if nc not in (1, 3):
@@ -307,7 +313,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise JpegError(f"unsupported sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -334,7 +340,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 scan = (sel, pos + 2 + seg_len)
                 break
             # progressive: decode this scan now, keep walking markers
-            w, h, comps = frame
+            w, h, comps, _prec = frame
             cid_index = {c[0]: i for i, c in enumerate(comps)}
             scan_list = []
             for c in range(ns):
@@ -367,7 +373,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if progressive:
         if prog_coefs is None or prog_scans == 0:
             raise JpegError("missing SOS")
-        w, h, comps = frame
+        w, h, comps, prec = frame
         hmax, vmax, mcus_x, mcus_y = prog_geom
         M = _dct_matrix()
         full = []
@@ -378,7 +384,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             nat = np.zeros_like(z)
             nat[:, _ZIGZAG] = z
             blocks = nat.reshape(-1, 8, 8) * qtables[tq]
-            spatial = M.T @ blocks @ M + 128.0
+            spatial = M.T @ blocks @ M + float(1 << (prec - 1))
             bx_n = mcus_x * hs
             p = (spatial.reshape(mcus_y * vs, bx_n, 8, 8)
                  .transpose(0, 2, 1, 3)
@@ -388,12 +394,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if vs < vmax:
                 p = np.repeat(p, vmax // vs, axis=0)
             full.append(p[:h, :w])
-        return _exif_apply(_color_assemble(full, w, h),
+        return _exif_apply(_color_assemble(full, w, h, prec),
                            exif_orientation)
 
     if frame is None or scan is None:
         raise JpegError("missing SOF/SOS")
-    w, h, comps = frame
+    w, h, comps, prec = frame
     sel, entropy_start = scan
 
     # byte-unstuff the entropy segment, recording restart-marker positions
@@ -470,7 +476,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         blocks = coefs[ci].reshape(-1, 8, 8) * qtables[tq]
-        spatial = M.T @ blocks @ M + 128.0
+        spatial = M.T @ blocks @ M + float(1 << (prec - 1))
         p = (spatial.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
              .transpose(0, 2, 4, 1, 3, 5)
              .reshape(mcus_y * vs * 8, mcus_x * hs * 8))
@@ -480,7 +486,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
 
-    return _exif_apply(_color_assemble(full, w, h), exif_orientation)
+    return _exif_apply(_color_assemble(full, w, h, prec), exif_orientation)
 
 
 def _exif_orientation(tiff: bytes):
@@ -537,21 +543,27 @@ def _exif_apply(res, orientation: int):
     return w2, h2, ch, np.ascontiguousarray(grid).tobytes()
 
 
-def _color_assemble(full, w: int, h: int) -> tuple[int, int, int, bytes]:
+def _color_assemble(full, w: int, h: int,
+                    prec: int = 8) -> tuple[int, int, int, bytes]:
     """Cropped float sample planes → (w, h, channels, bytes): grayscale
-    pass-through or JFIF YCbCr → RGB."""
+    pass-through or JFIF YCbCr → RGB. 12-bit planes clip on the wide
+    lattice and reduce to 8 bits by the exact high-bits shift (>> 4),
+    the same convention as 16-bit TIFF/PNG's >> 8."""
     import numpy as np
 
+    center = float(1 << (prec - 1))
+    top = (1 << prec) - 1
+    shift = prec - 8
     if len(full) == 1:
-        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, gray.tobytes()
+        gray = np.clip(np.round(full[0]), 0, top).astype(np.int32)
+        return w, h, 1, (gray >> shift).astype(np.uint8).tobytes()
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=-1)
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    rgb = np.clip(np.round(rgb), 0, top).astype(np.int32)
+    return w, h, 3, (rgb >> shift).astype(np.uint8).tobytes()
 
 
 def _decode_prog_scan(data: bytes, entropy_start: int, frame, geom,
@@ -570,7 +582,7 @@ def _decode_prog_scan(data: bytes, entropy_start: int, frame, geom,
     exact for negative values. ``scan_list`` is [(comp_index, td, ta)] in
     SOS order; restart intervals split the unstuffed stream at the recorded
     RSTn offsets, resetting predictions and the EOB run."""
-    w, h, comps = frame
+    w, h, comps, _prec = frame
     hmax, vmax, mcus_x, mcus_y = geom
 
     ns = len(scan_list)
@@ -754,6 +766,22 @@ _STD_CHROMA_Q = [
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
 ]
 # Annex K.3 standard Huffman specifications: (counts, symbols)
+# 12-bit (extended-sequential) Huffman tables: Annex K's tables only
+# cover 8-bit category ranges, so the 12-bit encoder emits simple wide
+# canonical tables — DC categories 0..15 as sixteen 5-bit codes, AC
+# (run,size) symbols with size 1..14 plus EOB/ZRL as 8-bit codes (226
+# symbols < 255, so the forbidden all-ones code stays unused). Any
+# consistent DHT is legal; the decoder reads whatever the stream carries.
+_EXT12_DC = (
+    bytes([0, 0, 0, 0, 16] + [0] * 11),
+    bytes(range(16)),
+)
+_EXT12_AC = (
+    bytes([0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8),
+    bytes(sorted([0x00, 0xF0] + [(r << 4) | s
+                                 for r in range(16) for s in range(1, 15)])),
+)
+
 _STD_DC_LUMA = (
     bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
     bytes(range(12)),
@@ -857,29 +885,39 @@ def _category(v: int) -> int:
 
 def jpeg_encode(pixels: bytes, width: int, height: int,
                 channels: int = 3, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, precision: int = 8) -> bytes:
     """Raw interleaved RGB (or single-channel gray) samples, rows top-down
     → baseline 4:4:4 JFIF JPEG — the test-fixture inverse of
     :func:`jpeg_decode` (lossy: round-trips are close, not exact).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (exercises the decoder's restart resynchronization)."""
+    that many MCUs (exercises the decoder's restart resynchronization).
+    ``precision=12`` takes little-endian u16 samples on the 0..4095
+    lattice and writes an extended-sequential (SOF1) stream with
+    wide-category Huffman tables — the archival-scan shape."""
     import numpy as np
 
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
+    if precision not in (8, 12):
+        raise JpegError(f"unsupported encode precision {precision}")
     if not (0 < width <= 65535 and 0 < height <= 65535):
         raise JpegError(f"dimensions {width}x{height} exceed u16 fields")
-    if len(pixels) != width * height * channels:
+    sample_bytes = 1 if precision == 8 else 2
+    if len(pixels) != width * height * channels * sample_bytes:
         raise JpegError(
             f"pixel buffer is {len(pixels)} bytes, "
-            f"want {width * height * channels}")
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            f"want {width * height * channels * sample_bytes}")
+    center = float(1 << (precision - 1))
+    arr = np.frombuffer(
+        pixels, dtype=np.uint8 if precision == 8 else "<u2").reshape(
         height, width, channels).astype(np.float64)
+    if precision == 12 and arr.max(initial=0) > 4095:
+        raise JpegError("12-bit sample above 4095")
     if channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
         comps = [y, cb, cr]
     else:
         comps = [arr[..., 0]]
@@ -898,10 +936,18 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     bw = 8 * (-(-width // 8))
     bh = 8 * (-(-height // 8))
 
-    dc_enc = [_encode_huffman_codes(*_STD_DC_LUMA),
-              _encode_huffman_codes(*_STD_DC_CHROMA)]
-    ac_enc = [_encode_huffman_codes(*_STD_AC_LUMA),
-              _encode_huffman_codes(*_STD_AC_CHROMA)]
+    if precision == 8:
+        dc_tabs = (_STD_DC_LUMA, _STD_DC_CHROMA)
+        ac_tabs = (_STD_AC_LUMA, _STD_AC_CHROMA)
+    else:
+        # 12-bit DC categories reach 15 and AC sizes 14 — outside the
+        # Annex-K (8-bit) tables, so emit simple wide canonical tables
+        dc_tabs = (_EXT12_DC, _EXT12_DC)
+        ac_tabs = (_EXT12_AC, _EXT12_AC)
+    dc_enc = [_encode_huffman_codes(*dc_tabs[0]),
+              _encode_huffman_codes(*dc_tabs[1])]
+    ac_enc = [_encode_huffman_codes(*ac_tabs[0]),
+              _encode_huffman_codes(*ac_tabs[1])]
 
     writer = _BitWriter()
     preds = [0] * channels
@@ -914,7 +960,7 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
         pp[:height, :width] = p
         pp[height:, :width] = p[-1:, :]
         pp[:, width:] = pp[:, width - 1:width]
-        padded.append(pp - 128.0)
+        padded.append(pp - center)
 
     inv_zz = np.array(_ZIGZAG)
     for my in range(bh // 8):
@@ -976,15 +1022,16 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
         out += seg(0xDB, b"\x01" + zc)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for c in range(channels):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, b"\x00" + _STD_DC_LUMA[0] + _STD_DC_LUMA[1])
-    out += seg(0xC4, b"\x10" + _STD_AC_LUMA[0] + _STD_AC_LUMA[1])
+    # 12-bit is formally extended-sequential → SOF1 (T.81 table B.1)
+    out += seg(0xC0 if precision == 8 else 0xC1, sof)
+    out += seg(0xC4, b"\x00" + dc_tabs[0][0] + dc_tabs[0][1])
+    out += seg(0xC4, b"\x10" + ac_tabs[0][0] + ac_tabs[0][1])
     if channels == 3:
-        out += seg(0xC4, b"\x01" + _STD_DC_CHROMA[0] + _STD_DC_CHROMA[1])
-        out += seg(0xC4, b"\x11" + _STD_AC_CHROMA[0] + _STD_AC_CHROMA[1])
+        out += seg(0xC4, b"\x01" + dc_tabs[1][0] + dc_tabs[1][1])
+        out += seg(0xC4, b"\x11" + ac_tabs[1][0] + ac_tabs[1][1])
     sos = bytes([channels])
     for c in range(channels):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])

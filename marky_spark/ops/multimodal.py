@@ -929,7 +929,14 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
     Branch 'sn' (OLD-style JPEG-in-TIFF, compression 6 — deprecated but
     still in old scanner archives): one JPEGInterchangeFormat stream
     (tag 513/514), uniform value (i*7) % 95 + 32 over the whole image so
-    the Annex-K round trip stays exact."""
+    the Annex-K round trip stays exact.
+
+    Every fifth id writes the JPEG branches at 12-BIT precision
+    (SOF1 extended-sequential, the medical/archival-scan shape): sample
+    lattice v<<4 decodes back to exactly v through the high-bits
+    reduction, so the SAME oracle pins the wide entropy path."""
+    import numpy as np
+
     from .tiffcodec import tiff_encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -957,19 +964,28 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
                     and i % 5 < 2 else 1)
                 rows.append((f"sc{i}", "image/tiff", blob))
                 ch = 3 if i % 2 else 1
-                vals = bytes(
-                    v for r in range(h)
-                    for v in [(i * 7 + (r // 8) * 13) % 95 + 32] * (w * ch))
+                # every fifth id writes 12-bit precision (medical/archival
+                # scans): lattice values v<<4 decode back to exactly v,
+                # so the SAME decimal-stream oracle pins the wide path
+                b12 = i % 5 == 0
+                svals = [(i * 7 + (r // 8) * 13) % 95 + 32
+                         for r in range(h) for _ in range(w * ch)]
+                vals = (np.array(svals, dtype="<u2") << 4).tobytes() \
+                    if b12 else bytes(svals)
                 blob = tiff_encode(
                     vals, w, h, ch, compression="jpeg",
-                    rows_per_strip=8, jpeg_tables=i % 3 != 0)
+                    rows_per_strip=8, jpeg_tables=i % 3 != 0,
+                    bits=12 if b12 else 8)
                 rows.append((f"sj{i}", "image/tiff", blob))
                 # branch 'sn': old-style JPEG-in-TIFF (compression 6,
                 # deprecated but still in old scanner archives) — one
                 # JPEGInterchangeFormat stream, uniform value so the
                 # Annex-K round trip is exact over the whole image
-                vals6 = bytes([(i * 7) % 95 + 32]) * (w * h * ch)
-                blob = tiff_encode(vals6, w, h, ch, compression="jpeg6")
+                v6 = (i * 7) % 95 + 32
+                vals6 = (np.full(w * h * ch, v6 << 4, dtype="<u2").tobytes()
+                         if b12 else bytes([v6]) * (w * h * ch))
+                blob = tiff_encode(vals6, w, h, ch, compression="jpeg6",
+                                   bits=12 if b12 else 8)
                 rows.append((f"sn{i}", "image/tiff", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])

@@ -41,8 +41,9 @@ class TiffError(ValueError):
 
 
 class TiffUnsupportedError(NotImplementedError):
-    """Recognized TIFF whose shape this codec does not implement (16-bit,
-    tiles, JPEG-in-TIFF, planar=2…) — surfaces as ``codec_unavailable``."""
+    """Recognized TIFF whose shape this codec does not implement (e.g.
+    uncompressed fax mode, strip-table old-style JPEG, odd bit depths)
+    — surfaces as ``codec_unavailable``."""
 
 
 def looks_like_tiff(data: bytes) -> bool:
@@ -382,6 +383,11 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         bps = 2  # scanned-document scanners commonly emit 16-bit gray
     elif bits[:spp] == [1]:
         bps = 0  # bilevel: row-packed MSB-first (or fax-coded)
+    elif (all(b == 12 for b in bits[:spp])
+          and compression in (6, 7)):
+        # 12-bit JPEG-in-TIFF (medical / archival scans): the JPEG
+        # codec decodes the wide lattice and reduces to 8-bit samples
+        bps = 1
     else:
         raise TiffUnsupportedError(f"bit depths {bits} not implemented")
     if fax and bps != 0:
@@ -657,7 +663,7 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
 
     if channels not in (1, 3, 4):
         raise TiffError(f"unsupported channel count {channels}")
-    if bits not in (1, 8, 16):
+    if bits not in (1, 8, 12, 16):
         raise TiffError(f"unsupported encode bit depth {bits}")
     if planar not in (1, 2):
         raise TiffError(f"unknown planar config {planar}")
@@ -681,15 +687,18 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
             raise TiffError("bilevel encode requires 1 chunky channel")
         if predictor != 1:
             raise TiffError("predictor is undefined for 1-bit data")
+    if bits == 12 and not (jpeg or jpeg6):
+        raise TiffError("12-bit encode is JPEG-in-TIFF only")
     if jpeg or jpeg6:
-        if bits != 8 or planar != 1 or channels not in (1, 3):
-            raise TiffError("JPEG encode requires 8-bit chunky gray/RGB")
+        if bits not in (8, 12) or planar != 1 or channels not in (1, 3):
+            raise TiffError(
+                "JPEG encode requires 8/12-bit chunky gray/RGB")
         if predictor != 1:
             raise TiffError("predictor is undefined for JPEG data")
         if jpeg6 and (tile is not None or rows_per_strip):
             raise TiffError("old-style JPEG writes one interchange "
                             "stream, not strips/tiles")
-    bps = 1 if bits == 1 else bits // 8
+    bps = 1 if bits == 1 else (2 if bits in (12, 16) else 1)
     if width < 1 or height < 1 or width * height * channels > MAX_PIXELS:
         raise TiffError(f"bad dimensions {width}x{height}")
     if len(pixels) != width * height * channels * bps:
@@ -736,8 +745,11 @@ def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3,
             return mh_encode(raw, cols, rows, eol=comp_tag == 3)
         if jpeg or jpeg6:
             from .jpegcodec import jpeg_encode
-            stream = jpeg_encode(part.astype(np.uint8).tobytes(),
-                                 cols, rows, pch, quality=quality)
+            raw12 = bits == 12
+            stream = jpeg_encode(
+                part.astype("<u2" if raw12 else np.uint8).tobytes(),
+                cols, rows, pch, quality=quality,
+                precision=12 if raw12 else 8)
             if jpeg and jpeg_tables:
                 tables, image = _split_jpeg_tables(stream)
                 if jpeg_tables_blob is None:

@@ -15,6 +15,7 @@ import pytest
 
 from marky_spark.ops.jpegcodec import (
     JpegError,
+    JpegUnsupportedError,
     jpeg_decode,
     jpeg_encode,
     looks_like_jpeg,
@@ -419,3 +420,43 @@ def test_exif_orientation_applies():
     assert jpeg_decode(with_exif(base, 0))[3] == p0
     assert jpeg_decode(
         with_exif(base, 6).replace(b"II", b"XX", 1))[:2] == (w, h)
+
+
+def test_12bit_precision_decodes():
+    """12-bit (SOF1 extended-sequential) JPEG — the medical/archival
+    scan shape: u16 lattice samples, wide-category Huffman tables,
+    level shift 2048, output reduced to 8 bits by the exact >> 4."""
+    import numpy as np
+
+    w, h = 20, 13
+    for s8 in (0, 77, 255):
+        px12 = np.full(w * h, s8 << 4, dtype="<u2").tobytes()
+        blob = jpeg_encode(px12, w, h, 1, quality=90, precision=12)
+        dw, dh, dc, out = jpeg_decode(blob)
+        assert (dw, dh, dc) == (w, h, 1) and set(out) == {s8}, s8
+    # gray-valued RGB keeps the chroma centers (2048) exact
+    px12 = np.full(w * h * 3, 90 << 4, dtype="<u2").tobytes()
+    assert set(jpeg_decode(jpeg_encode(px12, w, h, 3, quality=90,
+                                       precision=12))[3]) == {90}
+    # gradient content survives the quantizer + >>4 reduction exactly
+    # at high quality (each 8x8 block is a linear ramp)
+    grad = np.tile(np.arange(w, dtype="<u2") * (4095 // (w - 1)), h)
+    dec = jpeg_decode(jpeg_encode(grad.tobytes(), w, h, 1, quality=95,
+                                  precision=12))[3]
+    ref = (grad.reshape(h, w) >> 4).astype(np.uint8)
+    assert dec == ref.tobytes()
+    # 12-bit precision inside a baseline SOF0 frame is malformed
+    blob = bytearray(jpeg_encode(px12, w, h, 3, quality=90, precision=12))
+    at = blob.find(b"\xff\xc1")
+    blob[at + 1] = 0xC0
+    with pytest.raises(JpegError, match="SOF0"):
+        jpeg_decode(bytes(blob))
+    with pytest.raises(JpegError, match="above 4095"):
+        jpeg_encode(np.full(4, 5000, dtype="<u2").tobytes(), 2, 2, 1,
+                    precision=12)
+    with pytest.raises(JpegUnsupportedError, match="precision"):
+        # precision 16 stays typed-unsupported
+        b2 = bytearray(jpeg_encode(bytes(16), 4, 4, 1))
+        at = b2.find(b"\xff\xc0")
+        b2[at + 4] = 16
+        jpeg_decode(bytes(b2))

@@ -367,3 +367,21 @@ def test_orientation_tag_274():
     g = tiff_encode(bytes([70]) * 12, 4, 3, 1, compression="jpeg6")
     dw, dh, _, out = tiff_decode(_with_tag(g, 274, 3, [6]))
     assert (dw, dh) == (3, 4) and out == bytes([70]) * 12
+
+
+def test_12bit_jpeg_in_tiff():
+    """BitsPerSample 12 with compression 7/6: the medical-scan TIFF
+    shape; lattice values v<<4 decode to exactly v."""
+    w, h = 20, 13
+    px12 = np.frombuffer(bytes(0 for _ in range(0)), dtype="<u2")
+    px12 = np.full(w * h, 77 << 4, dtype="<u2").tobytes()
+    for comp, kw in (("jpeg", {"rows_per_strip": 8}), ("jpeg6", {})):
+        blob = tiff_encode(px12, w, h, 1, compression=comp, bits=12, **kw)
+        assert tiff_decode(blob) == (w, h, 1, bytes([77]) * (w * h)), comp
+    rgb = np.full(w * h * 3, 90 << 4, dtype="<u2").tobytes()
+    blob = tiff_encode(rgb, w, h, 3, compression="jpeg6", bits=12)
+    assert tiff_decode(blob)[3] == bytes([90]) * (w * h * 3)
+    # 12-bit is JPEG-only on both sides
+    with pytest.raises(TiffError, match="JPEG-in-TIFF only"):
+        tiff_encode(px12, w, h, 1, compression="lzw", bits=12)
+    (_, _, _, _) = tiff_decode(blob)  # still valid after the reject
