@@ -126,6 +126,16 @@ def test_image_codec_mutations_stay_typed():
         tiff_encode(px, 16, 12, 3, compression="jpeg", rows_per_strip=8),
         tiff_encode(px, 16, 12, 3, compression="jpeg", jpeg_tables=False),
         tiff_encode(px, 16, 12, 3, compression="deflate", tile=(8, 8)),
+        tiff_encode(bl, 16, 12, 1, compression="g32d", bits=1),
+        tiff_encode(px[:16 * 12], 16, 12, 1, compression="jpeg6"),
+    ]
+    import numpy as np
+    px12 = (np.frombuffer(px[:16 * 12], dtype=np.uint8)
+            .astype("<u2") << 4).tobytes()
+    samples += [
+        jpeg_encode(px12, 16, 12, 1, precision=12),
+        tiff_encode(px12, 16, 12, 1, compression="jpeg", bits=12,
+                    rows_per_strip=8),
     ]
     n = max(N // 2, 50)
     for data in samples:
