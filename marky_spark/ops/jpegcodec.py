@@ -976,6 +976,11 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
                 block = padded[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 coef = M @ block @ M.T
                 qz = np.round(coef / qmat[ti]).astype(np.int64)
+                if precision == 12:
+                    # T.81 caps 12-bit AC categories at 14 (±16383); a
+                    # pathological block at quality ~100 could otherwise
+                    # quantize past the table and KeyError mid-encode
+                    qz.clip(-16383, 16383, out=qz)
                 zz = qz.reshape(-1)[inv_zz]
                 diff = int(zz[0]) - preds[ci]
                 preds[ci] = int(zz[0])
