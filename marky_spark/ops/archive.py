@@ -55,6 +55,7 @@ from pyspark.sql.types import (
 MAX_MEMBERS = 65536
 MAX_MEMBER_BYTES = 1 << 26      # 64 MiB: the per-member memory bound
 MAX_STREAM_BYTES = 1 << 34      # 16 GiB cumulative: decompression-bomb guard
+MAX_7Z_BYTES = 1 << 30          # 1 GiB: 7z is whole-read (tail header)
 CHUNK_ROWS = 8192               # rows per emitted pandas batch
 CHUNK_BYTES = 1 << 25           # ... or 32 MiB of payload, whichever first
 
@@ -262,7 +263,14 @@ def _iter_7z(fileobj, budget: _Budget) -> Iterator[tuple[str, bytes]]:
     the shared budget/member caps."""
     from .sevenzip import SevenZipError, sevenzip_members
 
-    blob = fileobj.read()
+    # whole-read is inherent to 7z (tail header + solid folders), so
+    # bound it explicitly: a crawl-scale .7z beyond the cap is a typed
+    # error row, not an executor OOM
+    blob = fileobj.read(MAX_7Z_BYTES + 1)
+    if len(blob) > MAX_7Z_BYTES:
+        raise ArchiveError(
+            f"7z archive exceeds the {MAX_7Z_BYTES >> 20} MiB "
+            f"whole-container cap")
     try:
         members = sevenzip_members(blob)
     except SevenZipError as exc:

@@ -157,3 +157,29 @@ def test_filter_chain_folders_round_trip():
     code = (b"\xe8\x10\x00\x00\x00" + b"\x90" * 20) * 200
     m2 = [("pad%d" % k, b"x" * 100) for k in range(4)] + [("prog.exe", code)]
     assert sevenzip_members(sevenzip_write(m2)) == m2
+
+
+def test_oversized_7z_is_a_typed_cap():
+    """The 7z walk is whole-read by format design (tail header, solid
+    folders); files beyond MAX_7Z_BYTES become a typed error row, never
+    an executor OOM. Simulated with a reader that claims to be huge."""
+    import io
+
+    from marky_spark.ops.archive import MAX_7Z_BYTES, ArchiveError, \
+        _Budget, _iter_7z
+
+    class Huge(io.RawIOBase):
+        def __init__(self):
+            self.left = MAX_7Z_BYTES + 2
+
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            n = min(len(b), self.left)
+            b[:n] = b"\x00" * n
+            self.left -= n
+            return n
+
+    with pytest.raises(ArchiveError, match="whole-container cap"):
+        list(_iter_7z(io.BufferedReader(Huge(), 1 << 20), _Budget()))
