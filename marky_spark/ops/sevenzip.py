@@ -402,12 +402,13 @@ def _decode_folder(folder: dict, packed: bytes) -> bytes:
     return out
 
 
-def _parse_files_info(r: _Reader) -> tuple[int, list[str], list[bool]]:
+def _parse_files_info(r: _Reader):
     n_files = r.number()
     if n_files > MAX_ENTRIES:
         raise SevenZipError(f"{n_files} files (cap {MAX_ENTRIES})")
     names: list[str] | None = None
     empty_stream = [False] * n_files
+    empty_file: list[bool] | None = None
     while True:
         t = r.number()
         if t == _K_END:
@@ -418,6 +419,8 @@ def _parse_files_info(r: _Reader) -> tuple[int, list[str], list[bool]]:
             raise SevenZipError("FilesInfo property overruns header")
         if t == _K_EMPTY_STREAM:
             empty_stream = r.bitvector(n_files)
+        elif t == _K_EMPTY_FILE:
+            empty_file = r.bitvector(sum(empty_stream))
         elif t == _K_NAME:
             if r.byte():
                 raise SevenZipUnsupportedError("external file names")
@@ -432,7 +435,7 @@ def _parse_files_info(r: _Reader) -> tuple[int, list[str], list[bool]]:
                 raise SevenZipError("file names not NUL-terminated")
             else:
                 names = joined[:-1].split("\x00")
-        # kEmptyFile / kAnti / times / attributes: irrelevant to member
+        # kAnti / times / attributes: irrelevant to member
         # extraction — skip by declared size
         r.p = end
     if names is None:
@@ -440,7 +443,7 @@ def _parse_files_info(r: _Reader) -> tuple[int, list[str], list[bool]]:
     if len(names) != n_files:
         raise SevenZipError(
             f"{len(names)} names for {n_files} files")
-    return n_files, names, empty_stream
+    return n_files, names, empty_stream, empty_file
 
 
 def sevenzip_members(blob: bytes) -> list[tuple[str, bytes]]:
@@ -488,7 +491,7 @@ def sevenzip_members(blob: bytes) -> list[tuple[str, bytes]]:
             raise SevenZipError(f"unknown header property {t:#x}")
     if files is None:
         raise SevenZipError("7z without FilesInfo")
-    n_files, names, empty_stream = files
+    n_files, names, empty_stream, empty_file = files
 
     # stream of substream payloads, folder by folder
     payloads: list[bytes] = []
@@ -510,13 +513,19 @@ def sevenzip_members(blob: bytes) -> list[tuple[str, bytes]]:
     members: list[tuple[str, bytes]] = []
     it = iter(payloads)
     n_consumed = 0
+    empty_idx = 0
     for k in range(n_files):
         if empty_stream[k]:
-            # kEmptyFile distinguishes empty files from directories;
-            # emit empty files-by-name heuristic: names ending in '/'
-            # never occur in 7z, so treat all empty streams as empty
-            # files (directories carry attribute bits we don't need)
-            members.append((names[k], b""))
+            # kEmptyFile distinguishes empty FILES from directories
+            # (no kEmptyFile vector → all empty streams are dirs, the
+            # 7-Zip convention); dirs are skipped like the zip walk
+            # skips 'name/' entries
+            is_file = (empty_file[empty_idx]
+                       if empty_file is not None
+                       and empty_idx < len(empty_file) else False)
+            empty_idx += 1
+            if is_file:
+                members.append((names[k], b""))
             continue
         try:
             members.append((names[k], next(it)))

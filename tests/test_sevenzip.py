@@ -183,3 +183,26 @@ def test_oversized_7z_is_a_typed_cap():
 
     with pytest.raises(ArchiveError, match="whole-container cap"):
         list(_iter_7z(io.BufferedReader(Huge(), 1 << 20), _Budget()))
+
+
+def test_directories_are_skipped_not_emitted():
+    """Empty streams without a kEmptyFile mark are directories (the
+    7-Zip convention); only marked empty FILES surface as members."""
+    import re
+
+    blob = sevenzip_write([("d.txt", b"x" * 50), ("keep.empty", b"")])
+    # writer marks its empty member as an empty FILE → it survives
+    assert ("keep.empty", b"") in sevenzip_members(blob)
+    # strip the kEmptyFile property (0x0F) from the header: the same
+    # empty stream now reads as a DIRECTORY and is skipped
+    nh_off, nh_size, _ = struct.unpack_from("<QQI", blob, 12)
+    hdr = bytearray(blob[32 + nh_off:32 + nh_off + nh_size])
+    at = hdr.find(bytes([0x0F, 0x01]))  # kEmptyFile, size 1
+    assert at > 0
+    del hdr[at:at + 3]
+    patched = bytearray(blob[:32 + nh_off]) + hdr
+    struct.pack_into("<Q", patched, 20, len(hdr))
+    struct.pack_into("<I", patched, 28, zlib.crc32(bytes(hdr)))
+    struct.pack_into("<I", patched, 8, zlib.crc32(bytes(patched[12:32])))
+    out = sevenzip_members(bytes(patched))
+    assert out == [("d.txt", b"x" * 50)]
