@@ -1052,20 +1052,22 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 def _quantized_planes(pixels: bytes, width: int, height: int,
-                      channels: int, quality: int):
+                      channels: int, quality: int, precision: int = 8):
     """Raw samples → per-component quantized coefficient arrays of shape
     (blocks_y, blocks_x, 64) in ZIGZAG order (4:4:4, same color transform,
     padding, DCT and quantization as the baseline encoder — so a baseline
     and a progressive encode of the same pixels decode identically)."""
     import numpy as np
 
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+    center = float(1 << (precision - 1))
+    arr = np.frombuffer(
+        pixels, dtype=np.uint8 if precision == 8 else "<u2").reshape(
         height, width, channels).astype(np.float64)
     if channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
         comps = [y, cb, cr]
     else:
         comps = [arr[..., 0]]
@@ -1082,11 +1084,13 @@ def _quantized_planes(pixels: bytes, width: int, height: int,
         pp[:height, :width] = p
         pp[height:, :width] = p[-1:, :]
         pp[:, width:] = pp[:, width - 1:width]
-        pp -= 128.0
+        pp -= center
         blocks = (pp.reshape(bh // 8, 8, bw // 8, 8)
                   .transpose(0, 2, 1, 3))  # (by, bx, 8, 8)
         coef = M @ blocks @ M.T
         qz = np.round(coef / qmat[0 if ci == 0 else 1]).astype(np.int64)
+        if precision == 12:
+            qz.clip(-16383, 16383, out=qz)  # T.81 12-bit category cap
         planes.append(qz.reshape(bh // 8, bw // 8, 64)[:, :, _ZIGZAG])
     return planes, ql, qc
 
@@ -1108,7 +1112,8 @@ def _uniform_huffman(symbols: set) -> tuple[bytes, bytes, dict]:
 
 def jpeg_encode_progressive(pixels: bytes, width: int, height: int,
                             channels: int = 3, quality: int = 90,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
     """Progressive (SOF2) JFIF encoder mirroring the T.81 §G.1.2 decoder
     bit placement exactly: an interleaved DC-first scan (Al=1), per-
     component AC spectral-selection scans at Al=2, AC successive-
@@ -1126,12 +1131,15 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int,
         raise JpegError(f"unsupported channel count {channels}")
     if not (0 < width <= 65535 and 0 < height <= 65535):
         raise JpegError(f"dimensions {width}x{height} exceed u16 fields")
-    if len(pixels) != width * height * channels:
+    if precision not in (8, 12):
+        raise JpegError(f"unsupported encode precision {precision}")
+    sample_bytes = 1 if precision == 8 else 2
+    if len(pixels) != width * height * channels * sample_bytes:
         raise JpegError(
             f"pixel buffer is {len(pixels)} bytes, "
-            f"want {width * height * channels}")
+            f"want {width * height * channels * sample_bytes}")
     planes, ql, qc = _quantized_planes(pixels, width, height,
-                                       channels, quality)
+                                       channels, quality, precision)
     by, bx = planes[0].shape[0], planes[0].shape[1]
 
     def tid_of(ci: int) -> int:
@@ -1297,7 +1305,7 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int,
         out += seg(0xDB, b"\x01" + zc)
     if restart_interval:
         out += seg(0xDD, _struct.pack(">H", restart_interval))
-    sof = _struct.pack(">BHHB", 8, height, width, channels)
+    sof = _struct.pack(">BHHB", precision, height, width, channels)
     for c in range(channels):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
     out += seg(0xC2, sof)

@@ -460,3 +460,24 @@ def test_12bit_precision_decodes():
         at = b2.find(b"\xff\xc0")
         b2[at + 4] = 16
         jpeg_decode(bytes(b2))
+
+
+def test_12bit_progressive_matches_baseline():
+    """12-bit PROGRESSIVE (SOF2 prec 12): the two encodings of one image
+    decode byte-identically, pinning the successive-approximation and
+    spectral-selection paths on the wide lattice."""
+    import numpy as np
+
+    from marky_spark.ops.jpegcodec import jpeg_encode_progressive
+
+    w, h = 20, 13
+    grad = np.tile(np.arange(w, dtype="<u2") * (4095 // (w - 1)),
+                   h).tobytes()
+    for q in (75, 95):
+        assert jpeg_decode(jpeg_encode_progressive(
+            grad, w, h, 1, quality=q, precision=12)) == \
+            jpeg_decode(jpeg_encode(grad, w, h, 1, quality=q, precision=12))
+    px3 = np.full(w * h * 3, 90 << 4, dtype="<u2").tobytes()
+    out = jpeg_decode(jpeg_encode_progressive(
+        px3, w, h, 3, quality=90, precision=12, restart_interval=2))
+    assert out == (w, h, 3, bytes([90]) * (w * h * 3))
