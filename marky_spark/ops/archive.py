@@ -251,6 +251,12 @@ def _iter_members(fileobj) -> Iterator[tuple[str, bytes]]:
         yield from _iter_7z(fileobj, budget)
     elif looks_like_tar(head):
         yield from _iter_tar(fileobj, budget)
+    elif head[:4] == b"\x28\xb5\x2f\xfd":
+        # zstd frame magic — Common Crawl ships .warc.zst and mirrors
+        # ship .tar.zst, but no zstd codec exists in this environment;
+        # classify explicitly instead of the generic not-an-archive row
+        raise ArchiveError(
+            "zstd-compressed input (no zstd codec in this environment)")
     else:
         raise ArchiveError("not an archive")
 

@@ -356,3 +356,16 @@ def test_midarchive_corruption_salvages_prefix(tmp_path):
     assert rows[0][4] == b"alpha" and rows[1][4] == b"beta"
     assert rows[2][-1].startswith("error:")
     assert rows[2][2] == 2
+
+
+def test_zstd_classifies_explicitly():
+    """Common Crawl .warc.zst / mirror .tar.zst: no zstd codec exists in
+    this environment, so the magic classifies with a named typed error
+    (an error row, not a silent not_archive pass-through)."""
+    import io
+
+    from marky_spark.ops.archive import ArchiveError, _Budget, _iter_members
+
+    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
+    with pytest.raises(ArchiveError, match="zstd"):
+        list(_iter_members(io.BytesIO(blob)))
