@@ -176,12 +176,14 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
-def _read_run(br: _BitReader, white: bool) -> int:
+def _read_run(br: _BitReader, white: bool, max_run: int) -> int:
     """One complete run length: zero or more make-ups + one terminating
-    code (make-ups are multiples of 64; terminating codes are 0..63)."""
+    code (make-ups are multiples of 64; terminating codes are 0..63).
+    ``max_run`` (the row width) bounds the make-up chain — a legal run
+    of W pixels needs at most W//2560 + 1 make-ups."""
     dec = _WHITE_DEC if white else _BLACK_DEC
     total = 0
-    for _ in range(64):  # bound make-up chains (2560*64 far exceeds any row)
+    while True:
         length = 0
         value = 0
         run = None
@@ -196,9 +198,10 @@ def _read_run(br: _BitReader, white: bool) -> int:
                 f"invalid {'white' if white else 'black'} run code "
                 f"{value:0{length}b}")
         total += run
+        if total > max_run:
+            raise FaxError("fax run exceeds the row width")
         if run < 64:  # terminating code ends the run
             return total
-    raise FaxError("fax make-up chain too long")
 
 
 def _read_mode(br: _BitReader):
@@ -250,23 +253,20 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
         mode = _read_mode(br)
         if mode == "P":
             if color:
-                for x in range(max(a0, 0), b2):
-                    row[x] = 1
+                row[max(a0, 0):b2] = b"\x01" * (b2 - max(a0, 0))
             a0 = b2
         elif mode == "H":
             start = max(a0, 0)
-            r1 = _read_run(br, white=color == 0)
-            r2 = _read_run(br, white=color == 1)
+            r1 = _read_run(br, white=color == 0, max_run=width)
+            r2 = _read_run(br, white=color == 1, max_run=width)
             a1 = start + r1
             a2 = a1 + r2
             if a2 > width or a1 > width:
                 raise FaxError("horizontal runs overrun the row")
             if color:
-                for x in range(start, a1):
-                    row[x] = 1
+                row[start:a1] = b"\x01" * (a1 - start)
             else:
-                for x in range(a1, a2):
-                    row[x] = 1
+                row[a1:a2] = b"\x01" * (a2 - a1)
             if a1 < width:
                 cur.append(a1)
             if a2 < width:
@@ -277,8 +277,7 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
             if a1 < 0 or a1 > width:
                 raise FaxError("vertical mode outside the row")
             if color:
-                for x in range(max(a0, 0), a1):
-                    row[x] = 1
+                row[max(a0, 0):a1] = b"\x01" * (a1 - max(a0, 0))
             if a1 < width:
                 cur.append(a1)
             a0 = a1
@@ -309,8 +308,6 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     exact fixture inverse of :func:`g4_decode`."""
     if width < 1 or height < 1 or len(pixels) != width * height:
         raise FaxError("pixel buffer does not match dimensions")
-    from bisect import bisect_right
-
     bits: list[str] = []
     ref: list[int] = []
     for y in range(height):
@@ -410,14 +407,15 @@ def mh_decode(data: bytes, width: int, height: int, *,
 
 
 def _scan_eol(br: _BitReader, y: int) -> None:
-    """Scan forward over fill bits to the 000000000001 EOL marker."""
-    guard = 0
+    """Scan forward over fill bits to the 000000000001 EOL marker. T.4
+    fill (inserted to meet minimum scan-line transmission time in real
+    fax captures) is UNBOUNDED zero bits — consumption is naturally
+    bounded by the stream length."""
     while br.peek12() != 1:
-        if br.bits_left() < 12 or guard > 64:
+        if br.bits_left() < 12:
             raise FaxError(f"missing EOL before row {y}")
         if br.read_bit():
             raise FaxError("non-zero fill bit before EOL")
-        guard += 1
     br.pos += 12
 
 
@@ -426,12 +424,11 @@ def _decode_1d_row(br: _BitReader, width: int, y: int) -> bytearray:
     x = 0
     white = True
     while x < width:
-        run = _read_run(br, white)
+        run = _read_run(br, white, max_run=width)
         if x + run > width:
             raise FaxError(f"run overruns row {y}")
         if not white:
-            for k in range(x, x + run):
-                row[k] = 1
+            row[x:x + run] = b"\x01" * run
         x += run
         white = not white
     return row
@@ -479,22 +476,27 @@ def g3_2d_encode(pixels: bytes, width: int, height: int, *,
         one_d = y % k == 0
         bits.append(_EOL + ("1" if one_d else "0"))
         if one_d:
-            x = 0
-            white = True
-            row = pixels[y * width:(y + 1) * width]
-            while x < width:
-                run = 0
-                want = 0 if white else 1
-                while x + run < width and row[x + run] == want:
-                    run += 1
-                bits.append(_encode_run(run, white))
-                x += run
-                white = not white
+            _emit_1d_row(bits, pixels[y * width:(y + 1) * width], width)
         else:
             _encode_2d_row(bits, cur, ref, width)
         ref = cur
     bits.append(_EOL + "1")  # trailing EOL keeps strict readers happy
     return _pack_bits("".join(bits))
+
+
+def _emit_1d_row(bits: list[str], row: bytes, width: int) -> None:
+    """Append one T.4 1-D (MH) coded line's run codes — shared by
+    mh_encode and g3_2d_encode's tagged 1-D lines."""
+    x = 0
+    white = True
+    while x < width:
+        run = 0
+        want = 0 if white else 1
+        while x + run < width and row[x + run] == want:
+            run += 1
+        bits.append(_encode_run(run, white))
+        x += run
+        white = not white
 
 
 def mh_encode(pixels: bytes, width: int, height: int, *,
@@ -509,16 +511,7 @@ def mh_encode(pixels: bytes, width: int, height: int, *,
         if any(v not in (0, 1) for v in row):
             raise FaxError("fax pixels must be 0 or 1")
         bits = [_EOL] if eol else []
-        x = 0
-        white = True
-        while x < width:
-            run = 0
-            want = 0 if white else 1
-            while x + run < width and row[x + run] == want:
-                run += 1
-            bits.append(_encode_run(run, white))
-            x += run
-            white = not white
+        _emit_1d_row(bits, row, width)
         s = "".join(bits)
         if not eol:
             s += "0" * ((-len(s)) % 8)  # rows byte-aligned (compression 2)

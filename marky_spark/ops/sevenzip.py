@@ -41,6 +41,7 @@ import zlib
 
 MAGIC = b"7z\xbc\xaf\x27\x1c"
 MAX_FOLDER_BYTES = 1 << 28    # 256 MiB decompressed per folder (solid cap)
+MAX_TOTAL_BYTES = 1 << 30     # 1 GiB declared output across all folders
 MAX_ENTRIES = 1 << 16
 
 _K_END = 0x00
@@ -281,26 +282,31 @@ def _filter_spec(cid: bytes, props: bytes) -> dict:
         f"filter coder {cid.hex() or '00'} not supported")
 
 
-def _lzma_chain_spec(cid: bytes, props: bytes) -> dict:
-    """Compressor coder → liblzma raw-chain filter entry (chains only
-    compose inside liblzma, so the compressor must be LZMA1/LZMA2)."""
+def _lzma_chain_spec(cid: bytes, props: bytes, out_size: int) -> dict:
+    """Compressor coder → liblzma raw filter entry. The declared
+    ``dict_size`` is CLAMPED to the folder's declared output (floor
+    4 KiB): liblzma allocates the whole dictionary eagerly, so a tiny
+    hostile archive declaring a 4 GiB dict would otherwise force an
+    untyped MemoryError — and a valid stream can never reference
+    further back than its own output length."""
     import lzma
 
+    cap = max(out_size, 4096)
     if cid == _CODER_LZMA2:
         if len(props) != 1 or props[0] > 40:
             raise SevenZipError("bad LZMA2 dict-size property")
         dict_size = (0xFFFFFFFF if props[0] == 40
                      else (2 | (props[0] & 1)) << (props[0] // 2 + 11))
-        return {"id": lzma.FILTER_LZMA2, "dict_size": dict_size}
+        return {"id": lzma.FILTER_LZMA2, "dict_size": min(dict_size, cap)}
     if cid == _CODER_LZMA:
         if len(props) != 5:
             raise SevenZipError("LZMA coder without 5-byte properties")
         p = props[0]
         if p >= 225:
             raise SevenZipError("bad LZMA lc/lp/pb byte")
+        dict_size = int.from_bytes(props[1:5], "little")
         return {"id": lzma.FILTER_LZMA1, "lc": p % 9, "lp": (p // 9) % 5,
-                "pb": p // 45,
-                "dict_size": int.from_bytes(props[1:5], "little")}
+                "pb": p // 45, "dict_size": min(dict_size, cap)}
     raise SevenZipUnsupportedError(
         f"chained compressor {cid.hex() or '00'} not supported")
 
@@ -326,9 +332,11 @@ def _decode_chain_folder(folder: dict, packed: bytes,
     # unbound one); a folder filtered AFTER compression is not a layout
     # any writer produces
     filters = [_filter_spec(*_cp(coders[filt_k])),
-               _lzma_chain_spec(*_cp(coders[comp_k]))]
-    dec = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=filters)
+               _lzma_chain_spec(*_cp(coders[comp_k]), out_size)]
     try:
+        # construction validates the filter specs (e.g. liblzma rejects
+        # lc+lp > 4) — keep it inside the typed-error net too
+        dec = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=filters)
         return dec.decompress(packed, max_length=out_size + 1)
     except lzma.LZMAError as exc:
         raise SevenZipError(f"bad filtered stream: {exc}") from None
@@ -360,31 +368,19 @@ def _decode_folder(folder: dict, packed: bytes) -> bytes:
         raise SevenZipUnsupportedError("multi-stream coder")
     if cid == _CODER_COPY:
         out = packed
-    elif cid == _CODER_LZMA:
+    elif cid in (_CODER_LZMA, _CODER_LZMA2):
         import lzma
 
-        if len(props) != 5:
-            raise SevenZipError("LZMA coder without 5-byte properties")
-        # replay as a FORMAT_ALONE stream: props + 8-byte size + data —
-        # the declared size also bounds the decompressor's output
-        alone = props + out_size.to_bytes(8, "little") + packed
+        # same clamped FORMAT_RAW path as the chain decoder (the spec
+        # parse validates the props and bounds the dictionary;
+        # constructing the decompressor validates them liblzma-side,
+        # e.g. lc+lp > 4 → typed error)
         try:
-            out = lzma.decompress(alone, format=lzma.FORMAT_ALONE)
-        except lzma.LZMAError as exc:
-            raise SevenZipError(f"bad LZMA stream: {exc}") from None
-    elif cid == _CODER_LZMA2:
-        import lzma
-
-        if len(props) != 1 or props[0] > 40:
-            raise SevenZipError("bad LZMA2 dict-size property")
-        dict_size = (0xFFFFFFFF if props[0] == 40
-                     else (2 | (props[0] & 1)) << (props[0] // 2 + 11))
-        dec = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=[
-            {"id": lzma.FILTER_LZMA2, "dict_size": dict_size}])
-        try:
+            dec = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=[
+                _lzma_chain_spec(cid, props, out_size)])
             out = dec.decompress(packed, max_length=out_size + 1)
         except lzma.LZMAError as exc:
-            raise SevenZipError(f"bad LZMA2 stream: {exc}") from None
+            raise SevenZipError(f"bad LZMA stream: {exc}") from None
     elif cid == _CODER_BZIP2:
         import bz2
 
@@ -493,9 +489,18 @@ def sevenzip_members(blob: bytes) -> list[tuple[str, bytes]]:
         raise SevenZipError("7z without FilesInfo")
     n_files, names, empty_stream, empty_file = files
 
-    # stream of substream payloads, folder by folder
+    # stream of substream payloads, folder by folder. Every payload is
+    # materialized at once (7z's file→substream mapping needs them all),
+    # so bound the DECLARED total before decompressing anything — a
+    # hostile archive of many max-size folders must be a typed error,
+    # not an executor OOM.
     payloads: list[bytes] = []
     if main is not None and main["folders"]:
+        declared = sum(_folder_out_size(f) for f in main["folders"])
+        if declared > MAX_TOTAL_BYTES:
+            raise SevenZipError(
+                f"archive declares {declared} decompressed bytes "
+                f"(cap {MAX_TOTAL_BYTES})")
         nums = main["nums"]
         sub_sizes = main["sub_sizes"]
         for fi, out in enumerate(_folder_blobs(blob, main)):

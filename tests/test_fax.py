@@ -211,9 +211,10 @@ def test_run_overrun_raises():
     # white 64 make-up + white 64 terminating? 64 is a make-up;
     # simplest: encode an 8-wide row, decode claiming width 4
     blob = mh_encode(b"\x00" * 8, 8, 1)
-    with pytest.raises(FaxError, match="overrun"):
+    with pytest.raises(FaxError, match="overrun|exceeds the row"):
         mh_decode(blob, 4, 1)
-    with pytest.raises(FaxError, match="overrun|outside|mode code|ran out"):
+    with pytest.raises(FaxError,
+                       match="overrun|outside|mode code|ran out|exceeds"):
         g4_decode(g4_encode(b"\x00" * 64 + b"\x01" * 64, 128, 1), 16, 8)
 
 
@@ -321,3 +322,18 @@ def test_tiff_bilevel_cross_compression_consistency():
     assert (dw, dh, dch) == (w, h, 1)
     # fax color domain: 1 = black ink = sample 0; 0 = white = 255
     assert samples == bytes(0 if v else 255 for v in px)
+
+
+def test_wide_rows_and_long_fill_decode():
+    """Review findings: make-up chains must cover any legal row width
+    (a 200k-px run needs ~79 repeated 2560 make-ups), and T.4 fill
+    before an EOL is unbounded zero bits — both previously rejected."""
+    px = bytes(200_000)
+    assert mh_decode(mh_encode(px, 200_000, 1), 200_000, 1) == px
+    ink = b"\x01" * 200_000
+    assert mh_decode(mh_encode(ink, 200_000, 1), 200_000, 1) == ink
+    blob = _pack("0" * 70 + _EOL + "10011")  # long fill, then white-8
+    assert mh_decode(blob, 8, 1, eol=True) == b"\x00" * 8
+    # a lying chain that exceeds the row is still typed
+    with pytest.raises(FaxError, match="exceeds the row"):
+        mh_decode(_pack("00000001111" * 4), 1728, 1)  # 4x1792 > width

@@ -206,3 +206,32 @@ def test_directories_are_skipped_not_emitted():
     struct.pack_into("<I", patched, 8, zlib.crc32(bytes(patched[12:32])))
     out = sevenzip_members(bytes(patched))
     assert out == [("d.txt", b"x" * 50)]
+
+
+def test_declared_output_bomb_is_typed():
+    """Many folders each under the per-folder cap but huge in total must
+    reject from the DECLARED sizes before any decompression (an archive
+    a few KB long can otherwise demand terabytes)."""
+    import marky_spark.ops.sevenzip as sz
+
+    n = 5
+    big = sz.MAX_FOLDER_BYTES  # each folder at the per-folder cap
+    body = bytearray()
+    body += sz._w_number(0x01)  # kHeader
+    body += sz._w_number(0x04)  # kMainStreamsInfo
+    body += sz._w_streams_info(
+        0, [1] * n, [(sz._w_folder(b"\x00", b"")[0], [big])] * n)
+    body += sz._w_number(0x05)  # kFilesInfo
+    body += sz._w_number(n)
+    names = b"\x00" + "".join(
+        f"f{k}\x00" for k in range(n)).encode("utf-16-le")
+    body += sz._w_number(0x11) + sz._w_number(len(names)) + names
+    body += sz._w_number(0x00) + sz._w_number(0x00)
+    header = bytes(body)
+    pack = b"\x00" * n
+    start = struct.pack("<QQI", len(pack), len(header),
+                        zlib.crc32(header))
+    blob = (sz.MAGIC + b"\x00\x04" + struct.pack("<I", zlib.crc32(start))
+            + start + pack + header)
+    with pytest.raises(SevenZipError, match="declares"):
+        sevenzip_members(blob)
