@@ -267,6 +267,7 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     ihdr = None
     palette = b""
     idat = bytearray()
+    orientation = 1
     while pos + 8 <= len(data):
         (length,), tag = struct.unpack(">I", data[pos:pos + 4]), \
             data[pos + 4:pos + 8]
@@ -289,6 +290,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             palette = body
         elif tag == b"IDAT":
             idat.extend(body)
+        elif tag == b"eXIf":
+            # PNG 1.5 EXIF chunk: a bare TIFF IFD (no Exif\0\0 prefix);
+            # only Orientation matters to pixel consumers, and malformed
+            # EXIF is ignored exactly like the JPEG APP1 path
+            from .jpegcodec import _exif_orientation
+
+            orientation = _exif_orientation(body) or orientation
         elif tag == b"IEND":
             break
     if ihdr is None:
@@ -349,8 +357,18 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         idx = np.frombuffer(pixels, dtype=np.uint8)
         if idx.max(initial=0) >= len(pal):
             raise PngError("palette index out of range")
-        return width, height, 3, pal[idx].tobytes()
-    return width, height, channels, pixels
+        return _oriented(width, height, 3, pal[idx].tobytes(), orientation)
+    return _oriented(width, height, channels, bytes(pixels), orientation)
+
+
+def _oriented(w: int, h: int, ch: int, px: bytes, orientation: int):
+    """Apply an eXIf Orientation so callers get display-order rasters
+    (shared transform table with the JPEG/TIFF paths)."""
+    if orientation == 1:
+        return w, h, ch, px
+    from .jpegcodec import _exif_apply
+
+    return _exif_apply((w, h, ch, px), orientation)
 
 
 def png_resize_nearest(data: bytes, out_w: int, out_h: int) -> bytes:

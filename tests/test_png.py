@@ -328,3 +328,41 @@ def test_interlaced_mutations_stay_typed():
             assert w * h <= MAX_PIXELS and len(px) == w * h * ch
         except PngError:
             pass
+
+
+def test_exif_chunk_orientation_applies():
+    """PNG 1.5 eXIf chunk (bare TIFF IFD): Orientation reorders decoded
+    samples into display order, same transform table as JPEG/TIFF;
+    malformed EXIF payloads are ignored."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    w, h = 5, 3
+    src = np.arange(w * h * 3, dtype=np.uint8)
+    base = png_encode(src.tobytes(), w, h, 3)
+
+    def with_exif(png: bytes, tiff: bytes) -> bytes:
+        chunk = (struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+                 + struct.pack(">I", _zlib.crc32(b"eXIf" + tiff)
+                               & 0xFFFFFFFF))
+        at = 8 + 12 + 13  # just after IHDR
+        return png[:at] + chunk + png[at:]
+
+    def ifd(o: int) -> bytes:
+        return (b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 1)
+                + struct.pack("<HHIHH", 274, 3, 1, o, 0)
+                + struct.pack("<I", 0))
+
+    g = src.reshape(h, w, 3)
+    expect = {
+        3: g[::-1, ::-1], 6: np.swapaxes(g, 0, 1)[:, ::-1],
+        8: np.swapaxes(g, 0, 1)[::-1, :],
+    }
+    for o, want in expect.items():
+        dw, dh, dc, out = png_decode(with_exif(base, ifd(o)))
+        assert (dh, dw, dc) == (*want.shape[:2], 3), o
+        assert out == np.ascontiguousarray(want).tobytes(), o
+    # malformed TIFF payload in the chunk: image still decodes upright
+    assert png_decode(with_exif(base, b"QQ garbage"))[3] == src.tobytes()
