@@ -473,12 +473,15 @@ FEATURES_SCHEMA = StructType([
 
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
-    in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG / TIFF; an
-    MJPEG AVI contributes its FIRST FRAME — the cheap representative a
-    real pipeline embeds for video), else None."""
+    in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG / TIFF /
+    Netpbm / ICO favicons; an MJPEG AVI contributes its FIRST FRAME —
+    the cheap representative a real pipeline embeds for video), else
+    None. The weak ICO magic sniffs LAST (a full-directory validation,
+    but still the least distinctive signature in the chain)."""
     from .avicodec import avi_decode_frames, looks_like_avi
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
+    from .icocodec import ico_decode, looks_like_ico
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
     from .pnmcodec import looks_like_pnm, pnm_decode
@@ -499,6 +502,8 @@ def _try_decode_pixels(blob: bytes):
     if looks_like_avi(blob):
         _, _, frames = avi_decode_frames(blob)
         return jpeg_decode(frames[0]) if frames else None
+    if looks_like_ico(blob):
+        return ico_decode(blob)
     return None
 
 
