@@ -42,6 +42,8 @@ import zlib
 MAGIC = b"7z\xbc\xaf\x27\x1c"
 MAX_FOLDER_BYTES = 1 << 28    # 256 MiB decompressed per folder (solid cap)
 MAX_TOTAL_BYTES = 1 << 30     # 1 GiB declared output across all folders
+MAX_HEADER_BYTES = 1 << 24    # 16 MiB decoded kEncodedHeader (real ones are KiB)
+MAX_HEADER_FOLDERS = 4        # 7z writes ONE header folder; tolerate a few
 MAX_ENTRIES = 1 << 16
 
 _K_END = 0x00
@@ -405,6 +407,10 @@ def _parse_files_info(r: _Reader):
     names: list[str] | None = None
     empty_stream = [False] * n_files
     empty_file: list[bool] | None = None
+    # Property order is not fixed by the spec, and kEmptyFile's vector
+    # length depends on kEmptyStream — buffer its raw bytes and resolve
+    # after the loop, once empty_stream is final.
+    empty_file_raw: bytes | None = None
     while True:
         t = r.number()
         if t == _K_END:
@@ -416,7 +422,7 @@ def _parse_files_info(r: _Reader):
         if t == _K_EMPTY_STREAM:
             empty_stream = r.bitvector(n_files)
         elif t == _K_EMPTY_FILE:
-            empty_file = r.bitvector(sum(empty_stream))
+            empty_file_raw = r.take(end - r.p)
         elif t == _K_NAME:
             if r.byte():
                 raise SevenZipUnsupportedError("external file names")
@@ -434,6 +440,8 @@ def _parse_files_info(r: _Reader):
         # kAnti / times / attributes: irrelevant to member
         # extraction — skip by declared size
         r.p = end
+    if empty_file_raw is not None:
+        empty_file = _Reader(empty_file_raw).bitvector(sum(empty_stream))
     if names is None:
         names = [f"member{k}" for k in range(n_files)]
     if len(names) != n_files:
@@ -465,6 +473,18 @@ def sevenzip_members(blob: bytes) -> list[tuple[str, bytes]]:
     t = r.number()
     if t == _K_ENCODED_HEADER:
         si = _parse_streams_info(r)
+        # Bomb guard BEFORE decompressing: the per-folder 256 MiB cap alone
+        # would let a tiny hostile archive declare 65536 × 256 MiB of header
+        # folders.  Real encoded headers are one small LZMA folder.
+        if len(si["folders"]) > MAX_HEADER_FOLDERS:
+            raise SevenZipError(
+                f"{len(si['folders'])} encoded-header folders "
+                f"(cap {MAX_HEADER_FOLDERS})")
+        hdr_declared = sum(_folder_out_size(f) for f in si["folders"])
+        if hdr_declared > MAX_HEADER_BYTES:
+            raise SevenZipError(
+                f"encoded header declares {hdr_declared} bytes "
+                f"(cap {MAX_HEADER_BYTES})")
         hdr = b"".join(_folder_blobs(blob, si))
         r = _Reader(hdr)
         t = r.number()

@@ -414,6 +414,13 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise TiffUnsupportedError("uncompressed fax mode not implemented")
     if jpeg or jpeg6:
         ok_photo = (0, 1, 2, 6)  # YCbCr decodes to RGB inside the JPEG
+        # ... but only via the interleaved path: separated planes decode
+        # as three 1-channel JPEGs, so no YCbCr→RGB conversion happens
+        # and we'd silently return raw YCbCr labeled RGB.
+        if photometric == 6 and planar == 2:
+            raise TiffUnsupportedError(
+                "planar YCbCr JPEG-in-TIFF not implemented (conversion "
+                "only happens inside the interleaved-JPEG path)")
     else:
         ok_photo = (0, 1, 2)
     if photometric not in ok_photo:

@@ -235,3 +235,64 @@ def test_declared_output_bomb_is_typed():
             + start + pack + header)
     with pytest.raises(SevenZipError, match="declares"):
         sevenzip_members(blob)
+
+
+def test_encoded_header_bomb_is_typed():
+    """A kEncodedHeader declaring huge folder output must reject from the
+    DECLARED sizes before any decompression — the main-stream bomb guard
+    must also cover the header folders (a 4 KB archive can otherwise
+    force multi-GiB header decompression)."""
+    import marky_spark.ops.sevenzip as sz
+
+    def craft(n_folders, out_each):
+        enc = bytearray()
+        enc += sz._w_number(0x17)  # kEncodedHeader
+        enc += sz._w_streams_info(
+            0, [1] * n_folders,
+            [(sz._w_folder(b"\x00", b"")[0], [out_each])] * n_folders)
+        header = bytes(enc)
+        pack = b"\x00" * n_folders
+        start = struct.pack("<QQI", len(pack), len(header),
+                            zlib.crc32(header))
+        return (sz.MAGIC + b"\x00\x04"
+                + struct.pack("<I", zlib.crc32(start))
+                + start + pack + header)
+
+    # too many header folders (real encoded headers are ONE folder)
+    with pytest.raises(SevenZipError, match="encoded-header folders"):
+        sevenzip_members(craft(sz.MAX_HEADER_FOLDERS + 1, 10))
+    # one folder, but declaring more output than any real header
+    with pytest.raises(SevenZipError, match="encoded header declares"):
+        sevenzip_members(craft(1, sz.MAX_HEADER_BYTES + 1))
+    # a legitimate encoded header still decodes
+    blob = sevenzip_write(MEMBERS, encoded_header=True)
+    assert sevenzip_members(blob) == MEMBERS
+
+
+def test_empty_file_before_empty_stream():
+    """Property order inside FilesInfo is not fixed by the spec: a header
+    that places kEmptyFile BEFORE kEmptyStream must still classify the
+    empty-stream entries as files, not silently drop them as dirs."""
+    import marky_spark.ops.sevenzip as sz
+
+    data = b"payload-bytes"
+    packed, fbody, out_sizes = sz._encode_one("copy", data)
+    body = bytearray()
+    body += sz._w_number(0x01)  # kHeader
+    body += sz._w_number(0x04)  # kMainStreamsInfo
+    body += sz._w_streams_info(0, [len(packed)], [(fbody, out_sizes)])
+    body += sz._w_number(0x05)  # kFilesInfo
+    body += sz._w_number(2)     # two files: one empty, one with data
+    efvec = sz._w_bitvector([True])
+    body += sz._w_number(0x0F) + sz._w_number(len(efvec)) + efvec
+    esvec = sz._w_bitvector([True, False])
+    body += sz._w_number(0x0E) + sz._w_number(len(esvec)) + esvec
+    names = b"\x00" + "e.txt\x00d.txt\x00".encode("utf-16-le")
+    body += sz._w_number(0x11) + sz._w_number(len(names)) + names
+    body += sz._w_number(0x00) + sz._w_number(0x00)
+    header = bytes(body)
+    start = struct.pack("<QQI", len(packed), len(header),
+                        zlib.crc32(header))
+    blob = (sz.MAGIC + b"\x00\x04" + struct.pack("<I", zlib.crc32(start))
+            + start + packed + header)
+    assert sevenzip_members(blob) == [("e.txt", b""), ("d.txt", data)]

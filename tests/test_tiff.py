@@ -385,3 +385,29 @@ def test_12bit_jpeg_in_tiff():
     with pytest.raises(TiffError, match="JPEG-in-TIFF only"):
         tiff_encode(px12, w, h, 1, compression="lzw", bits=12)
     (_, _, _, _) = tiff_decode(blob)  # still valid after the reject
+
+
+def test_planar_ycbcr_jpeg_is_typed():
+    """photometric 6 + PlanarConfiguration 2 would decode as three
+    separate 1-channel JPEGs with no YCbCr->RGB conversion — raw YCbCr
+    silently labeled RGB. Must be a typed unsupported error instead.
+    (The encoder refuses to write this combo, so relocate the IFD to
+    EOF with a PlanarConfiguration=2 entry spliced in.)"""
+    import struct
+
+    w, h = 8, 8
+    rgb = bytes((x * 3 + y * 5 + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    blob = bytearray(tiff_encode(rgb, w, h, 3, compression="jpeg"))
+    off = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, off)[0]
+    entries = [bytes(blob[off + 2 + 12 * i: off + 14 + 12 * i])
+               for i in range(n)]
+    entries.append(struct.pack("<HHII", 284, 3, 1, 2))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    new_off = len(blob)
+    blob += (struct.pack("<H", len(entries)) + b"".join(entries)
+             + b"\x00\x00\x00\x00")
+    struct.pack_into("<I", blob, 4, new_off)
+    with pytest.raises(TiffUnsupportedError, match="planar YCbCr"):
+        tiff_decode(bytes(blob))
