@@ -749,13 +749,19 @@ def _q_embedded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pdf_images = pdf_media(synth_pdf_media(docs)).where(F.col("ok") == "ok")
     pdf_pixels = decode_pixels(pdf_images.select("media_ref", "payload"))
+    # docs with doc_id % 4 != 0 carry CCITT G4/MH/G3-2D XObjects (bilevel,
+    # decoded gray is {0,255}) — their content digest is the NUL-free
+    # pixel_dec_md5 so the SQL oracle can rebuild it; % 4 == 0 docs keep
+    # the raw-scanline arm where pixel_md5 == md5 of the text bytes
+    pdf_doc_id = F.substring("media_ref", 2, 18).cast("long")
     pdf_branch = pdf_pixels.select(
         F.lit("p").alias("branch"),
-        F.substring("media_ref", 2, 18).cast("long").alias("doc_id"),
+        pdf_doc_id.alias("doc_id"),
         F.concat(F.lit("F"), F.substring("media_ref", 2, 18))
         .alias("media_ref"),
         F.lit("image/png").alias("mime"),
-        F.col("pixel_md5").alias("payload_md5"),
+        F.when(pdf_doc_id % 4 == 0, F.col("pixel_md5"))
+        .otherwise(F.col("pixel_dec_md5")).alias("payload_md5"),
         F.col("n_pixel_bytes").alias("n_bytes"),
     )
     warc = warc_records(synth_warc_media(docs))
@@ -1673,15 +1679,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL
             -- branch 'p': the PDF image XObject carries the first 64 text
-            -- bytes as a raw gray scanline; extraction re-wraps as PNG and
-            -- decode_pixels recovers the samples exactly (xref walk +
-            -- stream math + PNG round-trip all pinned). Empty docs carry
-            -- no image on either side.
+            -- bytes, encoding rotating by doc_id % 4: 0 = raw gray
+            -- scanline (pixel_md5 == md5 of the bytes); 1 = CCITT G4
+            -- (/K -1, default polarity: odd byte -> black -> gray 0);
+            -- 2 = CCITT MH (/K 0, packed rows, /BlackIs1 true: odd byte
+            -- -> gray 255); 3 = CCITT G3 2-D (/K 4, /Decode [1 0]:
+            -- inverted, odd byte -> gray 255). The CCITT digests are
+            -- over the decoded samples rendered as 3-digit decimals
+            -- ('000'/'255'), so the real T.4/T.6 bit walks plus the
+            -- /DecodeParms polarity handling must be spec-correct for
+            -- the hashes to line up. Empty docs carry no image on
+            -- either side.
             SELECT 'p' AS branch,
                    doc_id,
                    'F' || doc_id AS media_ref,
                    'image/png' AS mime,
-                   md5(substr(text, 1, 64)) AS payload_md5,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN md5(substr(text, 1, 64))
+                        ELSE md5(array_to_string(list_transform(
+                            range(1, least(strlen(text), 64)::INT + 1),
+                            j -> CASE WHEN
+                                 (unicode(substr(text, j::INT, 1)) % 2 = 1)
+                                 = (doc_id % 4 = 1)
+                                 THEN '000' ELSE '255' END), ''))
+                        END AS payload_md5,
                    CAST(least(strlen(text), 64) AS BIGINT) AS n_bytes
             FROM documents
             WHERE strlen(text) > 0

@@ -288,15 +288,20 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
     return row, cur
 
 
-def g4_decode(data: bytes, width: int, height: int) -> bytes:
+def g4_decode(data: bytes, width: int, height: int, *,
+              byte_align: bool = False) -> bytes:
     """T.6 (Group 4 MMR) → one byte per pixel (0 white / 1 black),
-    row-major, ``width*height`` bytes. Trailing EOFB is tolerated."""
+    row-major, ``width*height`` bytes. Trailing EOFB is tolerated.
+    ``byte_align`` is PDF CCITTFaxDecode's /EncodedByteAlign: each
+    coded line starts on a byte boundary."""
     if width < 1 or height < 1 or width * height > MAX_FAX_PIXELS:
         raise FaxError(f"bad fax dimensions {width}x{height}")
     br = _BitReader(data)
     out = bytearray()
     ref: list[int] = []  # changing elements of the reference line
     for _y in range(height):
+        if byte_align:
+            br.align_byte()
         row, cur = _decode_2d_row(br, ref, width)
         out += row
         ref = cur
@@ -387,12 +392,17 @@ def _pack_bits(s: str) -> bytes:
 
 
 def mh_decode(data: bytes, width: int, height: int, *,
-              eol: bool = False) -> bytes:
+              eol: bool = False, byte_align: bool = True) -> bytes:
     """T.4 one-dimensional Modified Huffman → one byte per pixel.
 
     ``eol=False`` is TIFF compression 2 (each row starts on a byte
     boundary, no EOL codes); ``eol=True`` is TIFF compression 3 with
-    T4Options=0 (an EOL precedes every row, fill bits tolerated)."""
+    T4Options=0 (an EOL precedes every row, fill bits tolerated).
+    ``eol=False, byte_align=False`` is PDF CCITTFaxDecode K=0 without
+    /EncodedByteAlign: rows are packed back-to-back with no alignment;
+    an EOL marker at a row start is consumed if present (PDF's
+    /EndOfLine is optional, and 000000000001 is reserved by T.4 — no
+    run code collides with it)."""
     if width < 1 or height < 1 or width * height > MAX_FAX_PIXELS:
         raise FaxError(f"bad fax dimensions {width}x{height}")
     br = _BitReader(data)
@@ -400,8 +410,12 @@ def mh_decode(data: bytes, width: int, height: int, *,
     for y in range(height):
         if eol:
             _scan_eol(br, y)
-        elif y:
-            br.align_byte()
+        elif byte_align:
+            if y:
+                br.align_byte()
+        else:
+            while br.bits_left() >= 12 and br.peek12() == 1:
+                br.pos += 12
         out += _decode_1d_row(br, width, y)
     return bytes(out)
 
@@ -500,9 +514,11 @@ def _emit_1d_row(bits: list[str], row: bytes, width: int) -> None:
 
 
 def mh_encode(pixels: bytes, width: int, height: int, *,
-              eol: bool = False) -> bytes:
+              eol: bool = False, byte_align: bool = True) -> bytes:
     """One byte per pixel (0/1) → T.4 1-D stream (the fixture inverse of
-    :func:`mh_decode`, same ``eol`` convention)."""
+    :func:`mh_decode`, same ``eol``/``byte_align`` conventions —
+    ``eol=False, byte_align=False`` packs rows back-to-back, the PDF
+    CCITTFaxDecode K=0 default)."""
     if width < 1 or height < 1 or len(pixels) != width * height:
         raise FaxError("pixel buffer does not match dimensions")
     chunks: list[str] = []
@@ -513,7 +529,7 @@ def mh_encode(pixels: bytes, width: int, height: int, *,
         bits = [_EOL] if eol else []
         _emit_1d_row(bits, row, width)
         s = "".join(bits)
-        if not eol:
+        if not eol and byte_align:
             s += "0" * ((-len(s)) % 8)  # rows byte-aligned (compression 2)
         chunks.append(s)
     stream = "".join(chunks)

@@ -412,6 +412,7 @@ PIXELS_SCHEMA = StructType([
     StructField("channels", IntegerType()),
     StructField("n_pixel_bytes", LongType()),
     StructField("pixel_md5", StringType()),
+    StructField("pixel_dec_md5", StringType()),
     StructField("ok", StringType()),
 ])
 
@@ -439,20 +440,26 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                         # pre-GIF behavior of this operator)
                         decoded = png_decode(blob)
                     w, h, c, px = decoded
+                    # pixel_dec_md5: the samples rendered as 3-digit
+                    # decimals — the NUL-free content digest a pure-SQL
+                    # oracle can reconstruct (same trick scan_features
+                    # uses), since VARCHAR md5 can't hold 0x00 bytes
+                    dec_md5 = hashlib.md5(_dec3(px)).hexdigest()
                     rows.append((ref, w, h, c, len(px),
-                                 hashlib.md5(px).hexdigest(), "ok"))
+                                 hashlib.md5(px).hexdigest(), dec_md5,
+                                 "ok"))
                 except NotImplementedError:
                     # recognized format, unimplemented mode (e.g.
                     # arithmetic-coded JPEG) — the payload is fine
-                    rows.append((ref, None, None, None, None, None,
+                    rows.append((ref, None, None, None, None, None, None,
                                  "codec_unavailable"))
                 except PngError as exc:
-                    rows.append((ref, None, None, None, None, None,
+                    rows.append((ref, None, None, None, None, None, None,
                                  f"error: {exc}"))
                 except Exception as exc:  # noqa: BLE001 — poison isolation:
                     # the codec's contract is PngError-only, but a decoder
                     # escape must never become a task failure
-                    rows.append((ref, None, None, None, None, None,
+                    rows.append((ref, None, None, None, None, None, None,
                                  f"error: {type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PIXELS_SCHEMA.fields]
@@ -864,6 +871,17 @@ SCAN_SCHEMA = StructType([
 ])
 
 _DEC3 = None  # lazy: 256-entry lookup of b"000".."255"
+
+
+def _dec3(px: bytes) -> bytes:
+    """Samples → their 3-digit-decimal ASCII stream (vectorized via the
+    shared 'S3' lookup table)."""
+    import numpy as np
+
+    global _DEC3
+    if _DEC3 is None:
+        _DEC3 = np.array([b"%03d" % v for v in range(256)], dtype="S3")
+    return _DEC3[np.frombuffer(px, dtype=np.uint8)].tobytes()
 
 
 def scan_features(media: DataFrame) -> DataFrame:

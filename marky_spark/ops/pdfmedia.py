@@ -39,6 +39,84 @@ class PdfMediaError(ValueError):
     """Malformed / hostile PDF while extracting images."""
 
 
+def _ccitt_to_png(pdf, info, rec: dict, raw: bytes) -> None:
+    """Decode a ``/CCITTFaxDecode`` image XObject through ops/faxcodec
+    and re-wrap as bilevel-gray PNG (PDF 32000-1 §7.4.6 parameters:
+    /K selects G4 (<0) / G3 1-D (0) / G3 2-D (>0), /Columns, /Rows,
+    /BlackIs1 default false = 0 bits are black, /EncodedByteAlign).
+    Mutates ``rec`` in place with mime/payload/ok."""
+    import numpy as np
+
+    from .faxcodec import FaxError, g3_2d_decode, g4_decode, mh_decode
+    from .pngcodec import png_encode
+
+    parms = pdf.resolve(info.get("/DecodeParms"))
+    if parms is None:
+        parms = pdf.resolve(info.get("/DP"))
+    if isinstance(parms, list):  # parallel to /Filter; single filter here
+        parms = pdf.resolve(parms[0]) if parms else None
+    if parms is None:
+        parms = {}
+    if not isinstance(parms, dict):
+        rec["ok"] = "error: CCITT /DecodeParms is not a dictionary"
+        return
+
+    def num(key, default):
+        v = pdf.resolve(parms.get(key, default))
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise PdfMediaError(f"CCITT {key} is not a number")
+        return int(v)
+
+    try:
+        k = num("/K", 0)
+        cols = num("/Columns", 1728)
+        rows = num("/Rows", 0) or rec["height"]
+    except PdfMediaError as exc:
+        rec["ok"] = f"error: {exc}"
+        return
+    black1 = pdf.resolve(parms.get("/BlackIs1")) is True
+    align = pdf.resolve(parms.get("/EncodedByteAlign")) is True
+    if cols != rec["width"]:
+        rec["ok"] = (f"error: CCITT /Columns {cols} does not match "
+                     f"/Width {rec['width']}")
+        return
+    if rows != rec["height"]:
+        rec["ok"] = (f"error: CCITT /Rows {rows} does not match "
+                     f"/Height {rec['height']}")
+        return
+    if cols * rows > MAX_IMAGE_PIXELS:
+        rec["ok"] = "error: image exceeds pixel cap"
+        return
+    try:
+        if k < 0:
+            px = g4_decode(raw, cols, rows, byte_align=align)
+        elif k == 0:
+            try:
+                px = mh_decode(raw, cols, rows, byte_align=align)
+            except FaxError:
+                # real K=0 streams sometimes carry T.4 EOLs per row
+                # (/EndOfLine true); retry on the EOL-framed path
+                px = mh_decode(raw, cols, rows, eol=True)
+        else:
+            px = g3_2d_decode(raw, cols, rows)
+    except FaxError as exc:
+        rec["ok"] = f"error: CCITT decode failed: {exc}"
+        return
+    # fax domain: 1 = black. Filter output bit: BlackIs1 ? px : 1-px;
+    # DeviceGray/ImageMask then maps bit b through /Decode (default
+    # [0 1]): 0 -> black. Net: gray = 255 * (bit after optional
+    # /Decode [1 0] inversion).
+    arr = np.frombuffer(px, dtype=np.uint8)
+    bit = arr if black1 else 1 - arr
+    dec = pdf.resolve(info.get("/Decode"))
+    if isinstance(dec, list) and [pdf.resolve(d) for d in dec] == [1, 0]:
+        bit = 1 - bit
+    rec["mime"] = "image/png"
+    rec["payload"] = png_encode((bit * np.uint8(255)).tobytes(),
+                                cols, rows, 1)
+    rec["ok"] = "ok"
+
+
 PDF_IMAGE_SCHEMA = StructType([
     StructField("media_ref", StringType()),
     StructField("image_idx", IntegerType()),
@@ -58,8 +136,11 @@ PDF_IMAGE_SCHEMA = StructType([
 def extract_pdf_images(data: bytes) -> list[dict]:
     """PDF bytes → one dict per ``/Subtype /Image`` XObject, in object
     order. DCTDecode images pass through as JPEG; Flate/raw 8-bit
-    DeviceRGB/DeviceGray images are re-encoded as PNG; other encodings
-    (CCITT, JBIG2, JPX, masks, indexed palettes) are reported with their
+    DeviceRGB/DeviceGray images are re-encoded as PNG; CCITTFaxDecode
+    bilevel images (incl. ImageMasks) decode through ops/faxcodec with
+    full /DecodeParms handling (K, Columns, Rows, BlackIs1,
+    EncodedByteAlign) and re-wrap as PNG; remaining encodings (JBIG2,
+    JPX, non-CCITT masks, indexed palettes) are reported with their
     metadata and ``ok='skipped: ...'`` so callers see what was dropped —
     no silent truncation."""
     from ..kernels.base import ConvertError
@@ -119,6 +200,18 @@ def extract_pdf_images(data: bytes) -> list[dict]:
             rec["mime"] = "image/jpeg"
             rec["payload"] = obj.raw
             rec["ok"] = "ok"
+        elif filters == ["/CCITTFaxDecode"]:
+            # scanned-PDF path: G4/G3 XObjects route through the real
+            # fax codec. CCITT data is bilevel: 1 bpc DeviceGray or an
+            # ImageMask (whose BitsPerComponent defaults to 1).
+            mask = pdf.resolve(info.get("/ImageMask")) is True
+            if (rec["bits"] == 1 or (mask and "/BitsPerComponent"
+                                     not in info)) and \
+                    (mask or cs in (None, "/DeviceGray")):
+                _ccitt_to_png(pdf, info, rec, obj.raw)
+            else:
+                rec["ok"] = (f"skipped: CCITTFaxDecode "
+                             f"{rec['colorspace']} {rec['bits']}bpc")
         elif info.get("/ImageMask") is True or rec["bits"] != 8 or \
                 str(cs) not in ("/DeviceRGB", "/DeviceGray"):
             rec["ok"] = (f"skipped: {rec['pdf_filter']} "
@@ -154,15 +247,27 @@ def extract_pdf_images(data: bytes) -> list[dict]:
 
 def synth_pdf_media(docs: DataFrame, max_px: int = 64) -> DataFrame:
     """Deterministic PDF corpus over doc ids: a minimal classic-xref PDF
-    per doc whose single image XObject is the first ``max_px`` bytes of
-    the doc's text as a raw 8-bit DeviceGray scanline (w = that length,
-    h = 1; empty-text docs are skipped on both sides). Extraction
-    re-wraps those samples as PNG and decode_pixels recovers them
-    exactly, so the driver oracle pins the whole xref/lexer/stream/
-    XObject walk plus the PNG round-trip with md5(substr(text,1,64))
-    arithmetic — no PDF library on the SQL side."""
+    per doc whose single image XObject carries the first ``max_px`` bytes
+    of the doc's text (w = that length, h = 1; empty-text docs are
+    skipped on both sides), with the ENCODING rotating by doc_id % 4:
+
+    - 0: raw 8-bit DeviceGray scanline (the original arm) — extraction
+      re-wraps as PNG and decode_pixels recovers the bytes exactly
+      (pixel_md5 == md5(substr(text, 1, 64)))
+    - 1: CCITT G4 (/K -1), bilevel bits = text byte & 1, default
+      polarity (black -> gray 0)
+    - 2: CCITT Modified Huffman (/K 0) with packed rows and
+      /BlackIs1 true (black -> gray 255)
+    - 3: CCITT G3 2-D (/K 4) with /Decode [1 0] (inverted mapping)
+
+    so the driver oracle pins the xref/lexer/stream/XObject walk, the
+    PNG round-trip, AND the real T.4/T.6 fax bit walks + /DecodeParms
+    polarity handling — via decode_pixels' NUL-free pixel_dec_md5
+    ('000'/'255' streams) for the CCITT arms. No PDF or fax library on
+    the SQL side."""
     from pyspark.sql import functions as F
 
+    from .faxcodec import g3_2d_encode, g4_encode, mh_encode
     from .multimodal import MEDIA_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -173,10 +278,34 @@ def synth_pdf_media(docs: DataFrame, max_px: int = 64) -> DataFrame:
                 i = int(doc_id)
                 samples = str(text).encode("utf-8")[:max_px]
                 w = len(samples)
-                img = (f"<< /Subtype /Image /Width {w} /Height 1 "
-                       f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
-                       f"/Length {w} >>").encode() + \
-                    b"\nstream\n" + samples + b"\nendstream"
+                mode = i % 4
+                if mode == 0:
+                    head = (f"<< /Subtype /Image /Width {w} /Height 1 "
+                            f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+                            f"/Length {w} >>")
+                    stream = samples
+                else:
+                    bits = bytes(b & 1 for b in samples)
+                    if mode == 1:
+                        stream = g4_encode(bits, w, 1)
+                        parms = f"<< /K -1 /Columns {w} >>"
+                        extra = ""
+                    elif mode == 2:
+                        stream = mh_encode(bits, w, 1, byte_align=False)
+                        parms = (f"<< /K 0 /Columns {w} "
+                                 f"/BlackIs1 true >>")
+                        extra = ""
+                    else:
+                        stream = g3_2d_encode(bits, w, 1)
+                        parms = f"<< /K 4 /Columns {w} >>"
+                        extra = "/Decode [1 0] "
+                    head = (f"<< /Subtype /Image /Width {w} /Height 1 "
+                            f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+                            f"/Filter /CCITTFaxDecode "
+                            f"/DecodeParms {parms} {extra}"
+                            f"/Length {len(stream)} >>")
+                img = head.encode() + \
+                    b"\nstream\n" + stream + b"\nendstream"
                 objects = {
                     1: b"<< /Type /Catalog /Pages 2 0 R >>",
                     2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

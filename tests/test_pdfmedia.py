@@ -96,9 +96,12 @@ def test_dct_and_flate_images_extract():
     raw = by_filter["raw"]
     assert raw["ok"] == "ok"
     assert png_decode(raw["payload"]) == (10, 6, 1, px_gray)
-    # CCITT is classified, not silently dropped
+    # CCITT now routes through the fax codec; this stream has no
+    # /DecodeParms (default /Columns 1728 vs /Width 4) so it is a
+    # TYPED error row, never a silent drop or a crash
     cc = by_filter["/CCITTFaxDecode"]
-    assert cc["ok"].startswith("skipped:") and cc["payload"] is None
+    assert cc["ok"].startswith("error: CCITT /Columns")
+    assert cc["payload"] is None
     assert (cc["width"], cc["height"], cc["bits"]) == (4, 4, 1)
 
 
@@ -200,3 +203,133 @@ def test_circular_reference_is_typed_not_hung():
         # a /Contents that resolves circularly
         body = bytes(pdf).replace(b"/Contents 4 0 R", b"/Contents 7 0 R")
         extract_pdf_text(body)
+
+
+# ------------------------------------------------- CCITTFaxDecode wiring
+
+def _bilevel(w: int, h: int) -> bytes:
+    """Deterministic 0/1 page: a diagonal band of black."""
+    return bytes(1 if (x + 2 * y) % 7 < 3 else 0
+                 for y in range(h) for x in range(w))
+
+
+def _ccitt_obj(stream: bytes, w: int, h: int, parms: str,
+               extra: str = "", mask: bool = False) -> bytes:
+    head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+            + ("/ImageMask true "
+               if mask else "/BitsPerComponent 1 /ColorSpace /DeviceGray ")
+            + f"/Filter /CCITTFaxDecode /DecodeParms << {parms} >> "
+            + extra + f"/Length {len(stream)} >>")
+    return _image_obj(head, stream)
+
+
+def _gray_png(payload: bytes) -> tuple[int, int, bytes]:
+    from marky_spark.ops.pngcodec import png_decode
+
+    w, h, ch, samples = png_decode(payload)
+    assert ch == 1
+    return w, h, samples
+
+
+def _expect_gray(px: bytes) -> bytes:
+    # fax domain 1=black -> default PDF polarity: black = gray 0
+    return bytes(0 if v else 255 for v in px)
+
+
+def test_ccitt_g4_image_decodes():
+    from marky_spark.ops.faxcodec import g4_encode
+
+    w, h = 23, 9
+    px = _bilevel(w, h)
+    body = _ccitt_obj(g4_encode(px, w, h), w, h, f"/K -1 /Columns {w}")
+    out = extract_pdf_images(_pdf_with_images([body]))
+    assert len(out) == 1 and out[0]["ok"] == "ok"
+    assert out[0]["mime"] == "image/png"
+    assert _gray_png(out[0]["payload"]) == (w, h, _expect_gray(px))
+
+
+def test_ccitt_k0_packed_and_bytealigned():
+    from marky_spark.ops.faxcodec import mh_encode
+
+    w, h = 17, 6
+    px = _bilevel(w, h)
+    packed = _ccitt_obj(mh_encode(px, w, h, byte_align=False), w, h,
+                        f"/K 0 /Columns {w} /Rows {h}")
+    aligned = _ccitt_obj(mh_encode(px, w, h), w, h,
+                         f"/K 0 /Columns {w} /EncodedByteAlign true")
+    eols = _ccitt_obj(mh_encode(px, w, h, eol=True), w, h,
+                      f"/K 0 /Columns {w} /EndOfLine true")
+    out = extract_pdf_images(_pdf_with_images([packed, aligned, eols]))
+    assert [r["ok"] for r in out] == ["ok"] * 3
+    for r in out:
+        assert _gray_png(r["payload"]) == (w, h, _expect_gray(px))
+
+
+def test_ccitt_g3_2d_and_imagemask():
+    from marky_spark.ops.faxcodec import g3_2d_encode, g4_encode
+
+    w, h = 19, 8
+    px = _bilevel(w, h)
+    g32d = _ccitt_obj(g3_2d_encode(px, w, h), w, h,
+                      f"/K 4 /Columns {w}")
+    mask = _ccitt_obj(g4_encode(px, w, h), w, h,
+                      f"/K -1 /Columns {w}", mask=True)
+    out = extract_pdf_images(_pdf_with_images([g32d, mask]))
+    assert [r["ok"] for r in out] == ["ok", "ok"]
+    for r in out:
+        assert _gray_png(r["payload"]) == (w, h, _expect_gray(px))
+
+
+def test_ccitt_blackis1_and_decode_inversion():
+    from marky_spark.ops.faxcodec import g4_encode
+
+    w, h = 11, 5
+    px = _bilevel(w, h)
+    stream = g4_encode(px, w, h)
+    black1 = _ccitt_obj(stream, w, h, f"/K -1 /Columns {w} /BlackIs1 true")
+    inverted = _ccitt_obj(stream, w, h, f"/K -1 /Columns {w}",
+                          extra="/Decode [1 0] ")
+    both = _ccitt_obj(stream, w, h,
+                      f"/K -1 /Columns {w} /BlackIs1 true",
+                      extra="/Decode [1 0] ")
+    out = extract_pdf_images(_pdf_with_images([black1, inverted, both]))
+    assert [r["ok"] for r in out] == ["ok"] * 3
+    flipped = bytes(255 if v else 0 for v in px)
+    assert _gray_png(out[0]["payload"])[2] == flipped   # BlackIs1
+    assert _gray_png(out[1]["payload"])[2] == flipped   # /Decode [1 0]
+    assert _gray_png(out[2]["payload"])[2] == _expect_gray(px)  # both
+    # defaults stay the baseline polarity
+    plain = extract_pdf_images(_pdf_with_images(
+        [_ccitt_obj(stream, w, h, f"/K -1 /Columns {w}")]))
+    assert _gray_png(plain[0]["payload"])[2] == _expect_gray(px)
+
+
+def test_ccitt_hostile_stays_typed_rows():
+    from marky_spark.ops.faxcodec import g4_encode
+
+    w, h = 13, 4
+    px = _bilevel(w, h)
+    stream = g4_encode(px, w, h)
+    # Columns mismatch vs /Width
+    mismatch = _ccitt_obj(stream, w, h, f"/K -1 /Columns {w + 3}")
+    # Rows mismatch vs /Height
+    rowsbad = _ccitt_obj(stream, w, h, f"/K -1 /Columns {w} /Rows {h + 2}")
+    # truncated bitstream
+    trunc = _ccitt_obj(stream[:2], w, h, f"/K -1 /Columns {w}")
+    # a stream encoded for a WIDER page overruns the declared row
+    wide = _ccitt_obj(g4_encode(_bilevel(w + 8, h), w + 8, h), w, h,
+                      f"/K -1 /Columns {w}")
+    out = extract_pdf_images(
+        _pdf_with_images([mismatch, rowsbad, trunc, wide]))
+    assert [r["ok"].startswith("error:") for r in out] == [True] * 4
+    assert "/Columns" in out[0]["ok"] and "/Rows" in out[1]["ok"]
+    assert "CCITT decode failed" in out[2]["ok"]
+    assert "CCITT decode failed" in out[3]["ok"]
+    # a 2bpc "CCITT" image is skipped, not mis-decoded
+    two = _image_obj(
+        f"<< /Subtype /Image /Width {w} /Height {h} /BitsPerComponent 2 "
+        f"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+        f"/DecodeParms << /K -1 /Columns {w} >> /Length {len(stream)} >>",
+        stream)
+    out2 = extract_pdf_images(_pdf_with_images([two]))
+    assert out2[0]["ok"].startswith("skipped: CCITTFaxDecode")
