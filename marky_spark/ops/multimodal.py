@@ -365,6 +365,13 @@ def _auto_resize_once(blob: bytes, mime: str, width: int,
         out = jpeg_encode(_nearest(pixels, in_w, in_h, ch, width, height),
                           width, height, ch)
         return in_w, in_h, out
+    from .webpcodec import looks_like_webp, webp_decode, webp_encode
+
+    if looks_like_webp(blob):
+        in_w, in_h, ch, pixels = webp_decode(blob)
+        out = webp_encode(_nearest(pixels, in_w, in_h, ch, width, height),
+                          width, height, ch)
+        return in_w, in_h, out
     in_w, in_h, _ = fake_decode(blob, mime)
     return in_w, in_h, fake_resize(blob, mime, width, height)
 
@@ -481,10 +488,11 @@ FEATURES_SCHEMA = StructType([
 def _try_decode_pixels(blob: bytes):
     """→ (width, height, channels, samples) for formats with a real
     in-sandbox codec (PNG / uncompressed BMP / GIF / JPEG / TIFF /
-    Netpbm / ICO favicons; an MJPEG AVI contributes its FIRST FRAME —
-    the cheap representative a real pipeline embeds for video), else
-    None. The weak ICO magic sniffs LAST (a full-directory validation,
-    but still the least distinctive signature in the chain)."""
+    Netpbm / lossless WebP / ICO favicons; an MJPEG AVI contributes its
+    FIRST FRAME — the cheap representative a real pipeline embeds for
+    video), else None. The weak ICO magic sniffs LAST (a full-directory
+    validation, but still the least distinctive signature in the
+    chain)."""
     from .avicodec import avi_decode_frames, looks_like_avi
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
@@ -493,6 +501,7 @@ def _try_decode_pixels(blob: bytes):
     from .pngcodec import PNG_SIGNATURE, png_decode
     from .pnmcodec import looks_like_pnm, pnm_decode
     from .tiffcodec import looks_like_tiff, tiff_decode
+    from .webpcodec import looks_like_webp, webp_decode
 
     if blob.startswith(PNG_SIGNATURE):
         return png_decode(blob)
@@ -506,6 +515,8 @@ def _try_decode_pixels(blob: bytes):
         return gif_decode(blob)
     if looks_like_jpeg(blob):
         return jpeg_decode(blob)
+    if looks_like_webp(blob):
+        return webp_decode(blob)
     if looks_like_avi(blob):
         _, _, frames = avi_decode_frames(blob)
         return jpeg_decode(frames[0]) if frames else None
@@ -673,10 +684,13 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     the one oracle pins both decoders), rotating the compression by
     i % 3 — LZW / PackBits / uncompressed — with the horizontal
     predictor on odd docs and a 3-row multi-strip layout on i % 2 == 0;
-    docs with i % 5 == 3 encode them as binary PPM (ops/pnmcodec). The
-    PNG path pins zlib+filters, the TIFF path pins IFD/strip/PackBits/
-    TIFF-LZW/predictor decode, and the PPM path pins the Netpbm header
-    grammar + raster parse, all against the same arithmetic."""
+    docs with i % 5 == 3 encode them as binary PPM (ops/pnmcodec); docs
+    with i % 5 == 1 encode them as lossless WebP (ops/webpcodec),
+    rotating VP8L features. The PNG path pins zlib+filters, the TIFF
+    path pins IFD/strip/PackBits/TIFF-LZW/predictor decode, the PPM
+    path pins the Netpbm header grammar + raster parse, and the WebP
+    path pins the VP8L prefix-code/transform/LZ77 walk, all against the
+    same arithmetic."""
     from .pngcodec import png_encode
     from .pnmcodec import pnm_encode
     from .tiffcodec import tiff_encode
@@ -722,6 +736,20 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     mv = 65535 if i % 3 == 0 else 255
                     rows.append((f"p{i}", "image/x-portable-pixmap",
                                  pnm_encode(px, w, h, 3, maxval=mv)))
+                    continue
+                if i % 5 == 1:
+                    # lossless WebP (ops/webpcodec) of the SAME samples,
+                    # rotating the VP8L features — subtract-green, color
+                    # cache, LZ77 runs — so the one pixel oracle pins the
+                    # prefix-code walk, transforms and backward refs
+                    from .webpcodec import webp_encode
+
+                    blob = webp_encode(
+                        px, w, h, 3,
+                        subtract_green=(i % 2 == 0),
+                        color_cache_bits=4 if i % 3 == 0 else 0,
+                        lz77=(i % 3 == 1))
+                    rows.append((f"p{i}", "image/webp", blob))
                     continue
                 # PNG shape variants — the ORACLE SAMPLES never change
                 # (16-bit high bytes ARE the 8-bit samples; deinterlace

@@ -137,6 +137,14 @@ def test_image_codec_mutations_stay_typed():
         tiff_encode(px12, 16, 12, 1, compression="jpeg", bits=12,
                     rows_per_strip=8),
     ]
+    from marky_spark.ops.webpcodec import webp_encode
+    pal_px = bytes((b % 4) * 80 for b in px)
+    samples += [
+        webp_encode(px, 16, 12, 3),
+        webp_encode(px, 16, 12, 3, subtract_green=True,
+                    color_cache_bits=4, lz77=True),
+        webp_encode(pal_px, 16, 12, 3, palette=True),
+    ]
     n = max(N // 2, 50)
     for data in samples:
         for _ in range(n):
