@@ -665,11 +665,28 @@ def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-digit decimal from doc_id arithmetic (fax: '000'/'255' from the
     hex-char threshold; JPEG: the uniform strip values, exact through
     the Annex-K quantizer), so the md5 only matches when the real bit
-    walks are spec-correct."""
-    from marky_spark.ops.multimodal import scan_features, synth_scan_media
+    walks are spec-correct. Branch 'sk' (round-5) adds 4-component
+    print-origin JPEGs — Adobe CMYK / YCCK / APP14-less plain CMYK
+    (synth_cmyk_media) — decoded through decode_pixels; the oracle
+    rebuilds the ink→RGB conversion (round(ink*k/255) /
+    round((255-ink)*(255-k)/255)) per doc_id, so the APP14 walk and
+    both ink conventions must be spec-correct."""
+    from marky_spark.ops.multimodal import (
+        decode_pixels,
+        scan_features,
+        synth_cmyk_media,
+        synth_scan_media,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return scan_features(synth_scan_media(docs))
+    cmyk = decode_pixels(synth_cmyk_media(docs)).select(
+        "media_ref", "width", "height", "channels",
+        F.col("n_pixel_bytes").alias("n_samples"),
+        F.col("pixel_dec_md5").alias("sample_md5"),
+        F.lit(0).cast("long").alias("black_n"),
+        "ok",
+    )
+    return scan_features(synth_scan_media(docs)).unionByName(cmyk)
 
 
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,6 +1622,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS black_n,
                    'ok' AS ok
             FROM sj
+            UNION ALL
+            -- branch 'sk': 4-component print-origin JPEGs, uniform inks
+            -- C/M/Y/K = (i*7, i*11, i*13, i*5) % 95 + 32 (YCCK ids use
+            -- C=M=Y). Adobe ids (i%3 in (0,1)): rgb = round(ink*k/255);
+            -- APP14-less ids (i%3=2): rgb = round((255-ink)*(255-k)/255).
+            -- Decoded through the real entropy+IDCT walk, rendered as
+            -- 3-digit decimals.
+            SELECT 'sk' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(w*h*3 AS BIGINT) AS n_samples,
+                   md5(repeat(
+                       lpad(rr::VARCHAR, 3, '0')
+                       || lpad(gg::VARCHAR, 3, '0')
+                       || lpad(bb::VARCHAR, 3, '0'),
+                       (w*h)::INT)) AS sample_md5,
+                   CAST(0 AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM (
+                SELECT doc_id, w, h,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN round((255 - c1) * (255 - kk) / 255.0)
+                            ELSE round(c1 * kk / 255.0) END::INT AS rr,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN round((255 - c2) * (255 - kk) / 255.0)
+                            ELSE round(c2 * kk / 255.0) END::INT AS gg,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN round((255 - c3) * (255 - kk) / 255.0)
+                            ELSE round(c3 * kk / 255.0) END::INT AS bb
+                FROM (
+                    SELECT doc_id, w, h,
+                           (doc_id*7) % 95 + 32 AS c1,
+                           CASE WHEN doc_id % 3 = 1
+                                THEN (doc_id*7) % 95 + 32
+                                ELSE (doc_id*11) % 95 + 32 END AS c2,
+                           CASE WHEN doc_id % 3 = 1
+                                THEN (doc_id*7) % 95 + 32
+                                ELSE (doc_id*13) % 95 + 32 END AS c3,
+                           (doc_id*5) % 95 + 32 AS kk
+                    FROM m)
+            )
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:

@@ -233,6 +233,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
     exif_orientation = 1
+    adobe_transform = None  # APP14: 0 = RGB/CMYK, 1 = YCbCr, 2 = YCCK
     frame = None  # (w, h, comps, prec) — comps: [(cid, hs, vs, tq)]
     scan = None
     progressive = False
@@ -256,6 +257,10 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 4:pos + 2 + seg_len]
         if len(body) != seg_len - 2:
             raise JpegError("truncated segment")
+        if marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14 color-transform flag (Adobe TN #5116): 0 = none
+            # (RGB for 3 comps, CMYK for 4), 1 = YCbCr, 2 = YCCK
+            adobe_transform = body[11]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             # EXIF rides an APP1 TIFF IFD; only Orientation (274) matters
             # to pixel consumers. Malformed EXIF is IGNORED (browser /
@@ -302,7 +307,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("12-bit precision in a baseline SOF0")
             if w <= 0 or h <= 0 or w * h > JPEG_MAX_PIXELS:
                 raise JpegError(f"bad dimensions {w}x{h}")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise JpegError(f"unsupported component count {nc}")
             if len(body) < 6 + 3 * nc:
                 raise JpegError("truncated SOF component list")
@@ -394,8 +399,9 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if vs < vmax:
                 p = np.repeat(p, vmax // vs, axis=0)
             full.append(p[:h, :w])
-        return _exif_apply(_color_assemble(full, w, h, prec),
-                           exif_orientation)
+        return _exif_apply(
+            _color_assemble(full, w, h, prec, adobe_transform),
+            exif_orientation)
 
     if frame is None or scan is None:
         raise JpegError("missing SOF/SOS")
@@ -486,7 +492,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
 
-    return _exif_apply(_color_assemble(full, w, h, prec), exif_orientation)
+    return _exif_apply(_color_assemble(full, w, h, prec, adobe_transform),
+                       exif_orientation)
 
 
 def _exif_orientation(tiff: bytes):
@@ -543,27 +550,56 @@ def _exif_apply(res, orientation: int):
     return w2, h2, ch, np.ascontiguousarray(grid).tobytes()
 
 
-def _color_assemble(full, w: int, h: int,
-                    prec: int = 8) -> tuple[int, int, int, bytes]:
+def _color_assemble(full, w: int, h: int, prec: int = 8,
+                    adobe=None) -> tuple[int, int, int, bytes]:
     """Cropped float sample planes → (w, h, channels, bytes): grayscale
-    pass-through or JFIF YCbCr → RGB. 12-bit planes clip on the wide
-    lattice and reduce to 8 bits by the exact high-bits shift (>> 4),
-    the same convention as 16-bit TIFF/PNG's >> 8."""
+    pass-through, JFIF YCbCr → RGB (or Adobe transform-0 RGB
+    pass-through), and 4-component CMYK/YCCK → RGB. Adobe (APP14)
+    4-component files store INVERTED ink values (255 = no ink, the
+    Photoshop convention), so RGB = C·K/top; files WITHOUT an APP14
+    marker store plain CMYK, RGB = (top−C)·(top−K)/top. YCCK first maps
+    (Y, Cb, Cr) → inverted CMY through the standard YCbCr math. 12-bit
+    planes clip on the wide lattice and reduce to 8 bits by the exact
+    high-bits shift (>> 4), the same convention as 16-bit TIFF/PNG's
+    >> 8."""
     import numpy as np
 
     center = float(1 << (prec - 1))
     top = (1 << prec) - 1
     shift = prec - 8
+
+    def pack(planes):
+        out = np.stack(planes, axis=-1)
+        out = np.clip(np.round(out), 0, top).astype(np.int32)
+        return (w, h, len(planes),
+                (out >> shift).astype(np.uint8).tobytes())
+
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
+        return r, g, b
+
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, top).astype(np.int32)
         return w, h, 1, (gray >> shift).astype(np.uint8).tobytes()
-    y, cb, cr = full
-    r = y + 1.402 * (cr - center)
-    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
-    b = y + 1.772 * (cb - center)
-    rgb = np.stack([r, g, b], axis=-1)
-    rgb = np.clip(np.round(rgb), 0, top).astype(np.int32)
-    return w, h, 3, (rgb >> shift).astype(np.uint8).tobytes()
+    if len(full) == 3:
+        if adobe == 0:
+            return pack(full)  # Adobe transform 0: planes ARE RGB
+        return pack(ycc_to_rgb(*full))
+    # 4 components: round to integer SAMPLES first (the decoded CMYK
+    # values), then ink-convert — the libjpeg layering
+    if adobe == 2:  # YCCK: YCbCr carries the inverted C, M, Y
+        c, m, y_ink = ycc_to_rgb(full[0], full[1], full[2])
+        k = full[3]
+    else:
+        c, m, y_ink, k = full
+    c, m, y_ink, k = (np.clip(np.round(p), 0, top)
+                      for p in (c, m, y_ink, k))
+    if adobe is None:
+        # plain CMYK (no APP14): ink 0 = no coverage
+        c, m, y_ink, k = top - c, top - m, top - y_ink, top - k
+    return pack((c * k / top, m * k / top, y_ink * k / top))
 
 
 def _decode_prog_scan(data: bytes, entropy_start: int, frame, geom,
@@ -885,7 +921,8 @@ def _category(v: int) -> int:
 
 def jpeg_encode(pixels: bytes, width: int, height: int,
                 channels: int = 3, quality: int = 90,
-                restart_interval: int = 0, precision: int = 8) -> bytes:
+                restart_interval: int = 0, precision: int = 8,
+                adobe_transform=0) -> bytes:
     """Raw interleaved RGB (or single-channel gray) samples, rows top-down
     → baseline 4:4:4 JFIF JPEG — the test-fixture inverse of
     :func:`jpeg_decode` (lossy: round-trips are close, not exact).
@@ -893,11 +930,19 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     that many MCUs (exercises the decoder's restart resynchronization).
     ``precision=12`` takes little-endian u16 samples on the 0..4095
     lattice and writes an extended-sequential (SOF1) stream with
-    wide-category Huffman tables — the archival-scan shape."""
+    wide-category Huffman tables — the archival-scan shape.
+    ``channels=4`` takes CMYK samples (as stored) and writes a
+    4-component stream: ``adobe_transform`` 0 emits an APP14 marker
+    (Adobe inverted-ink convention), 2 emits YCCK (CMY forward-mapped
+    through YCbCr), and None omits APP14 (plain CMYK) — the print-
+    origin shapes :func:`jpeg_decode` converts back to RGB."""
     import numpy as np
 
-    if channels not in (1, 3):
+    if channels not in (1, 3, 4):
         raise JpegError(f"unsupported channel count {channels}")
+    if channels == 4 and adobe_transform not in (0, 2, None):
+        raise JpegError(f"bad Adobe transform {adobe_transform} "
+                        "for CMYK (0, 2 or None)")
     if precision not in (8, 12):
         raise JpegError(f"unsupported encode precision {precision}")
     if not (0 < width <= 65535 and 0 < height <= 65535):
@@ -913,12 +958,17 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
         height, width, channels).astype(np.float64)
     if precision == 12 and arr.max(initial=0) > 4095:
         raise JpegError("12-bit sample above 4095")
-    if channels == 3:
+    if channels >= 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
-        comps = [y, cb, cr]
+        if channels == 4 and adobe_transform != 2:
+            comps = [arr[..., c] for c in range(4)]  # CMYK as stored
+        else:
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
+            comps = [y, cb, cr]
+            if channels == 4:
+                comps.append(arr[..., 3])  # K rides beside YCC (YCCK)
     else:
         comps = [arr[..., 0]]
 
@@ -930,7 +980,7 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     ql = _quality_scale(_STD_LUMA_Q, quality)
     qc = _quality_scale(_STD_CHROMA_Q, quality)
     qmat = [np.asarray(q, dtype=np.float64).reshape(8, 8)
-            for q in ([ql, qc] if channels == 3 else [ql])]
+            for q in ([ql, qc] if channels >= 3 else [ql])]
 
     M = _dct_matrix()
     bw = 8 * (-(-width // 8))
@@ -1020,9 +1070,12 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
 
     out = bytearray(JPEG_SOI)
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if channels == 4 and adobe_transform is not None:
+        out += seg(0xEE, b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform))
     zl = bytes(int(ql[_ZIGZAG[i]]) for i in range(64))
     out += seg(0xDB, b"\x00" + zl)
-    if channels == 3:
+    if channels >= 3:
         zc = bytes(int(qc[_ZIGZAG[i]]) for i in range(64))
         out += seg(0xDB, b"\x01" + zc)
     if restart_interval:
@@ -1034,7 +1087,7 @@ def jpeg_encode(pixels: bytes, width: int, height: int,
     out += seg(0xC0 if precision == 8 else 0xC1, sof)
     out += seg(0xC4, b"\x00" + dc_tabs[0][0] + dc_tabs[0][1])
     out += seg(0xC4, b"\x10" + ac_tabs[0][0] + ac_tabs[0][1])
-    if channels == 3:
+    if channels >= 3:
         out += seg(0xC4, b"\x01" + dc_tabs[1][0] + dc_tabs[1][1])
         out += seg(0xC4, b"\x11" + ac_tabs[1][0] + ac_tabs[1][1])
     sos = bytes([channels])

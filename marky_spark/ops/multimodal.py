@@ -1044,6 +1044,48 @@ def synth_scan_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_cmyk_media(docs: DataFrame) -> DataFrame:
+    """Deterministic 4-component (print-origin) JPEG corpus derived from
+    doc ids — the test / bench corpus for the CMYK/YCCK decode path
+    (ops/jpegcodec APP14 handling). Uniform ink values on the
+    Annex-K-exact 32..126 lattice, so the decoded RGB is pure doc_id
+    arithmetic the driver SQL oracle rebuilds WITHOUT a JPEG library:
+
+    - i % 3 == 0: Adobe APP14 transform 0 (inverted-ink CMYK planes
+      stored directly) with C/M/Y/K = (i*7, i*11, i*13, i*5) % 95 + 32
+      → rgb channel = round(ink * k / 255)
+    - i % 3 == 1: YCCK (transform 2) with C = M = Y (gray ink keeps
+      Cb = Cr = 128 exact through the forward transform) → all three
+      RGB channels = round(v1 * k / 255)
+    - i % 3 == 2: NO APP14 (plain CMYK, ink 0 = no coverage)
+      → rgb channel = round((255-ink) * (255-k) / 255)
+    """
+    from .jpegcodec import jpeg_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 4 + i % 7
+                c1 = (i * 7) % 95 + 32
+                c2 = (i * 11) % 95 + 32
+                c3 = (i * 13) % 95 + 32
+                k = (i * 5) % 95 + 32
+                mode = i % 3
+                if mode == 1:
+                    c2 = c3 = c1
+                cmyk = bytes([c1, c2, c3, k]) * (w * h)
+                tf = (0, 2, None)[mode]
+                blob = jpeg_encode(cmyk, w, h, 4, adobe_transform=tf)
+                rows.append((f"sk{i}", "image/jpeg", blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def attach_media(docs_out: DataFrame, media: DataFrame,
                  broadcast: bool = False) -> DataFrame:
     """Join conversion output's image spans to the media side-table.

@@ -481,3 +481,96 @@ def test_12bit_progressive_matches_baseline():
     out = jpeg_decode(jpeg_encode_progressive(
         px3, w, h, 3, quality=90, precision=12, restart_interval=2))
     assert out == (w, h, 3, bytes([90]) * (w * h * 3))
+
+
+# ------------------------------------------- CMYK / YCCK (4-component)
+
+def _cmyk_expected(vals, adobe):
+    c, m, y, k = vals
+    if adobe:
+        return tuple(int(np.round(v * k / 255)) for v in (c, m, y))
+    return tuple(int(np.round((255 - v) * (255 - k) / 255))
+                 for v in (c, m, y))
+
+
+def test_cmyk_uniform_exact_all_transforms():
+    """Uniform 4-component blocks decode to the exact ink-converted RGB
+    for Adobe CMYK (APP14 transform 0), YCCK (transform 2, gray ink)
+    and APP14-less plain CMYK."""
+    w, h = 16, 16
+    for vals, tf in [((40, 200, 120, 220), 0),
+                     ((17, 33, 211, 100), 0),
+                     ((90, 90, 90, 64), 2),      # YCCK: C=M=Y exact
+                     ((40, 200, 120, 220), None),
+                     ((0, 255, 128, 255), None)]:
+        cmyk = np.full((h, w, 4), vals, np.uint8)
+        blob = jpeg_encode(cmyk.tobytes(), w, h, 4, adobe_transform=tf)
+        gw, gh, gc, px = jpeg_decode(blob)
+        assert (gw, gh, gc) == (w, h, 3)
+        exp = _cmyk_expected(vals, tf is not None)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, np.full((h, w, 3), exp, np.uint8)), \
+            (vals, tf, tuple(got[0, 0]), exp)
+
+
+def test_ycck_smooth_round_trip_close():
+    """Non-uniform YCCK content: the full forward/backward transform
+    chain stays within a few code values of the direct ink math."""
+    w, h = 24, 16
+    grad = np.zeros((h, w, 4), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = ((x * 9) % 200 + 20, (y * 11) % 200 + 20,
+                          ((x + y) * 7) % 200 + 20, 180)
+    blob = jpeg_encode(grad.tobytes(), w, h, 4, adobe_transform=2,
+                       quality=95)
+    gw, gh, gc, px = jpeg_decode(blob)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    exp = np.round(grad[..., :3].astype(float)
+                   * grad[..., 3:4].astype(float) / 255.0)
+    err = np.abs(got - exp)
+    assert err.max() <= 14 and err.mean() < 3.0, (err.max(), err.mean())
+
+
+def test_adobe_transform_flag_changes_3comp_interpretation():
+    """Splicing an APP14 transform-0 marker into a 3-component JPEG
+    makes the decoder treat the planes as RGB: a uniform gray (Y=v,
+    Cb=Cr=128) then decodes to (v, 128, 128) instead of (v, v, v)."""
+    v = 100
+    uni = np.full((16, 16, 3), v, np.uint8)
+    plain = jpeg_encode(uni.tobytes(), 16, 16, 3)
+    gw, gh, gc, px = jpeg_decode(plain)
+    assert tuple(np.frombuffer(px, np.uint8)[:3]) == (v, v, v)
+    app14 = (bytes([0xFF, 0xEE, 0, 14]) + b"Adobe"
+             + struct.pack(">HHHB", 100, 0, 0, 0))
+    spliced = plain[:2] + app14 + plain[2:]
+    gw, gh, gc, px = jpeg_decode(spliced)
+    assert tuple(np.frombuffer(px, np.uint8)[:3]) == (v, 128, 128)
+    # transform 1 (declared YCbCr) keeps the standard conversion
+    app14_1 = (bytes([0xFF, 0xEE, 0, 14]) + b"Adobe"
+               + struct.pack(">HHHB", 100, 0, 0, 1))
+    gw, gh, gc, px = jpeg_decode(plain[:2] + app14_1 + plain[2:])
+    assert tuple(np.frombuffer(px, np.uint8)[:3]) == (v, v, v)
+
+
+def test_cmyk_synth_corpus_matches_documented_arithmetic(spark):
+    """synth_cmyk_media rows decode (via decode_pixels) to exactly the
+    doc_id arithmetic the driver oracle reconstructs."""
+    from marky_spark.ops.multimodal import decode_pixels, synth_cmyk_media
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    got = {r["media_ref"]: r
+           for r in decode_pixels(synth_cmyk_media(docs)).collect()}
+    import hashlib
+    for i in range(9):
+        w, h = 4 + i % 13, 4 + i % 7
+        c1 = (i * 7) % 95 + 32
+        c2 = c1 if i % 3 == 1 else (i * 11) % 95 + 32
+        c3 = c1 if i % 3 == 1 else (i * 13) % 95 + 32
+        k = (i * 5) % 95 + 32
+        rgb = _cmyk_expected((c1, c2, c3, k), i % 3 != 2)
+        dec = ("%03d%03d%03d" % rgb) * (w * h)
+        r = got[f"sk{i}"]
+        assert r["ok"] == "ok" and (r["width"], r["height"]) == (w, h)
+        assert r["pixel_dec_md5"] == \
+            hashlib.md5(dec.encode()).hexdigest(), i

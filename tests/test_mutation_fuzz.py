@@ -145,6 +145,12 @@ def test_image_codec_mutations_stay_typed():
                     color_cache_bits=4, lz77=True),
         webp_encode(pal_px, 16, 12, 3, palette=True),
     ]
+    cmyk = bytes((i * 31) % 256 for i in range(16 * 12 * 4))
+    samples += [
+        jpeg_encode(cmyk, 16, 12, 4),
+        jpeg_encode(cmyk, 16, 12, 4, adobe_transform=2),
+        jpeg_encode(cmyk, 16, 12, 4, adobe_transform=None),
+    ]
     n = max(N // 2, 50)
     for data in samples:
         for _ in range(n):

@@ -250,6 +250,11 @@ def test_synth_corpus_mixes_tiff(spark):
             assert tiff_decode(blob) == (w, h, 3, px)
         elif i % 5 == 3:
             assert r["mime"] == "image/x-portable-pixmap"  # test_pnm pins it
+        elif i % 5 == 1:
+            assert r["mime"] == "image/webp"  # test_webp pins the codec
+            from marky_spark.ops.webpcodec import webp_decode
+
+            assert webp_decode(blob) == (w, h, 3, px)
         else:
             assert r["mime"] == "image/png" and blob[:4] == b"\x89PNG"
     assert n_tiff == 3
