@@ -369,3 +369,70 @@ def test_zstd_classifies_explicitly():
     blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
     with pytest.raises(ArchiveError, match="zstd"):
         list(_iter_members(io.BytesIO(blob)))
+
+
+def test_zip64_past_4gib_offset_streams(tmp_path):
+    """A zip64 archive whose second member's local header sits past the
+    4 GiB line (sparse file — allocated blocks stay tiny) streams
+    member-at-a-time through the disk front door at bounded memory:
+    the central-directory walk must honor the zip64 EOCD + per-entry
+    extra-field offsets instead of regressing to 32-bit fields."""
+    import os
+    import tracemalloc
+    import zlib
+
+    from marky_spark.ops.archive import _stream_rows
+
+    path = tmp_path / "big64.zip"
+    data_a = b"member before the 4 GiB line"
+    data_b = b"member PAST the 4 GiB line"
+    off_b = (4 << 30) + 0x1234  # > 0xFFFFFFFF
+
+    def local_header(name: str, data: bytes) -> bytes:
+        return struct.pack(
+            "<IHHHHHIIIHH", 0x04034B50, 45, 0, 0, 0, 0,
+            zlib.crc32(data), len(data), len(data),
+            len(name), 0) + name.encode()
+
+    with open(path, "wb") as f:
+        f.write(local_header("a.txt", data_a) + data_a)
+        f.seek(off_b)
+        f.write(local_header("b.txt", data_b) + data_b)
+        cd_off = f.tell()
+        cd = b""
+        for name, data, off in (("a.txt", data_a, 0),
+                                ("b.txt", data_b, off_b)):
+            if off > 0xFFFFFFFF:
+                extra = struct.pack("<HHQ", 1, 8, off)
+                off32 = 0xFFFFFFFF
+            else:
+                extra = b""
+                off32 = off
+            cd += struct.pack(
+                "<IHHHHHHIIIHHHHHII", 0x02014B50, 45, 45, 0, 0, 0, 0,
+                zlib.crc32(data), len(data), len(data), len(name),
+                len(extra), 0, 0, 0, 0, off32) + name.encode() + extra
+        f.write(cd)
+        eocd64_off = f.tell()
+        f.write(struct.pack("<IQHHIIQQQQ", 0x06064B50, 44, 45, 45,
+                            0, 0, 2, 2, len(cd), cd_off))
+        f.write(struct.pack("<IIQI", 0x07064B50, 0, eocd64_off, 1))
+        f.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 2, 2,
+                            len(cd), 0xFFFFFFFF, 0))
+
+    st = os.stat(path)
+    assert st.st_size > (4 << 30)
+    if st.st_blocks * 512 > (64 << 20):  # pragma: no cover
+        pytest.skip("filesystem does not store sparse files")
+
+    tracemalloc.start()
+    got = {}
+    with open(path, "rb") as f:
+        for rows in _stream_rows("big64", f, lambda n, d: "bin"):
+            for r in rows:
+                assert r[-1] == "ok", r
+                got[r[1]] = bytes(r[4])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got == {"a.txt": data_a, "b.txt": data_b}
+    assert peak < (96 << 20), f"peak {peak} bytes — not streaming"
