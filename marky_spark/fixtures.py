@@ -402,7 +402,17 @@ def _pdf_escape(s: str) -> str:
 def pdf_bytes(pages: list[list[tuple[float, float, str]]],
               compress: bool = True, use_tj_array: bool = False,
               encoding: str = "winansi") -> bytes:
-    """Classic-xref PDF. pages: list of [(x, y, text), ...] show operations.
+    """Classic-xref PDF — :func:`pdf_objects` assembled."""
+    return pdf_assemble(pdf_objects(pages, compress=compress,
+                                    use_tj_array=use_tj_array,
+                                    encoding=encoding))
+
+
+def pdf_objects(pages: list[list[tuple[float, float, str]]],
+                compress: bool = True, use_tj_array: bool = False,
+                encoding: str = "winansi") -> dict[int, bytes]:
+    """Object map behind :func:`pdf_bytes` (feed to :func:`pdf_assemble`
+    or :func:`pdf_encrypt`). pages: [(x, y, text), ...] show operations.
 
     ``encoding`` picks the font/text wire format:
     - ``winansi``      — Type1 /WinAnsiEncoding, literal strings (default)
@@ -495,13 +505,16 @@ def pdf_bytes(pages: list[list[tuple[float, float, str]]],
             b"/Encoding /WinAnsiEncoding >>"
         )
 
-    return pdf_assemble(objects)
+    return objects
 
 
-def pdf_assemble(objects: dict[int, bytes]) -> bytes:
+def pdf_assemble(objects: dict[int, bytes],
+                 trailer_extra: str = "") -> bytes:
     """Object-number → body map → a classic-xref PDF (/Root is object 1).
     The low-level builder behind :func:`pdf_bytes`; tests use it directly
-    to compose fonts with ToUnicode CMaps / /Differences encodings."""
+    to compose fonts with ToUnicode CMaps / /Differences encodings.
+    ``trailer_extra`` splices additional trailer entries (e.g.
+    ``/Encrypt N 0 R /ID [...]``)."""
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -517,7 +530,115 @@ def pdf_assemble(objects: dict[int, bytes]) -> bytes:
         else:
             out += b"0000000000 65535 f \n"
     out += (
-        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R "
+        f"{trailer_extra}>>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def pdf_encrypt(objects: dict[int, bytes], variant: str = "rc4-128",
+                password_required: bool = False) -> bytes:
+    """Encrypt a :func:`pdf_assemble` object map with the standard
+    security handler (empty user password) — the fixture inverse of
+    kernels/pdfcrypt. Variants: ``rc4-40`` (V1 R2), ``rc4-128``
+    (V2 R3), ``aesv2`` (V4 R4, AES-128-CBC), ``aes256`` (V5 R6,
+    ISO 32000-2 2.B KDF). ``password_required=True`` writes a /U that
+    does NOT validate against the empty password (simulating a real
+    user password), so readers must produce the typed error."""
+    import hashlib as _hl
+    import re as _re
+    import struct as _struct
+
+    from .kernels.pdfcrypt import (
+        _PAD,
+        StdSecurityHandler,
+        _hash_2b,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    fid = _hl.md5(f"fixture-id-{variant}".encode()).digest()
+    o32 = _hl.md5(b"owner-a").digest() + _hl.md5(b"owner-b").digest()
+    p_val = -4
+    p32 = _struct.pack("<I", p_val & 0xFFFFFFFF)
+    enc: dict = {"/Filter": "/Standard", "/P": p_val, "/O": o32}
+    if variant == "rc4-40":
+        enc.update({"/V": 1, "/R": 2, "/Length": 40})
+        key = _hl.md5(_PAD + o32 + p32 + fid).digest()[:5]
+        u = rc4(key, _PAD)
+    elif variant in ("rc4-128", "aesv2"):
+        r = 3 if variant == "rc4-128" else 4
+        enc.update({"/V": 2 if r == 3 else 4, "/R": r, "/Length": 128})
+        key = _hl.md5(_PAD + o32 + p32 + fid).digest()
+        for _ in range(50):
+            key = _hl.md5(key[:16]).digest()
+        key = key[:16]
+        tmp = _hl.md5(_PAD + fid).digest()
+        out = rc4(key, tmp)
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+        u = out + b"\x00" * 16
+        if r == 4:
+            enc["/CF"] = {"/StdCF": {"/CFM": "/AESV2", "/Length": 16}}
+            enc["/StmF"] = "/StdCF"
+            enc["/StrF"] = "/StdCF"
+    elif variant == "aes256":
+        enc.update({"/V": 5, "/R": 6, "/Length": 256})
+        vsalt = _hl.md5(b"vs").digest()[:8]
+        ksalt = _hl.md5(b"ks").digest()[:8]
+        u = _hash_2b(b"", vsalt) + vsalt + ksalt
+        inter = _hash_2b(b"", ksalt)
+        file_key = _hl.sha256(b"file-key").digest()
+        enc["/UE"] = aes_cbc_encrypt(inter, b"\x00" * 16, file_key)
+        enc["/O"] = _hl.sha256(b"oo").digest() + b"\x00" * 16
+        enc["/OE"] = b"\x00" * 32
+    else:
+        raise ValueError(f"unknown variant {variant}")
+    enc["/U"] = u
+
+    handler = StdSecurityHandler(enc, fid)
+
+    def enc_payload(num: int, payload: bytes) -> bytes:
+        key = handler.object_key(num, 0)
+        if handler.aes:
+            iv = _hl.md5(f"iv{num}".encode()).digest()
+            padn = 16 - len(payload) % 16
+            return iv + aes_cbc_encrypt(key, iv,
+                                        payload + bytes([padn]) * padn)
+        return rc4(key, payload)
+
+    out_objects: dict[int, bytes] = {}
+    for num, body in objects.items():
+        at = body.find(b"\nstream\n")
+        if at < 0:
+            out_objects[num] = body  # fixture bodies carry no strings
+            continue
+        head, payload = body[:at], body[at + 8:]
+        if not payload.endswith(b"\nendstream"):
+            raise ValueError(f"object {num} stream not terminated")
+        payload = payload[:-10]
+        ct = enc_payload(num, payload)
+        head = _re.sub(rb"/Length \d+",
+                       f"/Length {len(ct)}".encode(), head)
+        out_objects[num] = head + b"\nstream\n" + ct + b"\nendstream"
+
+    if password_required:
+        u = bytes([u[0] ^ 0xFF]) + u[1:]
+
+    def hexs(b: bytes) -> str:
+        return "<" + b.hex().upper() + ">"
+
+    parts = [f"/Filter /Standard /V {enc['/V']} /R {enc['/R']} "
+             f"/Length {enc['/Length']} /P {p_val} "
+             f"/O {hexs(enc['/O'])} /U {hexs(u)}"]
+    if "/CF" in enc:
+        parts.append("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                     "/StmF /StdCF /StrF /StdCF")
+    if "/UE" in enc:
+        parts.append(f"/UE {hexs(enc['/UE'])} /OE {hexs(enc['/OE'])}")
+    enc_num = max(objects) + 1
+    out_objects[enc_num] = ("<< " + " ".join(parts) + " >>").encode()
+    trailer = (f"/Encrypt {enc_num} 0 R "
+               f"/ID [{hexs(fid)} {hexs(fid)}] ")
+    return pdf_assemble(out_objects, trailer_extra=trailer)

@@ -217,7 +217,60 @@ class _Pdf:
         self.offsets: dict[int, int] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._crypt = None           # StdSecurityHandler when /Encrypt
+        self._crypt_exempt: set[int] = set()
         self._load_xref()
+        enc = self.trailer.get("/Encrypt")
+        if enc is not None:
+            self._setup_crypt(enc)
+
+    def _setup_crypt(self, enc) -> None:
+        """Standard-security-handler setup (kernels/pdfcrypt): the
+        empty-user-password slice of real corpora decrypts for real;
+        password-protected / exotic handlers become the typed
+        `pdf_encrypted` error row instead of a generic parse failure.
+        The /Encrypt dictionary and the /ID strings are themselves
+        never encrypted (ISO 32000-1 §7.6.2)."""
+        from .pdfcrypt import PdfEncryptedError, StdSecurityHandler
+
+        if isinstance(enc, _Ref):
+            self._crypt_exempt.add(enc.num)
+        try:
+            enc_dict = self.resolve(enc)
+        except ConvertError:
+            enc_dict = None
+        if not isinstance(enc_dict, dict):
+            raise ConvertError("pdf_encrypted: malformed /Encrypt")
+        fid = b""
+        try:
+            ids = self.resolve(self.trailer.get("/ID"))
+            if isinstance(ids, list) and ids:
+                first = self.resolve(ids[0])
+                if isinstance(first, bytes):
+                    fid = first
+        except ConvertError:
+            pass
+        try:
+            self._crypt = StdSecurityHandler(enc_dict, fid)
+        except PdfEncryptedError as exc:
+            raise ConvertError(str(exc)) from None
+
+    def _decrypt_parsed(self, obj, num: int, gen: int):
+        """Recursively decrypt the STRINGS of a parsed object (streams
+        are handled at the raw-bytes layer in get())."""
+        from .pdfcrypt import PdfEncryptedError
+
+        if isinstance(obj, bytes):
+            try:
+                return self._crypt.decrypt(obj, num, gen)
+            except PdfEncryptedError as exc:
+                raise ConvertError(str(exc)) from None
+        if isinstance(obj, list):
+            return [self._decrypt_parsed(o, num, gen) for o in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_parsed(v, num, gen)
+                    for k, v in obj.items()}
+        return obj
 
     # -- xref ------------------------------------------------------------
 
@@ -331,6 +384,23 @@ class _Pdf:
                     end = self.data.find(b"endstream", p)
                     raw = self.data[p:end if end >= 0 else len(self.data)]
                 obj = _Stream(obj, raw)
+        if self._crypt is not None and num not in self._crypt_exempt:
+            from .pdfcrypt import PdfEncryptedError
+
+            gen = int(m.group(2))
+            try:
+                if isinstance(obj, _Stream):
+                    info = self._decrypt_parsed(obj.info, num, gen)
+                    # /EncryptMetadata false leaves XML metadata in the
+                    # clear (ISO 32000-1 §7.6.3.2)
+                    skip = (info.get("/Type") == "/Metadata"
+                            and not self._crypt.encrypt_metadata)
+                    raw = obj.raw if skip else                         self._crypt.decrypt(obj.raw, num, gen)
+                    obj = _Stream(info, raw)
+                else:
+                    obj = self._decrypt_parsed(obj, num, gen)
+            except PdfEncryptedError as exc:
+                raise ConvertError(str(exc)) from None
         self._cache[num] = obj
         return obj
 

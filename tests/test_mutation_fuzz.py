@@ -31,6 +31,9 @@ def _variants():
     yield "epub", fx.epub_zip([("c1.xhtml", "<h1>C1</h1><p>body</p>")],
                               title="T")
     yield "pdf", fx.pdf_bytes([[(72, 700, "line one"), (72, 686, "two")]])
+    yield "pdf", fx.pdf_encrypt(
+        fx.pdf_objects([[(72, 700, "enc one"), (72, 686, "two")]]),
+        "aesv2")
 
 
 def _mutate(rng: random.Random, data: bytes) -> bytes:
