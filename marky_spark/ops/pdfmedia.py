@@ -213,11 +213,13 @@ def extract_pdf_images(data: bytes) -> list[dict]:
                 rec["ok"] = (f"skipped: CCITTFaxDecode "
                              f"{rec['colorspace']} {rec['bits']}bpc")
         elif info.get("/ImageMask") is True or rec["bits"] != 8 or \
-                str(cs) not in ("/DeviceRGB", "/DeviceGray"):
+                str(cs) not in ("/DeviceRGB", "/DeviceGray",
+                                "/DeviceCMYK"):
             rec["ok"] = (f"skipped: {rec['pdf_filter']} "
                          f"{rec['colorspace']} {rec['bits']}bpc")
         elif filters in ([], ["/FlateDecode"]):
-            ch = 3 if cs == "/DeviceRGB" else 1
+            ch = {"/DeviceRGB": 3, "/DeviceGray": 1,
+                  "/DeviceCMYK": 4}[str(cs)]
             if rec["width"] * rec["height"] * ch > MAX_IMAGE_PIXELS:
                 rec["ok"] = "error: image exceeds pixel cap"
                 out.append(rec)
@@ -235,8 +237,20 @@ def extract_pdf_images(data: bytes) -> list[dict]:
                              f"want {expect}")
                 out.append(rec)
                 continue
+            samples = samples[:expect]
+            if ch == 4:
+                # DeviceCMYK (print-origin figure): ink-convert to RGB,
+                # rgb = (255-ink)*(255-k)/255 — the same plain-ink math
+                # jpegcodec applies to APP14-less CMYK JPEGs
+                import numpy as np
+
+                cmyk = (255 - np.frombuffer(samples, np.uint8)
+                        .reshape(-1, 4).astype(np.uint32))
+                rgb = (cmyk[:, :3] * cmyk[:, 3:4] + 127) // 255
+                samples = rgb.astype(np.uint8).tobytes()
+                ch = 3
             rec["mime"] = "image/png"
-            rec["payload"] = png_encode(samples[:expect], rec["width"],
+            rec["payload"] = png_encode(samples, rec["width"],
                                         rec["height"], ch)
             rec["ok"] = "ok"
         else:

@@ -422,10 +422,21 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 "planar YCbCr JPEG-in-TIFF not implemented (conversion "
                 "only happens inside the interleaved-JPEG path)")
     else:
-        ok_photo = (0, 1, 2)
+        ok_photo = (0, 1, 2, 5)
     if photometric not in ok_photo:
         raise TiffUnsupportedError(
             f"photometric {photometric} not implemented")
+    if photometric == 5:
+        # Separated (prepress scans): CMYK only, the lossless paths
+        if spp != 4:
+            raise TiffError(
+                f"photometric 5 with {spp} samples (CMYK needs 4)")
+        if tags.get(332, [1])[0] != 1:
+            raise TiffUnsupportedError(
+                f"InkSet {tags.get(332)[0]} not implemented (CMYK only)")
+        if bps == 0:
+            raise TiffUnsupportedError(
+                "bilevel separated data not implemented")
     if predictor not in (1, 2):
         raise TiffError(f"unknown predictor {predictor}")
     if width < 1 or height < 1:
@@ -590,6 +601,12 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, bytes]:
             grid &= mask
     if sample_bytes == 2 and not fax and not jpeg and bps != 0:
         grid = grid >> 8  # the exact 16→8 reduction, same as png_decode
+    if photometric == 5:
+        # ink-convert CMYK -> RGB: rgb = round((255-ink)*(255-k)/255),
+        # the same plain-ink math the CMYK JPEG path applies
+        inv = 255 - grid
+        grid = (inv[:, :, :3] * inv[:, :, 3:4] + 127) // 255
+        spp = 3
     return _oriented(grid.astype(np.uint8), orientation, spp)
 
 

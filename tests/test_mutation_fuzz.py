@@ -153,6 +153,7 @@ def test_image_codec_mutations_stay_typed():
         jpeg_encode(cmyk, 16, 12, 4),
         jpeg_encode(cmyk, 16, 12, 4, adobe_transform=2),
         jpeg_encode(cmyk, 16, 12, 4, adobe_transform=None),
+        tiff_encode(cmyk, 16, 12, 4, compression="lzw", photometric=5),
     ]
     n = max(N // 2, 50)
     for data in samples:

@@ -333,3 +333,33 @@ def test_ccitt_hostile_stays_typed_rows():
         stream)
     out2 = extract_pdf_images(_pdf_with_images([two]))
     assert out2[0]["ok"].startswith("skipped: CCITTFaxDecode")
+
+
+def test_flate_cmyk_image_converts_to_rgb():
+    """A /DeviceCMYK Flate image ink-converts to RGB on extraction
+    (rgb = (255-ink)*(255-k)/255, rounded) instead of being skipped."""
+    import numpy as np
+
+    from marky_spark.ops.pngcodec import png_decode
+
+    w, h = 6, 3
+    cmyk = bytes((x * 17 + y * 29 + c * 41) % 256
+                 for y in range(h) for x in range(w) for c in range(4))
+    z = zlib.compress(cmyk)
+    obj = _image_obj(
+        f"<< /Subtype /Image /Width {w} /Height {h} /BitsPerComponent 8 "
+        f"/ColorSpace /DeviceCMYK /Filter /FlateDecode /Length {len(z)} >>",
+        z)
+    out = extract_pdf_images(_pdf_with_images([obj]))
+    assert len(out) == 1 and out[0]["ok"] == "ok"
+    arr = (255 - np.frombuffer(cmyk, np.uint8)
+           .reshape(-1, 4).astype(np.uint32))
+    exp = ((arr[:, :3] * arr[:, 3:4] + 127) // 255).astype(np.uint8)
+    assert png_decode(out[0]["payload"]) == (w, h, 3, exp.tobytes())
+    # raw (unfiltered) CMYK too
+    obj2 = _image_obj(
+        f"<< /Subtype /Image /Width {w} /Height {h} /BitsPerComponent 8 "
+        f"/ColorSpace /DeviceCMYK /Length {len(cmyk)} >>", cmyk)
+    out2 = extract_pdf_images(_pdf_with_images([obj2]))
+    assert out2[0]["ok"] == "ok"
+    assert png_decode(out2[0]["payload"]) == (w, h, 3, exp.tobytes())

@@ -416,3 +416,37 @@ def test_planar_ycbcr_jpeg_is_typed():
     struct.pack_into("<I", blob, 4, new_off)
     with pytest.raises(TiffUnsupportedError, match="planar YCbCr"):
         tiff_decode(bytes(blob))
+
+
+def test_separated_cmyk_converts_to_rgb():
+    """Photometric 5 (Separated/CMYK — prepress scans): all four
+    lossless codecs, chunky + planar, 8- and 16-bit, ink-convert to
+    the exact rounded RGB; wrong sample counts and non-CMYK InkSet
+    stay typed."""
+    import numpy as np
+
+    w, h = 9, 5
+    cmyk = bytes((x * 17 + y * 29 + c * 41) % 256
+                 for y in range(h) for x in range(w) for c in range(4))
+    inv = 255 - np.frombuffer(cmyk, np.uint8).reshape(-1, 4).astype(
+        np.uint32)
+    exp = ((inv[:, :3] * inv[:, 3:4] + 127) // 255).astype(
+        np.uint8).tobytes()
+    for comp in ("none", "lzw", "packbits", "deflate"):
+        for planar in (1, 2):
+            for bits in (8, 16):
+                payload = cmyk
+                if bits == 16:
+                    a = bytearray(2 * len(cmyk))
+                    a[0::2] = bytes([7]) * len(cmyk)  # low bytes (LE)
+                    a[1::2] = cmyk                    # high = samples
+                    payload = bytes(a)
+                blob = tiff_encode(payload, w, h, 4, compression=comp,
+                                   planar=planar, photometric=5,
+                                   bits=bits)
+                assert tiff_decode(blob) == (w, h, 3, exp), \
+                    (comp, planar, bits)
+    # 3-sample photometric-5 is malformed, not mis-decoded
+    with pytest.raises(TiffError, match="CMYK needs 4"):
+        tiff_decode(tiff_encode(cmyk[:w * h * 3], w, h, 3,
+                                compression="none", photometric=5))
