@@ -670,23 +670,31 @@ def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (synth_cmyk_media) — decoded through decode_pixels; the oracle
     rebuilds the ink→RGB conversion (round(ink*k/255) /
     round((255-ink)*(255-k)/255)) per doc_id, so the APP14 walk and
-    both ink conventions must be spec-correct."""
+    both ink conventions must be spec-correct. Branch 'v8' (round-5)
+    adds LOSSY WebP — real RFC 6386 VP8 keyframes (ops/vp8codec:
+    bool decoder, kf mode trees, DCT tokens across 1/2/4/8 partitions,
+    dequant, inverse WHT + DCT, B_PRED / DC_PRED-16 predictor chains) —
+    whose flat-per-block luma the oracle rebuilds as doc_id arithmetic;
+    the md5 only matches when the whole entropy+transform+predictor
+    walk is exact."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
         scan_features,
         synth_cmyk_media,
         synth_scan_media,
+        synth_vp8_media,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cmyk = decode_pixels(synth_cmyk_media(docs)).select(
-        "media_ref", "width", "height", "channels",
-        F.col("n_pixel_bytes").alias("n_samples"),
-        F.col("pixel_dec_md5").alias("sample_md5"),
-        F.lit(0).cast("long").alias("black_n"),
-        "ok",
-    )
-    return scan_features(synth_scan_media(docs)).unionByName(cmyk)
+    cols = ("media_ref", "width", "height", "channels",
+            F.col("n_pixel_bytes").alias("n_samples"),
+            F.col("pixel_dec_md5").alias("sample_md5"),
+            F.lit(0).cast("long").alias("black_n"),
+            "ok")
+    cmyk = decode_pixels(synth_cmyk_media(docs)).select(*cols)
+    vp8 = decode_pixels(synth_vp8_media(docs)).select(*cols)
+    return (scan_features(synth_scan_media(docs))
+            .unionByName(cmyk).unionByName(vp8))
 
 
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,6 +1672,32 @@ def oracle_sql() -> dict[str, str]:
                            (doc_id*5) % 95 + 32 AS kk
                     FROM m)
             )
+            UNION ALL
+            -- branch 'v8': LOSSY WebP (real VP8 keyframes, ops/vp8codec).
+            -- Luma is flat per coding block: divisor 16 on doc_id%4=3
+            -- (DC_PRED-16 through Y2/WHT), else 4 (B_PRED); value =
+            -- (i*7 + (y//d)*13 + (x//d)*31) % 256, chroma 128 so
+            -- RGB = (Y,Y,Y) exactly. The md5 only matches when the
+            -- bool-decode / token / dequant / WHT / iDCT / predictor
+            -- walk is bit-exact.
+            SELECT 'v8' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(w*h*3 AS BIGINT) AS n_samples,
+                   md5(array_to_string(list_transform(range(0, (w*h)::INT),
+                       j -> repeat(lpad(((doc_id*7 + ((j // w) // d)*13
+                                          + ((j % w) // d)*31)
+                                         % 256)::VARCHAR, 3, '0'),
+                                   3)), '')) AS sample_md5,
+                   CAST(0 AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM (
+                SELECT doc_id,
+                       4 * (1 + doc_id % 5) AS w,
+                       4 * (1 + doc_id % 3) AS h,
+                       CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 4 END AS d
+                FROM documents)
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:

@@ -1086,6 +1086,53 @@ def synth_cmyk_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_vp8_media(docs: DataFrame) -> DataFrame:
+    """Deterministic LOSSY-WebP (VP8, ops/vp8codec) corpus derived from
+    doc ids.  Luma is flat per coding block with values that are pure
+    doc_id arithmetic, which is exactly the subset the RFC 6386 encoder
+    reproduces bit-exactly (DC-only residual construction, module
+    docstring) — so the driver SQL oracle rebuilds every decoded RGB
+    sample WITHOUT a VP8 library while the decoder must run the real
+    bool decoder / tree walk / dequant / WHT / iDCT / predictor chain:
+
+    - i % 4 != 3: B_PRED path, 4x4-flat blocks,
+      pixel(x, y) = (i*7 + (y//4)*13 + (x//4)*31) % 256
+    - i % 4 == 3: DC_PRED-16 path through Y2 / inverse WHT,
+      pixel(x, y) = (i*7 + (y//16)*13 + (x//16)*31) % 256
+    - token partition count rotates 1/2/4/8 by i % 4; the
+      mb_no_coeff_skip flag rotates by i % 2; chroma is constant 128 so
+      RGB = (Y, Y, Y) exactly through the BT.601 integer conversion.
+
+    Dimensions (w = 4*(1 + i%5), h = 4*(1 + i%3)) include
+    non-macroblock-multiples, so the padded-grid crop is always in
+    play."""
+    from .vp8codec import vp8_encode_flat, wrap_webp_vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 * (1 + i % 5)
+                h = 4 * (1 + i % 3)
+                mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+                mb16 = i % 4 == 3
+                rows_n = mb_h if mb16 else mb_h * 4
+                cols_n = mb_w if mb16 else mb_w * 4
+                grid = [[(i * 7 + by * 13 + bx * 31) % 256
+                         for bx in range(cols_n)] for by in range(rows_n)]
+                stream = vp8_encode_flat(
+                    grid, w, h, mb16=mb16,
+                    n_partitions=(1, 2, 4, 8)[i % 4],
+                    skip_enabled=i % 2 == 0)
+                rows.append((f"v8{i}", "image/webp",
+                             wrap_webp_vp8(stream)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def attach_media(docs_out: DataFrame, media: DataFrame,
                  broadcast: bool = False) -> DataFrame:
     """Join conversion output's image spans to the media side-table.

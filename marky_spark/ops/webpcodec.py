@@ -12,7 +12,8 @@ RIFF container layout (both published by Google under CC-BY; datatracker
 RFC 9649 carries the same text):
 
 - RIFF walk: 'RIFF' size 'WEBP', then chunks; 'VP8L' is the lossless
-  payload, 'VP8 ' (lossy VP8) and 'ANMF' (animation frames) are typed
+  payload, 'VP8 ' (lossy VP8) routes to ops/vp8codec's RFC 6386
+  keyframe decoder, 'ANMF' (animation frames) is a typed
   :class:`WebpUnsupportedError`, 'VP8X' extended headers are walked for
   the embedded still.
 - VP8L header: 0x2f signature, 14-bit w-1 / h-1, alpha hint, version 0.
@@ -42,7 +43,8 @@ hand-assembled bit-level vectors in tests/test_webp.py, and the driver's
 SQL pixel oracle pin the decode.
 
 Hostile input raises :class:`WebpError`; recognized-but-unimplemented
-modes (lossy VP8, animation) raise :class:`WebpUnsupportedError` — the
+modes (animation, VP8 interframes) raise :class:`WebpUnsupportedError`
+— the
 usual poison-pill / codec_unavailable contract. Dimensions are capped
 before any allocation.
 """
@@ -59,7 +61,7 @@ class WebpError(ValueError):
 
 
 class WebpUnsupportedError(NotImplementedError):
-    """Recognized WebP feature outside the supported subset (lossy VP8,
+    """Recognized WebP feature outside the supported subset (animation,
     animation)."""
 
 
@@ -535,9 +537,10 @@ def _predict(mode: int, out: list, pos: int, w: int) -> int:
 
 
 # ------------------------------------------------------------ container
-def _vp8l_payload(data: bytes) -> bytes:
-    """RIFF walk → the VP8L chunk payload (typed errors for lossy /
-    animated / malformed containers)."""
+def _webp_payload(data: bytes) -> tuple[bytes, bytes]:
+    """RIFF walk → ``(kind, payload)`` for the still image: ``b"VP8L"``
+    (lossless) or ``b"VP8 "`` (lossy, ops/vp8codec).  Typed errors for
+    animated / malformed containers."""
     if not looks_like_webp(data):
         raise WebpError("not a WebP (no RIFF/WEBP signature)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -551,14 +554,12 @@ def _vp8l_payload(data: bytes) -> bytes:
         payload_at = at + 8
         if payload_at + size > end:
             raise WebpError(f"chunk {fourcc!r} overruns the container")
-        if fourcc == b"VP8L":
-            return data[payload_at:payload_at + size]
-        if fourcc == b"VP8 ":
-            raise WebpUnsupportedError("lossy VP8 WebP not implemented")
+        if fourcc in (b"VP8L", b"VP8 "):
+            return fourcc, data[payload_at:payload_at + size]
         if fourcc == b"ANMF" or fourcc == b"ANIM":
             raise WebpUnsupportedError("animated WebP not implemented")
         at = payload_at + size + (size & 1)
-    raise WebpError("no VP8L chunk in WebP container")
+    raise WebpError("no VP8L/VP8 chunk in WebP container")
 
 
 def webp_decode(data: bytes) -> tuple[int, int, int, bytes]:
@@ -567,7 +568,14 @@ def webp_decode(data: bytes) -> tuple[int, int, int, bytes]:
     decode_pixels keys on)."""
     import numpy as np
 
-    payload = _vp8l_payload(data)
+    kind, payload = _webp_payload(data)
+    if kind == b"VP8 ":
+        # lossy still: the RFC 6386 keyframe decoder (ops/vp8codec);
+        # its typed errors inherit ValueError / NotImplementedError so
+        # the decode_pixels error contract is unchanged
+        from .vp8codec import vp8_decode
+
+        return vp8_decode(payload)
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise WebpError("bad VP8L signature byte")

@@ -452,11 +452,21 @@ def test_hostile_inputs_are_typed():
         webp_decode(_wrap(bytes(raw) + b"\x00" * 8))
 
 
-def test_lossy_and_animated_are_codec_unavailable():
+def test_lossy_routes_and_animated_is_codec_unavailable():
+    # a VP8 chunk now routes to ops/vp8codec: a 4-byte payload is a
+    # malformed stream (typed Vp8Error, a ValueError), an interframe is
+    # typed-unsupported
+    from marky_spark.ops.vp8codec import Vp8Error, Vp8UnsupportedError
+
     lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(WebpUnsupportedError):
+    with pytest.raises(Vp8Error):
         webp_decode(lossy)
+    inter = (b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 10)
+             + b"\x01" + b"\x00" * 9)
+    with pytest.raises(Vp8UnsupportedError):
+        webp_decode(inter)
     anim = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
             + b"ANIM" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(WebpUnsupportedError):
