@@ -501,12 +501,18 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     too); branch 'b' = the
     deterministic byte-slice stand-in for formats with no in-sandbox codec
     (content_md5 = md5 of the slice, which the oracle recomputes from the
-    text bytes)."""
+    text bytes); branch 'aw' (round-5) = REAL animated WebP
+    (ops/webpcodec.webp_decode_frames: VP8X/ANIM/ANMF walk with
+    full-canvas compositing), whose frames ALTERNATE between VP8L
+    lossless and lossy VP8 keyframes (ops/vp8codec) — the one oracle row
+    pins the container walk, both still decoders, the compositing
+    identity and the PNG round-trip."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
         frame_sample,
         synth_agif_media,
         synth_avi_media,
+        synth_awebp_media,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -556,7 +562,23 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pixel_bytes").alias("n_bytes"),
         F.col("pixel_md5").alias("content_md5"),
     )
-    return bytes_branch.unionByName(gif_branch).unionByName(avi_branch)
+    aw_sampled = frame_sample(synth_awebp_media(docs), n_frames=4)
+    dec_aw = decode_pixels(aw_sampled.select(
+        F.concat_ws(":", "media_ref",
+                    F.col("frame_idx").cast("string"),
+                    F.col("frame_offset").cast("string")).alias("media_ref"),
+        F.col("frame_bytes").alias("payload"),
+    ))
+    aw_branch = dec_aw.select(
+        parts.getItem(0).alias("media_ref"),
+        F.lit("aw").alias("branch"),
+        parts.getItem(1).cast("long").alias("frame_idx"),
+        parts.getItem(2).cast("long").alias("frame_offset"),
+        F.col("n_pixel_bytes").alias("n_bytes"),
+        F.col("pixel_md5").alias("content_md5"),
+    )
+    return (bytes_branch.unionByName(gif_branch)
+            .unionByName(avi_branch).unionByName(aw_branch))
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,6 +2054,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w * h AS BIGINT) AS n_bytes,
                    md5(repeat(chr(val::INT), (w * h)::INT)) AS content_md5
             FROM vp
+            UNION ALL
+            -- branch 'aw': real animated-WebP sampling (full-canvas
+            -- overwrite frames, so composite k == frame k). Even frames
+            -- are VP8L lossless of md5('i:k') hex ASCII taken straight
+            -- as the RGB raster; odd frames are lossy VP8 flat 4x4
+            -- blocks v = 48 + (i*7 + k*11 + (y//4)*13 + (x//4)*31) % 55
+            -- (ASCII range, chroma 128 → RGB = (v,v,v)).
+            SELECT 'aw' || doc_id AS media_ref,
+                   'aw' AS branch,
+                   i AS frame_idx,
+                   fo AS frame_offset,
+                   CAST(w * h * 3 AS BIGINT) AS n_bytes,
+                   md5(CASE WHEN (doc_id + fo) % 2 = 0 THEN
+                       substr(repeat(md5(doc_id::VARCHAR || ':' ||
+                                         fo::VARCHAR),
+                                     ((w*h*3) // 32 + 1)::INT),
+                              1, (w*h*3)::INT)
+                   ELSE
+                       array_to_string(list_transform(range(0, (w*h)::INT),
+                           j -> repeat(chr((48 + (doc_id*7 + fo*11
+                                 + ((j // w) // 4)*13
+                                 + ((j % w) // 4)*31) % 55)::INT),
+                                       3)), '')
+                   END) AS content_md5
+            FROM (
+                SELECT doc_id, w, h, i, i * step AS fo
+                FROM (
+                    SELECT doc_id, w, h,
+                           greatest(total // 4, 1) AS step,
+                           unnest(range(4)) AS i
+                    FROM (
+                        SELECT doc_id,
+                               4 * (1 + doc_id % 4) AS w,
+                               4 * (1 + doc_id % 2) AS h,
+                               5 + doc_id % 8 AS total
+                        FROM documents)))
         """,
         "media_features": """
             SELECT 'm' || doc_id AS media_ref,

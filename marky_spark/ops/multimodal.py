@@ -181,12 +181,16 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     ``frame_offset`` = its index in the animation. MJPEG AVIs are sampled
     FOR REAL too (ops/avicodec: RIFF LIST walk to the ``movi`` members),
     each sampled frame emitted as its standalone baseline-JPEG payload —
-    which decode_pixels then really decodes (ops/jpegcodec). Formats with
+    which decode_pixels then really decodes (ops/jpegcodec). Animated
+    WebP is sampled FOR REAL as well (ops/webpcodec.webp_decode_frames:
+    VP8X/ANIM/ANMF walk with per-frame VP8L or VP8 decode and canvas
+    compositing), PNG re-encoded like the GIF path. Formats with
     no in-sandbox video codec keep the deterministic byte-slice stand-in
     (same fan-out shape; frame_offset = byte offset)."""
     from .avicodec import avi_decode_frames, looks_like_avi
     from .gifcodec import gif_decode_frames, looks_like_gif
     from .pngcodec import png_encode
+    from .webpcodec import looks_like_webp, webp_decode_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -219,6 +223,19 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                         picks = list(range(0, total, step))[:n_frames]
                         for i, fi in enumerate(picks):
                             rows.append((ref, i, fi, frames[fi]))
+                        continue
+                if looks_like_webp(blob):
+                    try:
+                        w, h, frames = webp_decode_frames(blob)
+                    except Exception:  # noqa: BLE001 — stills / malformed
+                        frames = None  # fall back to the byte-slice path
+                    if frames:
+                        total = len(frames)
+                        step = max(total // n_frames, 1)
+                        picks = list(range(0, total, step))[:n_frames]
+                        for i, fi in enumerate(picks):
+                            rows.append((ref, i, fi,
+                                         png_encode(frames[fi], w, h, 3)))
                         continue
                 step = max(len(blob) // n_frames, 1)
                 for i in range(min(n_frames, len(blob))):
@@ -1080,6 +1097,56 @@ def synth_cmyk_media(docs: DataFrame) -> DataFrame:
                 tf = (0, 2, None)[mode]
                 blob = jpeg_encode(cmyk, w, h, 4, adobe_transform=tf)
                 rows.append((f"sk{i}", "image/jpeg", blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_awebp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated-WebP media table derived from doc ids
+    (the animation path of ``frame_sample`` for WebP).  Canvas is
+    w = 4*(1 + i%4) by h = 4*(1 + i%2); the animation has 5 + i%8
+    full-canvas overwrite frames (no alpha, blend bit set), so the
+    composited canvas for frame k IS frame k's own content and the SQL
+    oracle reconstructs each sampled frame with no WebP library.  Frame
+    codecs ALTERNATE per frame:
+
+    - (i + k) even: VP8L lossless of md5(f"{i}:{k}") hex ASCII repeated
+      over w*h*3 bytes (same construction as the GIF/PNG corpora),
+    - (i + k) odd: lossy VP8 (ops/vp8codec) with flat 4x4 luma blocks
+      v = 48 + (i*7 + k*11 + (y//4)*13 + (x//4)*31) % 55 — ASCII-range
+      values, so the oracle renders them with chr() — chroma 128.
+
+    One animation therefore pins BOTH still decoders plus the
+    VP8X/ANIM/ANMF walk and the compositing identity."""
+    from .vp8codec import vp8_encode_flat
+    from .webpcodec import _webp_payload, webp_encode, webp_encode_anim
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 * (1 + i % 4)
+                h = 4 * (1 + i % 2)
+                n = w * h * 3
+                frames = []
+                for k in range(5 + i % 8):
+                    if (i + k) % 2 == 0:
+                        hexs = hashlib.md5(f"{i}:{k}".encode()).hexdigest()
+                        px = (hexs * (-(-n // len(hexs))))[:n]
+                        still = webp_encode(px.encode("ascii"), w, h, 3)
+                        frames.append(_webp_payload(still))
+                    else:
+                        mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+                        grid = [[48 + (i * 7 + k * 11 + by * 13 + bx * 31)
+                                 % 55 for bx in range(mb_w * 4)]
+                                for by in range(mb_h * 4)]
+                        frames.append((b"VP8 ",
+                                       vp8_encode_flat(grid, w, h)))
+                rows.append((f"aw{i}", "image/webp",
+                             webp_encode_anim(w, h, frames)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

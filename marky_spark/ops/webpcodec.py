@@ -965,3 +965,177 @@ def _encode_subimage(bw: _BitWriter, argb: list) -> None:
         for table, sh in ((gc, 8), (rc, 16), (bc, 0), (ac, 24)):
             code, ln = table[(px >> sh) & 0xFF]
             bw.write_code(code, ln)
+
+
+# ----------------------------------------------------------- animation
+def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Animated WebP (VP8X + ANIM + ANMF chunks) → ``(canvas_w,
+    canvas_h, [rgb_frame_bytes])`` — the composited canvas after each
+    frame, like ops/gifcodec.gif_decode_frames.
+
+    Per the WebP container spec: each ANMF carries the frame rectangle
+    (x/2, y/2, w-1, h-1 as 24-bit fields), a duration, and two flag
+    bits — blending (0 = alpha-blend onto the canvas, 1 = overwrite)
+    and disposal (1 = fill the rect with the ANIM background color
+    after the frame is rendered).  Frame payloads are plain VP8L
+    (ops above) or VP8 (ops/vp8codec) still chunks; ALPH alpha planes
+    are a typed :class:`WebpUnsupportedError`.  Non-animated files
+    raise :class:`WebpError` (callers fall back to ``webp_decode``)."""
+    if not looks_like_webp(data):
+        raise WebpError("not a WebP (no RIFF/WEBP signature)")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 > len(data) or riff_size < 4:
+        raise WebpError("RIFF size field outside the file")
+    at = 12
+    end = 8 + riff_size
+    canvas_w = canvas_h = None
+    bg = (255, 255, 255, 255)
+    frames_out: list[bytes] = []
+    canvas = None
+    saw_anim = False
+
+    def u24(b: bytes, o: int) -> int:
+        return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16)
+
+    while at + 8 <= end:
+        fourcc = data[at:at + 4]
+        (size,) = struct.unpack_from("<I", data, at + 4)
+        payload_at = at + 8
+        if payload_at + size > end:
+            raise WebpError(f"chunk {fourcc!r} overruns the container")
+        payload = data[payload_at:payload_at + size]
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise WebpError("short VP8X chunk")
+            if not payload[0] & 0x02:
+                raise WebpError("VP8X without the animation flag")
+            canvas_w = u24(payload, 4) + 1
+            canvas_h = u24(payload, 7) + 1
+            if canvas_w * canvas_h > MAX_WEBP_PIXELS:
+                raise WebpError("animated canvas exceeds pixel cap")
+            canvas = bytearray(
+                bytes(bg) * (canvas_w * canvas_h))
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise WebpError("short ANIM chunk")
+            # spec byte order: [blue, green, red, alpha]
+            bg = (payload[2], payload[1], payload[0], payload[3])
+            saw_anim = True
+            if canvas is not None:
+                canvas[:] = bytes(bg) * (canvas_w * canvas_h)
+        elif fourcc == b"ANMF":
+            if canvas is None or not saw_anim:
+                raise WebpError("ANMF before VP8X/ANIM")
+            if size < 16:
+                raise WebpError("short ANMF chunk")
+            fx = u24(payload, 0) * 2
+            fy = u24(payload, 3) * 2
+            fw = u24(payload, 6) + 1
+            fh = u24(payload, 9) + 1
+            flags = payload[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise WebpError("ANMF frame outside the canvas")
+            sub = payload[16:]
+            if len(sub) < 8:
+                raise WebpError("ANMF without a frame payload")
+            sc = sub[0:4]
+            (ssize,) = struct.unpack_from("<I", sub, 4)
+            if 8 + ssize > len(sub):
+                raise WebpError("ANMF frame payload overruns the chunk")
+            body = sub[8:8 + ssize]
+            if sc == b"ALPH":
+                raise WebpUnsupportedError(
+                    "ANMF alpha plane not implemented")
+            if sc == b"VP8L":
+                pw, ph, ch, px = webp_decode(
+                    b"RIFF" + (12 + ((ssize + 1) & ~1)).to_bytes(4, "little")
+                    + b"WEBP" + b"VP8L" + ssize.to_bytes(4, "little")
+                    + body + (b"\x00" if ssize & 1 else b""))
+            elif sc == b"VP8 ":
+                from .vp8codec import vp8_decode
+
+                pw, ph, ch, px = vp8_decode(body)
+            else:
+                raise WebpError(f"unexpected ANMF subchunk {sc!r}")
+            if (pw, ph) != (fw, fh):
+                raise WebpError("ANMF frame dims disagree with payload")
+            # composite the rect
+            for r in range(fh):
+                dst = ((fy + r) * canvas_w + fx) * 4
+                src = r * fw * ch
+                for c in range(fw):
+                    d = dst + c * 4
+                    s = src + c * ch
+                    if ch == 3:
+                        sr, sg, sb, sa = px[s], px[s + 1], px[s + 2], 255
+                    else:
+                        sr, sg, sb, sa = px[s], px[s + 1], px[s + 2], px[s + 3]
+                    if no_blend or sa == 255:
+                        canvas[d:d + 4] = bytes((sr, sg, sb, sa))
+                    elif sa:
+                        da = canvas[d + 3]
+                        oa = sa + da * (255 - sa) // 255
+                        if oa:
+                            canvas[d] = (sr * sa + canvas[d] * da
+                                         * (255 - sa) // 255) // oa
+                            canvas[d + 1] = (sg * sa + canvas[d + 1] * da
+                                             * (255 - sa) // 255) // oa
+                            canvas[d + 2] = (sb * sa + canvas[d + 2] * da
+                                             * (255 - sa) // 255) // oa
+                        canvas[d + 3] = oa
+            # emit the composite as RGB over the background color
+            frame = bytearray(canvas_w * canvas_h * 3)
+            for p in range(canvas_w * canvas_h):
+                a = canvas[p * 4 + 3]
+                for ci in range(3):
+                    v = canvas[p * 4 + ci]
+                    frame[p * 3 + ci] = v if a == 255 else (
+                        v * a + bg[ci] * (255 - a)) // 255
+            frames_out.append(bytes(frame))
+            if dispose_bg:
+                for r in range(fh):
+                    dst = ((fy + r) * canvas_w + fx) * 4
+                    canvas[dst:dst + fw * 4] = bytes(bg) * fw
+        at = payload_at + size + (size & 1)
+    if not frames_out:
+        raise WebpError("no ANMF frames in WebP container")
+    return canvas_w, canvas_h, frames_out
+
+
+def webp_encode_anim(width: int, height: int,
+                     frames: list[tuple[bytes, bytes]],
+                     duration_ms: int = 40) -> bytes:
+    """Assemble an animated WebP from already-encoded full-canvas still
+    chunks: ``frames`` is a list of ``(fourcc, chunk_payload)`` with
+    fourcc ``b"VP8L"`` or ``b"VP8 "``.  Frames overwrite the canvas
+    (blend bit set), disposal none — the compositing identity the synth
+    corpus and its SQL oracle lean on."""
+    if not frames:
+        raise WebpError("animated WebP needs at least one frame")
+    body = bytearray()
+    vp8x = bytes((0x02, 0, 0, 0)) \
+        + (width - 1).to_bytes(3, "little") \
+        + (height - 1).to_bytes(3, "little")
+    body += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = bytes((255, 255, 255, 255)) + (0).to_bytes(2, "little")
+    body += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for fourcc, payload in frames:
+        if fourcc not in (b"VP8L", b"VP8 "):
+            raise WebpError(f"bad animation frame fourcc {fourcc!r}")
+        sub = fourcc + len(payload).to_bytes(4, "little") + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        anmf = ((0).to_bytes(3, "little")          # x/2
+                + (0).to_bytes(3, "little")        # y/2
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little")
+                + duration_ms.to_bytes(3, "little")
+                + bytes((0x02,))                   # no-blend, keep
+                + sub)
+        body += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
+            + b"WEBP" + bytes(body))

@@ -586,3 +586,97 @@ def test_decode_pixels_routes_webp(spark):
     assert got["w1"]["pixel_md5"] == hashlib.md5(px).hexdigest()
     assert got["w1"]["pixel_md5"] == got["p1"]["pixel_md5"]
     assert got["bad"]["ok"].startswith("error:")
+
+
+# ------------------------------------------------------------- animation
+
+def test_animated_webp_mixed_codecs_roundtrip():
+    """Full-canvas overwrite frames: composite k == frame k, alternating
+    VP8L lossless and lossy-VP8 keyframes."""
+    from marky_spark.ops.vp8codec import vp8_encode_flat
+    from marky_spark.ops.webpcodec import (
+        _webp_payload,
+        webp_decode_frames,
+        webp_encode,
+        webp_encode_anim,
+    )
+
+    w, h = 8, 8
+    px0 = bytes((48 + i % 55) for i in range(w * h * 3))
+    f0 = _webp_payload(webp_encode(px0, w, h, 3))
+    grid = [[60 + (bx * 31 + by * 13) % 40 for bx in range(4)]
+            for by in range(4)]
+    f1 = (b"VP8 ", vp8_encode_flat(grid, w, h))
+    cw, ch_, frames = webp_decode_frames(webp_encode_anim(w, h, [f0, f1]))
+    assert (cw, ch_) == (w, h) and len(frames) == 2
+    assert frames[0] == px0
+    exp = bytes(v for y in range(h) for x in range(w)
+                for v in [grid[y // 4][x // 4]] * 3)
+    assert frames[1] == exp
+
+
+def test_animated_webp_partial_frame_composites():
+    """A second frame covering only a sub-rectangle leaves the rest of
+    the canvas at frame 1's content (overwrite blending)."""
+    from marky_spark.ops.webpcodec import (
+        _webp_payload,
+        webp_decode_frames,
+        webp_encode,
+        webp_encode_anim,
+    )
+    import struct
+
+    base = _webp_payload(webp_encode(bytes([10]) * (8 * 8 * 3), 8, 8, 3))
+    small = _webp_payload(webp_encode(bytes([200]) * (4 * 4 * 3), 4, 4, 3))
+    blob = webp_encode_anim(8, 8, [base])
+    # hand-add a 4x4 frame at (2, 2): x/2 = 1, y/2 = 1
+    sub = b"VP8L" + len(small[1]).to_bytes(4, "little") + small[1]
+    if len(small[1]) & 1:
+        sub += b"\x00"
+    anmf = ((1).to_bytes(3, "little") + (1).to_bytes(3, "little")
+            + (3).to_bytes(3, "little") + (3).to_bytes(3, "little")
+            + (40).to_bytes(3, "little") + bytes((0x02,)) + sub)
+    chunk = b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+    if len(anmf) & 1:
+        chunk += b"\x00"
+    blob = blob + chunk
+    blob = blob[:4] + struct.pack("<I", len(blob) - 8) + blob[8:]
+    w, h, frames = webp_decode_frames(blob)
+    assert len(frames) == 2
+    f = frames[1]
+    assert f[(0 * 8 + 0) * 3] == 10           # untouched corner
+    assert f[(2 * 8 + 2) * 3] == 200          # overwritten rect
+    assert f[(5 * 8 + 5) * 3] == 200          # rect extends to (5,5)
+    assert f[(6 * 8 + 6) * 3] == 10           # beyond the rect
+
+
+def test_animated_webp_hostile_is_typed():
+    from marky_spark.ops.webpcodec import (
+        WebpError,
+        webp_decode_frames,
+        webp_encode_anim,
+        webp_encode,
+        _webp_payload,
+    )
+
+    with pytest.raises(WebpError):
+        webp_decode_frames(b"RIFF\x04\x00\x00\x00WEBP")
+    # a still (non-animated) WebP raises WebpError so frame_sample falls
+    # back to the byte-slice path
+    still = webp_encode(bytes(8 * 8 * 3), 8, 8, 3)
+    with pytest.raises(WebpError):
+        webp_decode_frames(still)
+    # declared rect disagreeing with the payload dims
+    f = _webp_payload(webp_encode(bytes([1]) * (8 * 8 * 3), 8, 8, 3))
+    blob = webp_encode_anim(4, 4, [f])
+    with pytest.raises(WebpError, match="disagree"):
+        webp_decode_frames(blob)
+    # frame rect pushed outside the canvas: patch ANMF x/2 to 1 (x=2,
+    # 2+8 > 8).  The ANMF header starts after RIFF(12) + VP8X(8+10) +
+    # ANIM(8+6) + 'ANMF'+size(8).
+    blob = bytearray(webp_encode_anim(8, 8, [f]))
+    anmf_at = blob.find(b"ANMF")
+    assert anmf_at > 0
+    blob[anmf_at + 8] = 1
+    with pytest.raises(WebpError, match="outside the canvas"):
+        webp_decode_frames(bytes(blob))
