@@ -1137,7 +1137,7 @@ def synth_awebp_media(docs: DataFrame) -> DataFrame:
                         hexs = hashlib.md5(f"{i}:{k}".encode()).hexdigest()
                         px = (hexs * (-(-n // len(hexs))))[:n]
                         still = webp_encode(px.encode("ascii"), w, h, 3)
-                        frames.append(_webp_payload(still))
+                        frames.append(_webp_payload(still)[:2])
                     else:
                         mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
                         grid = [[48 + (i * 7 + k * 11 + by * 13 + bx * 31)

@@ -603,7 +603,7 @@ def test_animated_webp_mixed_codecs_roundtrip():
 
     w, h = 8, 8
     px0 = bytes((48 + i % 55) for i in range(w * h * 3))
-    f0 = _webp_payload(webp_encode(px0, w, h, 3))
+    f0 = _webp_payload(webp_encode(px0, w, h, 3))[:2]
     grid = [[60 + (bx * 31 + by * 13) % 40 for bx in range(4)]
             for by in range(4)]
     f1 = (b"VP8 ", vp8_encode_flat(grid, w, h))
@@ -626,8 +626,8 @@ def test_animated_webp_partial_frame_composites():
     )
     import struct
 
-    base = _webp_payload(webp_encode(bytes([10]) * (8 * 8 * 3), 8, 8, 3))
-    small = _webp_payload(webp_encode(bytes([200]) * (4 * 4 * 3), 4, 4, 3))
+    base = _webp_payload(webp_encode(bytes([10]) * (8 * 8 * 3), 8, 8, 3))[:2]
+    small = _webp_payload(webp_encode(bytes([200]) * (4 * 4 * 3), 4, 4, 3))[:2]
     blob = webp_encode_anim(8, 8, [base])
     # hand-add a 4x4 frame at (2, 2): x/2 = 1, y/2 = 1
     sub = b"VP8L" + len(small[1]).to_bytes(4, "little") + small[1]
@@ -667,7 +667,7 @@ def test_animated_webp_hostile_is_typed():
     with pytest.raises(WebpError):
         webp_decode_frames(still)
     # declared rect disagreeing with the payload dims
-    f = _webp_payload(webp_encode(bytes([1]) * (8 * 8 * 3), 8, 8, 3))
+    f = _webp_payload(webp_encode(bytes([1]) * (8 * 8 * 3), 8, 8, 3))[:2]
     blob = webp_encode_anim(4, 4, [f])
     with pytest.raises(WebpError, match="disagree"):
         webp_decode_frames(blob)
@@ -680,3 +680,113 @@ def test_animated_webp_hostile_is_typed():
     blob[anmf_at + 8] = 1
     with pytest.raises(WebpError, match="outside the canvas"):
         webp_decode_frames(bytes(blob))
+
+
+# ----------------------------------------------------------- alpha plane
+
+def _vp8x_alpha_still(w, h, vp8_stream, alph):
+    body = bytearray()
+    vp8x = bytes((0x12, 0, 0, 0)) + (w - 1).to_bytes(3, "little") \
+        + (h - 1).to_bytes(3, "little")
+    body += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    body += b"ALPH" + len(alph).to_bytes(4, "little") + alph
+    if len(alph) & 1:
+        body += b"\x00"
+    body += b"VP8 " + len(vp8_stream).to_bytes(4, "little") + vp8_stream
+    if len(vp8_stream) & 1:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" \
+        + bytes(body)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+@pytest.mark.parametrize("lossless", [False, True])
+def test_alph_filters_roundtrip(filt, lossless):
+    """ALPH plane round-trips through every filtering method, both raw
+    and headerless-VP8L compression."""
+    import random
+
+    from marky_spark.ops.vp8codec import vp8_encode_flat
+    from marky_spark.ops.webpcodec import encode_alpha_chunk
+
+    rng = random.Random(100 * filt + lossless)
+    w, h = 8, 8
+    grid = [[rng.randrange(256) for _ in range(4)] for _ in range(4)]
+    plane = bytes(rng.randrange(256) for _ in range(w * h))
+    blob = _vp8x_alpha_still(
+        w, h, vp8_encode_flat(grid, w, h),
+        encode_alpha_chunk(plane, w, h, filtering=filt, lossless=lossless))
+    dw, dh, ch, px = webp_decode(blob)
+    assert (dw, dh, ch) == (w, h, 4)
+    assert bytes(px[3::4]) == plane
+    for y in range(h):
+        for x in range(w):
+            assert px[(y * w + x) * 4] == grid[y // 4][x // 4]
+
+
+def test_alph_opaque_collapses_to_rgb():
+    from marky_spark.ops.vp8codec import vp8_encode_flat
+    from marky_spark.ops.webpcodec import encode_alpha_chunk
+
+    blob = _vp8x_alpha_still(8, 8, vp8_encode_flat([[5] * 4] * 4, 8, 8),
+                             encode_alpha_chunk(b"\xff" * 64, 8, 8))
+    assert webp_decode(blob)[2] == 3
+
+
+def test_alph_with_vp8l_is_typed_error():
+    from marky_spark.ops.webpcodec import encode_alpha_chunk
+
+    still = webp_encode(bytes(64 * 3), 8, 8, 3)
+    vp8l_chunk = still[12:]
+    alph = encode_alpha_chunk(b"\x80" * 64, 8, 8)
+    body = bytearray()
+    body += b"ALPH" + len(alph).to_bytes(4, "little") + alph
+    if len(alph) & 1:
+        body += b"\x00"
+    body += vp8l_chunk
+    blob = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" \
+        + bytes(body)
+    with pytest.raises(WebpError, match="ALPH"):
+        webp_decode(blob)
+
+
+def test_anmf_alpha_frame_composites():
+    """An ANMF frame carrying ALPH + VP8: alpha 0 pixels leave the
+    previous canvas content visible when the frame alpha-blends."""
+    import struct as _s
+
+    from marky_spark.ops.vp8codec import vp8_encode_flat
+    from marky_spark.ops.webpcodec import (
+        _webp_payload,
+        encode_alpha_chunk,
+        webp_decode_frames,
+        webp_encode_anim,
+    )
+
+    w = h = 8
+    base = _webp_payload(webp_encode(bytes([10]) * (w * h * 3), w, h, 3))[:2]
+    blob = bytearray(webp_encode_anim(w, h, [base]))
+    # frame 2: VP8 value 200 everywhere, alpha = 0 on the top half,
+    # 255 on the bottom half, BLENDING on (flags bit1 = 0)
+    plane = bytes([0]) * (w * h // 2) + bytes([255]) * (w * h // 2)
+    alph = encode_alpha_chunk(plane, w, h)
+    vp8s = vp8_encode_flat([[200] * ((w + 15) // 16 * 4)] *
+                           ((h + 15) // 16 * 4), w, h)
+    sub = b"ALPH" + len(alph).to_bytes(4, "little") + alph
+    if len(alph) & 1:
+        sub += b"\x00"
+    sub += b"VP8 " + len(vp8s).to_bytes(4, "little") + vp8s
+    if len(vp8s) & 1:
+        sub += b"\x00"
+    anmf = ((0).to_bytes(3, "little") * 2
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little") + bytes((0x00,)) + sub)
+    blob += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+    if len(anmf) & 1:
+        blob += b"\x00"
+    blob = blob[:4] + _s.pack("<I", len(blob) - 8) + blob[8:]
+    cw, ch_, frames = webp_decode_frames(bytes(blob))
+    assert len(frames) == 2
+    f = frames[1]
+    assert f[0] == 10                      # transparent top: base shows
+    assert f[(w * h - 1) * 3] == 200       # opaque bottom: new frame
