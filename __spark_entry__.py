@@ -506,11 +506,16 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-canvas compositing), whose frames ALTERNATE between VP8L
     lossless and lossy VP8 keyframes (ops/vp8codec) — the one oracle row
     pins the container walk, both still decoders, the compositing
-    identity and the PNG round-trip."""
+    identity and the PNG round-trip. Branch 'ap' (round-5) = REAL
+    animated PNG (ops/pngcodec.png_decode_frames: acTL/fcTL/fdAT walk,
+    per-region sub-PNG decode, dispose/blend compositing) —
+    full-canvas source frames, so the oracle rebuilds each composited
+    frame as the raw md5-hex raster."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
         frame_sample,
         synth_agif_media,
+        synth_apng_media,
         synth_avi_media,
         synth_awebp_media,
     )
@@ -577,8 +582,24 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pixel_bytes").alias("n_bytes"),
         F.col("pixel_md5").alias("content_md5"),
     )
+    ap_sampled = frame_sample(synth_apng_media(docs), n_frames=4)
+    dec_ap = decode_pixels(ap_sampled.select(
+        F.concat_ws(":", "media_ref",
+                    F.col("frame_idx").cast("string"),
+                    F.col("frame_offset").cast("string")).alias("media_ref"),
+        F.col("frame_bytes").alias("payload"),
+    ))
+    ap_branch = dec_ap.select(
+        parts.getItem(0).alias("media_ref"),
+        F.lit("ap").alias("branch"),
+        parts.getItem(1).cast("long").alias("frame_idx"),
+        parts.getItem(2).cast("long").alias("frame_offset"),
+        F.col("n_pixel_bytes").alias("n_bytes"),
+        F.col("pixel_md5").alias("content_md5"),
+    )
     return (bytes_branch.unionByName(gif_branch)
-            .unionByName(avi_branch).unionByName(aw_branch))
+            .unionByName(avi_branch).unionByName(aw_branch)
+            .unionByName(ap_branch))
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,6 +2109,32 @@ def oracle_sql() -> dict[str, str]:
                         SELECT doc_id,
                                4 * (1 + doc_id % 4) AS w,
                                4 * (1 + doc_id % 2) AS h,
+                               5 + doc_id % 8 AS total
+                        FROM documents)))
+            UNION ALL
+            -- branch 'ap': real animated-PNG sampling (full-canvas
+            -- source frames, blend source / dispose none → composite k
+            -- == frame k). Frame k's RGB raster is md5('i:k') hex
+            -- ASCII taken straight over w*h*3 bytes.
+            SELECT 'ap' || doc_id AS media_ref,
+                   'ap' AS branch,
+                   i AS frame_idx,
+                   fo AS frame_offset,
+                   CAST(w * h * 3 AS BIGINT) AS n_bytes,
+                   md5(substr(repeat(md5(doc_id::VARCHAR || ':' ||
+                                         fo::VARCHAR),
+                                     ((w*h*3) // 32 + 1)::INT),
+                              1, (w*h*3)::INT)) AS content_md5
+            FROM (
+                SELECT doc_id, w, h, i, i * step AS fo
+                FROM (
+                    SELECT doc_id, w, h,
+                           greatest(total // 4, 1) AS step,
+                           unnest(range(4)) AS i
+                    FROM (
+                        SELECT doc_id,
+                               4 + doc_id % 9 AS w,
+                               4 + doc_id % 6 AS h,
                                5 + doc_id % 8 AS total
                         FROM documents)))
         """,

@@ -184,12 +184,14 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     which decode_pixels then really decodes (ops/jpegcodec). Animated
     WebP is sampled FOR REAL as well (ops/webpcodec.webp_decode_frames:
     VP8X/ANIM/ANMF walk with per-frame VP8L or VP8 decode and canvas
-    compositing), PNG re-encoded like the GIF path. Formats with
+    compositing), PNG re-encoded like the GIF path, and so is animated
+    PNG (ops/pngcodec.png_decode_frames: acTL/fcTL/fdAT walk,
+    per-region sub-PNG decode, dispose/blend compositing). Formats with
     no in-sandbox video codec keep the deterministic byte-slice stand-in
     (same fan-out shape; frame_offset = byte offset)."""
     from .avicodec import avi_decode_frames, looks_like_avi
     from .gifcodec import gif_decode_frames, looks_like_gif
-    from .pngcodec import png_encode
+    from .pngcodec import looks_like_apng, png_decode_frames, png_encode
     from .webpcodec import looks_like_webp, webp_decode_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,6 +225,19 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                         picks = list(range(0, total, step))[:n_frames]
                         for i, fi in enumerate(picks):
                             rows.append((ref, i, fi, frames[fi]))
+                        continue
+                if looks_like_apng(blob):
+                    try:
+                        w, h, frames = png_decode_frames(blob)
+                    except Exception:  # noqa: BLE001 — malformed APNG
+                        frames = None  # falls back to the byte slices
+                    if frames:
+                        total = len(frames)
+                        step = max(total // n_frames, 1)
+                        picks = list(range(0, total, step))[:n_frames]
+                        for i, fi in enumerate(picks):
+                            rows.append((ref, i, fi,
+                                         png_encode(frames[fi], w, h, 3)))
                         continue
                 if looks_like_webp(blob):
                     try:
@@ -1097,6 +1112,37 @@ def synth_cmyk_media(docs: DataFrame) -> DataFrame:
                 tf = (0, 2, None)[mode]
                 blob = jpeg_encode(cmyk, w, h, 4, adobe_transform=tf)
                 rows.append((f"sk{i}", "image/jpeg", blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_apng_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated-PNG media table derived from doc ids
+    (the APNG path of ``frame_sample``).  Canvas w = 4 + i%9,
+    h = 4 + i%6 with 5 + i%8 full-canvas frames (blend source, dispose
+    none → composite k == frame k); frame k's RGB raster is
+    md5(f"{i}:{k}") hex ASCII repeated over w*h*3 bytes, so the SQL
+    oracle rebuilds every sampled frame with no PNG library while the
+    decode must run the real acTL/fcTL/fdAT walk + inflate/unfilter."""
+    from .pngcodec import png_encode_animated
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 9
+                h = 4 + i % 6
+                n = w * h * 3
+                frames = []
+                for k in range(5 + i % 8):
+                    hexs = hashlib.md5(f"{i}:{k}".encode()).hexdigest()
+                    frames.append(
+                        ((hexs * (-(-n // len(hexs))))[:n]).encode("ascii"))
+                rows.append((f"ap{i}", "image/apng",
+                             png_encode_animated(w, h, frames)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -386,3 +386,205 @@ def png_resize_nearest(data: bytes, out_w: int, out_h: int) -> bytes:
     xs = np.arange(out_w) * in_w // out_w
     out = arr[ys][:, xs]
     return png_encode(out.tobytes(), out_w, out_h, channels)
+
+
+# ------------------------------------------------------------- APNG
+def looks_like_apng(data: bytes) -> bool:
+    """True when a PNG carries an acTL chunk before its first IDAT."""
+    if not data.startswith(PNG_SIGNATURE):
+        return False
+    at = 8
+    while at + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, at)
+        tag = data[at + 4:at + 8]
+        if tag == b"acTL":
+            return True
+        if tag in (b"IDAT", b"IEND"):
+            return False
+        at += 12 + ln
+    return False
+
+
+def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    """APNG (acTL / fcTL / fdAT) → ``(canvas_w, canvas_h,
+    [rgb_frame_bytes])`` — the composited canvas after each animation
+    frame, mirroring gif_decode_frames / webp_decode_frames.
+
+    Each frame region is decoded by REBUILDING a standalone PNG from
+    the parent IHDR (frame dims swapped in) plus the parent PLTE/tRNS
+    and the fdAT/IDAT byte stream, through the ordinary png_decode —
+    so the inflate/unfilter/palette walk is the same audited path.
+    dispose_op none/background/previous and blend_op source/over are
+    honored; the canvas starts transparent and emitted frames composite
+    over white."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise PngError("not a PNG")
+    at = 8
+    ihdr = None
+    aux = b""          # PLTE / tRNS chunks passed through to sub-PNGs
+    actl = None
+    entries = []       # [fcTL_body, bytearray(idat_stream)]
+    seqs = []
+    saw_idat = False
+    pending_fctl = None
+    while at + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, at)
+        tag = data[at + 4:at + 8]
+        if at + 12 + ln > len(data):
+            raise PngError(f"chunk {tag!r} overruns the file")
+        body = data[at + 8:at + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag in (b"PLTE", b"tRNS"):
+            aux += _chunk(tag, body)
+        elif tag == b"acTL":
+            if len(body) < 8:
+                raise PngError("short acTL chunk")
+            actl = struct.unpack(">II", body[:8])
+        elif tag == b"fcTL":
+            if len(body) < 26:
+                raise PngError("short fcTL chunk")
+            seqs.append(struct.unpack_from(">I", body, 0)[0])
+            pending_fctl = body
+            entries.append([body, bytearray()])
+        elif tag == b"IDAT":
+            saw_idat = True
+            if pending_fctl is not None and len(entries) == 1:
+                entries[0][1] += body
+        elif tag == b"fdAT":
+            if len(body) < 4:
+                raise PngError("short fdAT chunk")
+            seqs.append(struct.unpack_from(">I", body, 0)[0])
+            if not entries:
+                raise PngError("fdAT before any fcTL")
+            entries[-1][1] += body[4:]
+        elif tag == b"IEND":
+            break
+        at += 12 + ln
+    if ihdr is None or actl is None:
+        raise PngError("not an animated PNG (no IHDR/acTL)")
+    if not saw_idat:
+        raise PngError("APNG without a default image")
+    if seqs != list(range(len(seqs))):
+        raise PngError("APNG sequence numbers not consecutive")
+    if ihdr[12]:
+        raise NotImplementedError("interlaced APNG frames")
+    if actl[0] != len(entries):
+        raise PngError(
+            f"acTL declares {actl[0]} frames, found {len(entries)}")
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    if w * h > MAX_PIXELS:
+        raise PngError("APNG canvas exceeds pixel cap")
+
+    canvas = bytearray(w * h * 4)          # transparent RGBA
+    frames_out = []
+    for fctl, stream in entries:
+        (_, fw, fh, fx, fy, _dnum, _dden) = struct.unpack_from(
+            ">IIIIIHH", fctl, 0)
+        dispose = fctl[24]
+        blend = fctl[25]
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise PngError("APNG frame region outside the canvas")
+        if not stream:
+            raise PngError("APNG frame without image data")
+        sub = (PNG_SIGNATURE
+               + _chunk(b"IHDR", struct.pack(">II", fw, fh) + ihdr[8:])
+               + aux
+               + _chunk(b"IDAT", bytes(stream))
+               + _chunk(b"IEND", b""))
+        pw, ph, ch, px = png_decode(sub)
+        if (pw, ph) != (fw, fh):
+            raise PngError("APNG frame dims disagree with payload")
+        before = bytes(canvas) if dispose == 2 else None
+        for r in range(fh):
+            dst = ((fy + r) * w + fx) * 4
+            src = r * fw * ch
+            for c in range(fw):
+                d = dst + c * 4
+                s = src + c * ch
+                if ch == 1:
+                    sr = sg = sb = px[s]
+                    sa = 255
+                elif ch == 2:
+                    sr = sg = sb = px[s]
+                    sa = px[s + 1]
+                elif ch == 3:
+                    sr, sg, sb, sa = px[s], px[s + 1], px[s + 2], 255
+                else:
+                    sr, sg, sb, sa = (px[s], px[s + 1], px[s + 2],
+                                      px[s + 3])
+                if blend == 0 or sa == 255:
+                    canvas[d:d + 4] = bytes((sr, sg, sb, sa))
+                elif sa:
+                    da = canvas[d + 3]
+                    oa = sa + da * (255 - sa) // 255
+                    if oa:
+                        canvas[d] = (sr * sa + canvas[d] * da
+                                     * (255 - sa) // 255) // oa
+                        canvas[d + 1] = (sg * sa + canvas[d + 1] * da
+                                         * (255 - sa) // 255) // oa
+                        canvas[d + 2] = (sb * sa + canvas[d + 2] * da
+                                         * (255 - sa) // 255) // oa
+                    canvas[d + 3] = oa
+        # emit RGB over white
+        frame = bytearray(w * h * 3)
+        for p in range(w * h):
+            a = canvas[p * 4 + 3]
+            for ci in range(3):
+                v = canvas[p * 4 + ci]
+                frame[p * 3 + ci] = v if a == 255 else (
+                    v * a + 255 * (255 - a)) // 255
+        frames_out.append(bytes(frame))
+        if dispose == 1:                    # background: clear region
+            for r in range(fh):
+                dst = ((fy + r) * w + fx) * 4
+                canvas[dst:dst + fw * 4] = bytes(fw * 4)
+        elif dispose == 2 and before is not None:
+            canvas[:] = before
+    return w, h, frames_out
+
+
+def png_encode_animated(width: int, height: int,
+                        frames: list[bytes], channels: int = 3,
+                        delay_num: int = 4,
+                        delay_den: int = 100) -> bytes:
+    """Full-canvas RGB(A) frames → an APNG (blend source, dispose none
+    — composite k == frame k, the identity the synth corpus and its
+    SQL oracle lean on).  Frame 1 rides the default IDAT; later frames
+    become fdAT chunks carrying the same zlib stream png_encode
+    produces."""
+    if not frames:
+        raise PngError("animated PNG needs at least one frame")
+    idats = []
+    for f in frames:
+        still = png_encode(f, width, height, channels)
+        # our encoder writes exactly one IDAT: signature(8) + IHDR(25)
+        at = 8
+        payload = None
+        while at + 8 <= len(still):
+            (ln,) = struct.unpack_from(">I", still, at)
+            tag = still[at + 4:at + 8]
+            if tag == b"IDAT":
+                payload = still[at + 8:at + 8 + ln]
+                break
+            at += 12 + ln
+        idats.append(payload)
+    out = bytearray(PNG_SIGNATURE)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _COLOR_TYPE_FOR_CHANNELS[channels], 0, 0, 0)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for k, payload in enumerate(idats):
+        fctl = struct.pack(">IIIIIHHBB", seq, width, height, 0, 0,
+                           delay_num, delay_den, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        if k == 0:
+            out += _chunk(b"IDAT", payload)
+        else:
+            out += _chunk(b"fdAT",
+                          struct.pack(">I", seq) + payload)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

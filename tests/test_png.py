@@ -366,3 +366,121 @@ def test_exif_chunk_orientation_applies():
         assert out == np.ascontiguousarray(want).tobytes(), o
     # malformed TIFF payload in the chunk: image still decodes upright
     assert png_decode(with_exif(base, b"QQ garbage"))[3] == src.tobytes()
+
+
+# --------------------------------------------------------------- APNG
+
+class TestApng:
+    def test_roundtrip_full_canvas(self):
+        import hashlib
+
+        from marky_spark.ops.pngcodec import (
+            looks_like_apng,
+            png_decode_frames,
+            png_encode,
+            png_encode_animated,
+        )
+
+        w, h = 7, 5
+        frames = []
+        for k in range(4):
+            hexs = hashlib.md5(f"9:{k}".encode()).hexdigest()
+            n = w * h * 3
+            frames.append(((hexs * (n // 32 + 1))[:n]).encode("ascii"))
+        blob = png_encode_animated(w, h, frames)
+        assert looks_like_apng(blob)
+        assert not looks_like_apng(png_encode(frames[0], w, h, 3))
+        cw, ch, out = png_decode_frames(blob)
+        assert (cw, ch) == (w, h)
+        assert out == frames
+
+    def test_partial_region_and_dispose(self):
+        """Hand-build an APNG: frame 1 full canvas value 10, frame 2 a
+        2x2 region at (1,1) value 200 with dispose-to-background, frame
+        3 full canvas value 30.  Frame 2's composite shows the region;
+        the dispose clears it before frame 3."""
+        import struct as _s
+        import zlib
+
+        from marky_spark.ops.pngcodec import (
+            PNG_SIGNATURE,
+            _chunk,
+            png_decode_frames,
+            png_encode,
+        )
+
+        def idat_of(still):
+            at = 8
+            while at + 8 <= len(still):
+                (ln,) = _s.unpack_from(">I", still, at)
+                tag = still[at + 4:at + 8]
+                if tag == b"IDAT":
+                    return still[at + 8:at + 8 + ln]
+                at += 12 + ln
+            raise AssertionError("no IDAT")
+
+        w = h = 4
+        f1 = bytes([10]) * (w * h * 3)
+        f2 = bytes([200]) * (2 * 2 * 3)
+        f3 = bytes([30]) * (w * h * 3)
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        out = bytearray(PNG_SIGNATURE)
+        out += _chunk(b"IHDR", ihdr)
+        out += _chunk(b"acTL", _s.pack(">II", 3, 0))
+        out += _chunk(b"fcTL", _s.pack(">IIIIIHHBB", 0, w, h, 0, 0,
+                                       4, 100, 0, 0))
+        out += _chunk(b"IDAT", idat_of(png_encode(f1, w, h, 3)))
+        # frame 2: 2x2 at (1,1), dispose_op=1 (background), blend=0
+        out += _chunk(b"fcTL", _s.pack(">IIIIIHHBB", 1, 2, 2, 1, 1,
+                                       4, 100, 1, 0))
+        out += _chunk(b"fdAT", _s.pack(">I", 2)
+                      + idat_of(png_encode(f2, 2, 2, 3)))
+        out += _chunk(b"fcTL", _s.pack(">IIIIIHHBB", 3, w, h, 0, 0,
+                                       4, 100, 0, 0))
+        out += _chunk(b"fdAT", _s.pack(">I", 4)
+                      + idat_of(png_encode(f3, w, h, 3)))
+        out += _chunk(b"IEND", b"")
+        cw, ch, frames = png_decode_frames(bytes(out))
+        assert len(frames) == 3
+        assert frames[0] == f1
+        assert frames[1][(0 * w + 0) * 3] == 10     # outside the region
+        assert frames[1][(1 * w + 1) * 3] == 200    # inside
+        assert frames[1][(2 * w + 2) * 3] == 200
+        assert frames[1][(3 * w + 3) * 3] == 10
+        assert frames[2] == f3                      # full overwrite
+
+    def test_hostile_apng_is_typed(self):
+        import struct as _s
+
+        import pytest
+
+        from marky_spark.ops.pngcodec import (
+            PNG_SIGNATURE,
+            PngError,
+            _chunk,
+            png_decode_frames,
+            png_encode_animated,
+        )
+
+        with pytest.raises(PngError):
+            png_decode_frames(b"garbage")
+        blob = bytearray(png_encode_animated(4, 4, [bytes(48)]))
+        # break the sequence numbers: flip fcTL's seq to 7
+        at = blob.find(b"fcTL")
+        blob[at + 4:at + 8] = _s.pack(">I", 7)
+        # (CRC now wrong too, but the walk checks sequence first; the
+        # sub-PNG decode never runs)
+        with pytest.raises(PngError, match="sequence|CRC|crc"):
+            png_decode_frames(bytes(blob))
+        # acTL frame-count mismatch
+        blob = bytearray(png_encode_animated(4, 4, [bytes(48)] * 2))
+        at = blob.find(b"acTL")
+        blob[at + 4:at + 8] = _s.pack(">I", 9)
+        with pytest.raises(PngError, match="declares|CRC|crc"):
+            png_decode_frames(bytes(blob))
+        # frame region outside the canvas
+        blob = bytearray(png_encode_animated(4, 4, [bytes(48)]))
+        at = blob.find(b"fcTL")
+        blob[at + 16:at + 20] = _s.pack(">I", 9)  # frame width 9 > 4
+        with pytest.raises(PngError, match="outside|CRC|crc|disagree"):
+            png_decode_frames(bytes(blob))
