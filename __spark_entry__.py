@@ -719,10 +719,15 @@ def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant, inverse WHT + DCT, B_PRED / DC_PRED-16 predictor chains) —
     whose flat-per-block luma the oracle rebuilds as doc_id arithmetic;
     the md5 only matches when the whole entropy+transform+predictor
-    walk is exact."""
+    walk is exact. Branch 'bm' (round-5) adds palettized / RLE legacy BMPs
+    (ops/bmpcodec: 4/8-bit color tables, BI_RLE4/BI_RLE8 run-absolute-
+    delta escapes); the oracle rebuilds each decoded sample from the
+    md5-hex index arithmetic (8-bit: the char's ASCII code; 4-bit: 17x
+    the hex digit)."""
     from marky_spark.ops.multimodal import (
         decode_pixels,
         scan_features,
+        synth_bmp_media,
         synth_cmyk_media,
         synth_scan_media,
         synth_vp8_media,
@@ -736,8 +741,9 @@ def _q_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok")
     cmyk = decode_pixels(synth_cmyk_media(docs)).select(*cols)
     vp8 = decode_pixels(synth_vp8_media(docs)).select(*cols)
+    bmp = decode_pixels(synth_bmp_media(docs)).select(*cols)
     return (scan_features(synth_scan_media(docs))
-            .unionByName(cmyk).unionByName(vp8))
+            .unionByName(cmyk).unionByName(vp8).unionByName(bmp))
 
 
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1747,36 @@ def oracle_sql() -> dict[str, str]:
                        4 * (1 + doc_id % 3) AS h,
                        CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 4 END AS d
                 FROM documents)
+            UNION ALL
+            -- branch 'bm': palettized / RLE legacy BMPs. Index stream =
+            -- md5(i) hex over w*h; even ids: 8-bit gray palette →
+            -- sample = the char's ASCII code; odd ids: 4-bit palette →
+            -- sample = 17 * hex value. Rendered as 3-digit decimals
+            -- tripled (RGB), md5'd in raster order.
+            SELECT 'bm' || doc_id AS media_ref,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(w*h*3 AS BIGINT) AS n_samples,
+                   md5(array_to_string(list_transform(range(1, (w*h)::INT + 1),
+                       j -> repeat(lpad(
+                           CASE WHEN doc_id % 2 = 0
+                                THEN unicode(substr(chars, j::INT, 1))
+                                ELSE 17 * (strpos('0123456789abcdef',
+                                           substr(chars, j::INT, 1)) - 1)
+                           END::VARCHAR, 3, '0'), 3)), '')) AS sample_md5,
+                   CAST(0 AS BIGINT) AS black_n,
+                   'ok' AS ok
+            FROM (
+                SELECT doc_id, w, h,
+                       substr(repeat(md5(doc_id::VARCHAR),
+                                     ((w*h) // 32 + 1)::INT),
+                              1, (w*h)::INT) AS chars
+                FROM (
+                    SELECT doc_id,
+                           4 + doc_id % 13 AS w,
+                           4 + doc_id % 7 AS h
+                    FROM documents))
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:

@@ -1118,6 +1118,50 @@ def synth_cmyk_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic palettized / RLE BMP media table derived from doc
+    ids (the legacy-raster arm of the ``scan_decode`` oracle).  Indices
+    come from md5(i) hex ASCII over w*h pixels:
+
+    - i % 2 == 0: 8-bit palette (entry v = (v,v,v)), index = the char's
+      ASCII code → decoded sample = the code itself;
+    - i % 2 == 1: 4-bit palette (entry v = (17v,)*3), index = the hex
+      digit's value → decoded sample = 17 * value;
+    - i % 3 != 0: BI_RLE8 / BI_RLE4 run-length encoding, else
+      uncompressed bit-packed rows.
+
+    Either way the SQL oracle rebuilds every decoded sample from doc_id
+    arithmetic while the decoder must run the real palette / RLE walk."""
+    from .bmpcodec import bmp_encode_indexed
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 4 + i % 7
+                n = w * h
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                chars = (hexs * (-(-n // len(hexs))))[:n]
+                rle = i % 3 != 0
+                if i % 2 == 0:
+                    pal = [(v, v, v) for v in range(256)]
+                    idx = chars.encode("ascii")
+                    blob = bmp_encode_indexed(idx, w, h, pal,
+                                              bpp=8, rle=rle)
+                else:
+                    pal = [(17 * v,) * 3 for v in range(16)]
+                    idx = bytes(int(c, 16) for c in chars)
+                    blob = bmp_encode_indexed(idx, w, h, pal,
+                                              bpp=4, rle=rle)
+                rows.append((f"bm{i}", "image/bmp", blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def synth_apng_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL animated-PNG media table derived from doc ids
     (the APNG path of ``frame_sample``).  Canvas w = 4 + i%9,

@@ -119,3 +119,90 @@ def test_pixel_digest_format_agnostic(spark):
     assert rows["png"]["pixel_md5"] == want
     assert rows["bmp"]["pixel_md5"] == want
     assert rows["png"]["ok"] == rows["bmp"]["ok"] == "ok"
+
+
+# -------------------------------------------------- palettized / RLE
+
+class TestIndexed:
+    def test_roundtrip_matrix(self):
+        import random
+
+        from marky_spark.ops.bmpcodec import bmp_decode, bmp_encode_indexed
+
+        rng = random.Random(2)
+        for bpp in (1, 4, 8):
+            for rle in (False, True):
+                if rle and bpp == 1:
+                    continue
+                w, h = rng.randint(2, 19), rng.randint(2, 13)
+                npal = min(1 << bpp, 7)
+                pal = [(rng.randrange(256), rng.randrange(256),
+                        rng.randrange(256)) for _ in range(npal)]
+                idx = bytes(rng.randrange(npal) for _ in range(w * h))
+                blob = bmp_encode_indexed(idx, w, h, pal, bpp=bpp, rle=rle)
+                dw, dh, ch, px = bmp_decode(blob)
+                assert (dw, dh, ch) == (w, h, 3)
+                assert px == b"".join(bytes(pal[v]) for v in idx), (bpp, rle)
+
+    def test_rle8_absolute_and_delta_escapes(self):
+        """Hand-built RLE8 stream: run, absolute mode (word padded),
+        delta skip (skipped pixels stay index 0), end escapes."""
+        import struct as _s
+
+        from marky_spark.ops.bmpcodec import bmp_decode
+
+        w = h = 4
+        pal = [(0, 0, 0), (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+        table = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+        # bottom row (y=3): run of 4 index 1;  row y=2: absolute 3
+        # pixels (2,3,2) + pad, then 1 more pixel index 3; row y=1:
+        # delta (2, 1) from (0,1)->... deltas move +x, -y(up): from
+        # start of y=2's next line (x=0,y=1): delta dx=2 dy=0 then two
+        # pixels index 2; top row left as index 0 via end-of-bitmap.
+        stream = (bytes((4, 1)) + b"\x00\x00"
+                  + bytes((0, 3, 2, 3, 2, 0)) + bytes((1, 3)) + b"\x00\x00"
+                  + bytes((0, 2, 2, 0)) + bytes((2, 2))
+                  + b"\x00\x01")
+        px_offset = 54 + len(table)
+        blob = (b"BM" + _s.pack("<IHHI", px_offset + len(stream), 0, 0,
+                                px_offset)
+                + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                          2835, 2835, len(pal), 0)
+                + table + stream)
+        dw, dh, ch, px = bmp_decode(blob)
+        assert (dw, dh, ch) == (w, h, 3)
+
+        def at(x, y):
+            return tuple(px[(y * w + x) * 3:(y * w + x) * 3 + 3])
+
+        assert all(at(x, 3) == pal[1] for x in range(4))     # bottom run
+        assert at(0, 2) == pal[2] and at(1, 2) == pal[3]     # absolute
+        assert at(2, 2) == pal[2] and at(3, 2) == pal[3]
+        assert at(0, 1) == pal[0] and at(1, 1) == pal[0]     # delta skip
+        assert at(2, 1) == pal[2] and at(3, 1) == pal[2]
+        assert all(at(x, 0) == pal[0] for x in range(4))     # untouched
+
+    def test_hostile_indexed_is_typed(self):
+        import pytest
+
+        from marky_spark.ops.bmpcodec import (
+            BmpError,
+            bmp_decode,
+            bmp_encode_indexed,
+        )
+
+        pal = [(1, 2, 3)] * 4
+        blob = bytearray(bmp_encode_indexed(bytes(16), 4, 4, pal, bpp=8,
+                                            rle=True))
+        # truncate: the end-of-bitmap escape disappears
+        with pytest.raises(BmpError):
+            bmp_decode(bytes(blob[:-4]))
+        # RLE8 must be 8 bpp
+        bad = bytearray(blob)
+        import struct as _s
+        _s.pack_into("<H", bad, 28, 4)
+        with pytest.raises(BmpError):
+            bmp_decode(bytes(bad))
+        # palette index outside the declared color table
+        with pytest.raises(BmpError):
+            bmp_encode_indexed(bytes([9]), 1, 1, pal, bpp=8)
