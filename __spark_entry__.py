@@ -1057,6 +1057,41 @@ def _binary_oracle(kind: str) -> str:
     """
 
 
+def _q_convert_extra(kind: str):
+    """Beyond-the-reference kernel query (rtf / odt — the formats a real
+    crawl carries that the reference's registry lacks, added through its
+    own RegisterConverter extension point, marky.go:21-23): per-document
+    (doc_id, md5(markdown), md_chars) over the kind's deterministic
+    variant corpus, pinned by the committed EXTRA_GOLDEN literals exactly
+    like the five reference binary kinds."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from marky_spark.convert import convert
+        from marky_spark.corpus import spark_extra_corpus
+
+        out = convert(spark_extra_corpus(spark, kind), kinds=[kind])
+        return out.where(F.col("conv_kind") == kind).select(
+            "doc_id",
+            F.md5("markdown").alias("md_md5"),
+            F.col("md_chars").cast("long").alias("md_chars"),
+        )
+
+    return q
+
+
+def _extra_oracle(kind: str) -> str:
+    from marky_spark.frozen_golden import EXTRA_GOLDEN
+
+    rows = ",\n                ".join(
+        f"('{d}', '{h}', {n})" for d, h, n in EXTRA_GOLDEN[kind])
+    return f"""
+            SELECT doc_id, md_md5, CAST(md_chars AS BIGINT) AS md_chars
+            FROM (VALUES
+                {rows}
+            ) AS t(doc_id, md_md5, md_chars)
+    """
+
+
 def _ann_oracle(name: str) -> str:
     """VALUES oracle from the frozen sf0.01 ANN outputs
     (marky_spark/frozen_ann.py): the operators are approximate but fully
@@ -1170,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_pptx": _q_convert_binary("pptx"),
         "convert_epub": _q_convert_binary("epub"),
         "convert_pdf": _q_convert_binary("pdf"),
+        "convert_rtf": _q_convert_extra("rtf"),
+        "convert_odt": _q_convert_extra("odt"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
     }
@@ -2261,4 +2298,6 @@ def oracle_sql() -> dict[str, str]:
         "convert_pptx": _binary_oracle("pptx"),
         "convert_epub": _binary_oracle("epub"),
         "convert_pdf": _binary_oracle("pdf"),
+        "convert_rtf": _extra_oracle("rtf"),
+        "convert_odt": _extra_oracle("odt"),
     }

@@ -112,8 +112,11 @@ def sniff_kind(path: str, data: bytes) -> str | None:
         # misclassified as an Office container
         if "mimetype" in names:
             try:
-                if zf.read("mimetype").strip() == b"application/epub+zip":
+                mt = zf.read("mimetype").strip()
+                if mt == b"application/epub+zip":
                     return "epub"
+                if mt == b"application/vnd.oasis.opendocument.text":
+                    return "odt"
             except Exception:  # noqa: BLE001 — unreadable member: fall
                 pass           # through to the structural checks below
         # per-name prefix checks: substring containment over the joined list
@@ -132,6 +135,8 @@ def sniff_kind(path: str, data: bytes) -> str | None:
     if ext in _EXT_KIND:
         return _EXT_KIND[ext]
     head = data[:256].lstrip()
+    if head.startswith(b"{\\rtf"):
+        return "rtf"
     if head.startswith(b"<"):
         return "html"
     if head.startswith(b"{"):

@@ -741,3 +741,109 @@ def spark_corpus(spark: SparkSession, n_docs: int,
 
     rng_df = spark.range(0, n_docs, numPartitions=parts)
     return rng_df.mapInPandas(gen, schema=INPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# beyond-the-reference kinds (rtf / odt): their own deterministic corpora,
+# frozen-oracle pinned like the binary kinds but kept OUT of make_synth_doc
+# so the main corpus (and every committed golden) stays byte-identical
+# ---------------------------------------------------------------------------
+
+EXTRA_KINDS = ("rtf", "odt")
+N_EXTRA = 400          # per-kind corpus size for the convert_rtf/odt queries
+
+
+@_functools.lru_cache(maxsize=None)
+def extra_variant(kind: str, i: int) -> str:
+    """Deterministic span text for extra-kind doc #i (rtf: the RTF source
+    itself; odt: base64 zip).  Variants sweep the kernels' feature space
+    (tokenizer escapes, styling, tables, links, lists, unicode) so the
+    frozen goldens regression-gate more than a happy path."""
+    from . import fixtures as fx
+
+    v = i % _N_VARIANTS
+    rng = random.Random(0xD0C5 ^ (i * 6151))
+    if kind == "rtf":
+        parts = [r"{\rtf1\ansi\deff0",
+                 r"{\fonttbl{\f0 Calibri;}}",
+                 r"{\info{\title skip me}}",
+                 r"{\*\unknownjunk {\b never emitted}}"]
+        parts.append(rf"\pard\outlinelevel{v % 3} Doc {i} "
+                     rf"{_sentence(rng, 3)}\par")
+        parts.append(rf"Plain {_sentence(rng, 8)} \b bold {v}\b0 "
+                     rf"and \i ital\i0 mixed.\par")
+        if v % 5 == 0:
+            parts.append(r"\uc2 wide ₗ5 ?? fallback\uc1 \par")
+        parts.append(rf"Hex caf\'e9 unicode \u945 ? arrow 薔 ? "
+                     rf"pair \u-10179 ?\u-8704 ? end.\par")
+        parts.append(r"Specials: \emdash\endash\bullet\lquote\rquote "
+                     r"esc \\ \{ \} nbsp\~joined.\par")
+        if v % 2 == 0:
+            url = f"https://example.com/r{i}"
+            parts.append(r"{\field{\*\fldinst HYPERLINK " + f'"{url}"' +
+                         r"}{\fldrslt " + f"link {v}" + r"}}\par")
+        if v % 3 == 0:
+            parts.append(r"\trowd\cell head|a\cell " +
+                         _sentence(rng, 2) + r"\cell\row" +
+                         r"\trowd\cell " + str(rng.randint(0, 99)) +
+                         r"\cell tail\cell\row\pard ")
+        parts.append(rf"Closing {_sentence(rng, 5)}\line broken"
+                     rf"\tab tabbed.\par")
+        parts.append("}")
+        return "".join(parts)
+    if kind == "odt":
+        cells = ([["漢字", _sentence(rng, 1)], ["中文", str(rng.randint(0, 99))]]
+                 if v % 3 == 0 else
+                 [["a|b", "x"], [_sentence(rng, 1), "y|z"]] if v % 4 == 1
+                 else [[_sentence(rng, 1), str(rng.randint(0, 99))]
+                       for _ in range(3)])
+        body = [f'<text:h text:outline-level="{1 + v % 3}">Doc {i} '
+                f'{_sentence(rng, 2)}</text:h>',
+                f'<text:p>{_sentence(rng, 6)} '
+                f'<text:span text:style-name="B1">bold {v}</text:span> '
+                f'<text:span text:style-name="I1">ital</text:span> '
+                f'<text:span text:style-name="X1">both</text:span>'
+                f'</text:p>',
+                f'<text:p>Link <text:a xlink:href="https://example.com/'
+                f'o{i}">label {v}</text:a> sp<text:s text:c="2"/>aced'
+                f'<text:tab/>tab<text:line-break/>broken</text:p>',
+                '<text:list><text:list-item><text:p>one</text:p>'
+                '</text:list-item><text:list-item><text:p>two</text:p>'
+                + ('<text:list><text:list-item><text:p>deep</text:p>'
+                   '</text:list-item></text:list>' if v % 2 else '')
+                + '</text:list-item></text:list>',
+                '<table:table>' + ''.join(
+                    '<table:table-row>' + ''.join(
+                        f'<table:table-cell><text:p>{c}</text:p>'
+                        f'</table:table-cell>' for c in row)
+                    + '</table:table-row>' for row in cells)
+                + '</table:table>']
+        media = None
+        if v % 4 == 3:
+            body.append('<text:p><draw:frame><draw:image xlink:href='
+                        '"Pictures/img.png"/></draw:frame></text:p>')
+            media = {"Pictures/img.png": _tiny_png()}
+        return fx.b64(fx.odt_zip(
+            "".join(body),
+            fx.odt_styles(bold=("B1",), italic=("I1",), both=("X1",)),
+            media=media))
+    raise ValueError(kind)
+
+
+def make_extra_doc(kind: str, i: int) -> dict[str, Any]:
+    return {"doc_id": f"{kind}{i}",
+            "spans": _text_span(kind, extra_variant(kind, i))}
+
+
+def spark_extra_corpus(spark: SparkSession, kind: str,
+                       n_docs: int = N_EXTRA,
+                       partitions: int = 8) -> DataFrame:
+    """Distributed extra-kind corpus (same generate-don't-ship shape as
+    spark_corpus: only (kind, i) travels; payloads build worker-side)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [make_extra_doc(kind, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return (spark.range(0, n_docs, numPartitions=partitions)
+            .mapInPandas(gen, schema=INPUT_SCHEMA))

@@ -642,3 +642,60 @@ def pdf_encrypt(objects: dict[int, bytes], variant: str = "rc4-128",
     trailer = (f"/Encrypt {enc_num} 0 R "
                f"/ID [{hexs(fid)} {hexs(fid)}] ")
     return pdf_assemble(out_objects, trailer_extra=trailer)
+
+
+# ---------------------------------------------------------------------------
+# ODT (OpenDocument Text) — beyond-the-reference kernel fixtures
+# ---------------------------------------------------------------------------
+
+_ODT_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'xmlns:style="urn:oasis:names:tc:opendocument:xmlns:style:1.0" '
+    'xmlns:fo="urn:oasis:names:tc:opendocument:xmlns:'
+    'xsl-fo-compatible:1.0" '
+    'xmlns:xlink="http://www.w3.org/1999/xlink"'
+)
+
+
+def odt_styles(bold: tuple[str, ...] = ("B1",),
+               italic: tuple[str, ...] = ("I1",),
+               both: tuple[str, ...] = ()) -> str:
+    out = []
+    for name in bold:
+        out.append(f'<style:style style:name="{name}">'
+                   '<style:text-properties fo:font-weight="bold"/>'
+                   '</style:style>')
+    for name in italic:
+        out.append(f'<style:style style:name="{name}">'
+                   '<style:text-properties fo:font-style="italic"/>'
+                   '</style:style>')
+    for name in both:
+        out.append(f'<style:style style:name="{name}">'
+                   '<style:text-properties fo:font-weight="bold" '
+                   'fo:font-style="italic"/></style:style>')
+    return "".join(out)
+
+
+def odt_zip(body_xml: str, styles_xml: str = "",
+            media: dict[str, bytes] | None = None) -> bytes:
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content {_ODT_NS}>'
+        f'<office:automatic-styles>{styles_xml}</office:automatic-styles>'
+        f'<office:body><office:text>{body_xml}</office:text></office:body>'
+        '</office:document-content>'
+    )
+    members: dict[str, bytes] = {
+        "mimetype": b"application/vnd.oasis.opendocument.text",
+        "META-INF/manifest.xml": (
+            b'<?xml version="1.0" encoding="UTF-8"?>'
+            b'<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+            b'opendocument:xmlns:manifest:1.0"/>'),
+        "content.xml": content.encode("utf-8"),
+    }
+    if media:
+        members.update(media)
+    return _make_zip(members)

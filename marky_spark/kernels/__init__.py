@@ -101,6 +101,16 @@ CONVERTER_META: dict[str, dict[str, tuple[str, ...]]] = {
             "application/vnd.openxmlformats-officedocument.presentationml",
         ),
     },
+    # beyond-the-reference kinds (RegisterConverter extension point,
+    # marky.go:21-23): legacy office formats real crawls carry
+    "rtf": {
+        "extensions": (".rtf",),
+        "mime_types": ("application/rtf", "text/rtf"),
+    },
+    "odt": {
+        "extensions": (".odt",),
+        "mime_types": ("application/vnd.oasis.opendocument.text",),
+    },
 }
 
 
@@ -126,11 +136,15 @@ def _late_bind() -> None:
     their import cost and a broken optional kernel can't kill the registry."""
     from .docxk import convert_docx
     from .epubk import convert_epub
+    from .odtk import convert_odt
     from .pdfk import convert_pdf
     from .pptxk import convert_pptx
+    from .rtfk import convert_rtf
     from .xlsxk import convert_xlsx
 
-    # insertion order rebuilt to mirror lib.go precedence
+    # insertion order rebuilt to mirror lib.go precedence; the
+    # beyond-the-reference kinds (rtf, odt) append after the
+    # reference's eight, like RegisterConverter would
     ordered = {
         "csv": REGISTRY["csv"],
         "docx": convert_docx,
@@ -140,6 +154,8 @@ def _late_bind() -> None:
         "ipynb": REGISTRY["ipynb"],
         "pdf": convert_pdf,
         "pptx": convert_pptx,
+        "rtf": convert_rtf,
+        "odt": convert_odt,
         "text": _convert_text,
         "markdown": _convert_text,
     }

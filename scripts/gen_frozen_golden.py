@@ -27,7 +27,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from marky_spark.convert import convert_document  # noqa: E402
-from marky_spark.corpus import make_synth_doc  # noqa: E402
+from marky_spark.corpus import (  # noqa: E402
+    EXTRA_KINDS,
+    N_EXTRA,
+    make_extra_doc,
+    make_synth_doc,
+)
 
 N_CORPUS = 2000  # matches the convert_* driver queries' corpus size
 BINARY_KINDS = ("docx", "xlsx", "pptx", "epub", "pdf")
@@ -66,6 +71,22 @@ def main() -> None:
             f.write(f"    {kind!r}: [\n")
             for doc_id, md5_hex, n in golden[kind]:
                 f.write(f"        ({doc_id!r}, {md5_hex!r}, {n}),\n")
+            f.write("    ],\n")
+        f.write("}\n")
+        # beyond-the-reference kinds over their own deterministic corpora
+        f.write(f"\nN_EXTRA = {N_EXTRA}\n\n")
+        f.write("EXTRA_GOLDEN = {\n")
+        for kind in EXTRA_KINDS:
+            f.write(f"    {kind!r}: [\n")
+            for i in range(N_EXTRA):
+                doc = make_extra_doc(kind, i)
+                row = convert_document(doc["doc_id"], [
+                    {"kind": s[0], "text": s[1], "media_ref": s[2],
+                     "offset": s[3]} for s in doc["spans"]])
+                assert row["status"] == "ok", (kind, i, row["error"])
+                h = hashlib.md5(row["markdown"].encode("utf-8")).hexdigest()
+                f.write(f"        ({doc['doc_id']!r}, {h!r}, "
+                        f"{row['md_chars']}),\n")
             f.write("    ],\n")
         f.write("}\n")
     total = sum(len(v) for v in golden.values())
