@@ -1207,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_pdf": _q_convert_binary("pdf"),
         "convert_rtf": _q_convert_extra("rtf"),
         "convert_odt": _q_convert_extra("odt"),
+        "convert_ods": _q_convert_extra("ods"),
+        "convert_odp": _q_convert_extra("odp"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
     }
@@ -2300,4 +2302,6 @@ def oracle_sql() -> dict[str, str]:
         "convert_pdf": _binary_oracle("pdf"),
         "convert_rtf": _extra_oracle("rtf"),
         "convert_odt": _extra_oracle("odt"),
+        "convert_ods": _extra_oracle("ods"),
+        "convert_odp": _extra_oracle("odp"),
     }

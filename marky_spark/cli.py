@@ -117,6 +117,10 @@ def sniff_kind(path: str, data: bytes) -> str | None:
                     return "epub"
                 if mt == b"application/vnd.oasis.opendocument.text":
                     return "odt"
+                if mt == b"application/vnd.oasis.opendocument.spreadsheet":
+                    return "ods"
+                if mt == b"application/vnd.oasis.opendocument.presentation":
+                    return "odp"
             except Exception:  # noqa: BLE001 — unreadable member: fall
                 pass           # through to the structural checks below
         # per-name prefix checks: substring containment over the joined list

@@ -749,7 +749,7 @@ def spark_corpus(spark: SparkSession, n_docs: int,
 # so the main corpus (and every committed golden) stays byte-identical
 # ---------------------------------------------------------------------------
 
-EXTRA_KINDS = ("rtf", "odt")
+EXTRA_KINDS = ("rtf", "odt", "ods", "odp")
 N_EXTRA = 400          # per-kind corpus size for the convert_rtf/odt queries
 
 
@@ -827,6 +827,28 @@ def extra_variant(kind: str, i: int) -> str:
             "".join(body),
             fx.odt_styles(bold=("B1",), italic=("I1",), both=("X1",)),
             media=media))
+    if kind == "ods":
+        n_rows = 3 + v % 5
+        rows = [["name", "value", "note"]] + [
+            [_sentence(rng, 1),
+             str(rng.randint(0, 9999)),
+             ("漢字" if v % 3 == 0 else "p|ipe" if v % 4 == 1
+              else _sentence(rng, 2))]
+            for _ in range(n_rows)]
+        reps = {(1, 1): 2} if v % 2 == 0 else None
+        return fx.b64(fx.ods_zip(rows, repeats=reps))
+    if kind == "odp":
+        pages = []
+        for s in range(2 + v % 3):
+            pages.append({
+                "title": f"Slide {s} doc {i}" if s % 2 == 0 else None,
+                "paras": [f"<text:p>{_sentence(rng, 6)}</text:p>"
+                          for _ in range(1 + (v + s) % 3)],
+                "table": ([[_sentence(rng, 1), str(rng.randint(0, 99))],
+                           ["x|y", _sentence(rng, 1)]]
+                          if (v + s) % 4 == 0 else None),
+            })
+        return fx.b64(fx.odp_zip(pages))
     raise ValueError(kind)
 
 

@@ -699,3 +699,80 @@ def odt_zip(body_xml: str, styles_xml: str = "",
     if media:
         members.update(media)
     return _make_zip(members)
+
+
+def _od_zip(body_tag: str, body_xml: str, mimetype: str,
+            styles_xml: str = "",
+            media: dict[str, bytes] | None = None) -> bytes:
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content {_ODT_NS} '
+        'xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:'
+        'presentation:1.0">'
+        f'<office:automatic-styles>{styles_xml}</office:automatic-styles>'
+        f'<office:body><office:{body_tag}>{body_xml}</office:{body_tag}>'
+        '</office:body></office:document-content>'
+    )
+    members: dict[str, bytes] = {
+        "mimetype": mimetype.encode("ascii"),
+        "META-INF/manifest.xml": (
+            b'<?xml version="1.0" encoding="UTF-8"?>'
+            b'<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+            b'opendocument:xmlns:manifest:1.0"/>'),
+        "content.xml": content.encode("utf-8"),
+    }
+    if media:
+        members.update(media)
+    return _make_zip(members)
+
+
+def ods_zip(rows: list[list[str]], styles_xml: str = "",
+            repeats: dict[tuple[int, int], int] | None = None) -> bytes:
+    """First-sheet ODS; ``repeats[(r, c)]`` sets
+    table:number-columns-repeated on that cell."""
+    body = ['<table:table table:name="Sheet1">']
+    for r, row in enumerate(rows):
+        body.append("<table:table-row>")
+        for c, cell in enumerate(row):
+            rep = (repeats or {}).get((r, c), 1)
+            attr = (f' table:number-columns-repeated="{rep}"'
+                    if rep != 1 else "")
+            body.append(f"<table:table-cell{attr}>"
+                        f"<text:p>{cell}</text:p></table:table-cell>")
+        body.append("</table:table-row>")
+    body.append("</table:table>")
+    # a second sheet that must be IGNORED (xlsx first-sheet parity)
+    body.append('<table:table table:name="Sheet2"><table:table-row>'
+                '<table:table-cell><text:p>IGNORED</text:p>'
+                '</table:table-cell></table:table-row></table:table>')
+    return _od_zip("spreadsheet", "".join(body),
+                   "application/vnd.oasis.opendocument.spreadsheet",
+                   styles_xml)
+
+
+def odp_zip(pages: list[dict], styles_xml: str = "") -> bytes:
+    """Pages: [{'title': str|None, 'paras': [str xml], 'table':
+    [[cells]]|None}] — draw:page / draw:frame / draw:text-box layout."""
+    body = []
+    for pg in pages:
+        body.append('<draw:page>')
+        if pg.get("title"):
+            body.append('<draw:frame presentation:class="title">'
+                        '<draw:text-box><text:p>'
+                        f'{pg["title"]}</text:p></draw:text-box>'
+                        '</draw:frame>')
+        if pg.get("paras"):
+            body.append('<draw:frame><draw:text-box>'
+                        + "".join(pg["paras"]) + '</draw:text-box>'
+                        '</draw:frame>')
+        if pg.get("table"):
+            body.append('<table:table>' + ''.join(
+                '<table:table-row>' + ''.join(
+                    f'<table:table-cell><text:p>{c}</text:p>'
+                    f'</table:table-cell>' for c in row)
+                + '</table:table-row>' for row in pg["table"])
+                + '</table:table>')
+        body.append('</draw:page>')
+    return _od_zip("presentation", "".join(body),
+                   "application/vnd.oasis.opendocument.presentation",
+                   styles_xml)

@@ -111,6 +111,14 @@ CONVERTER_META: dict[str, dict[str, tuple[str, ...]]] = {
         "extensions": (".odt",),
         "mime_types": ("application/vnd.oasis.opendocument.text",),
     },
+    "ods": {
+        "extensions": (".ods",),
+        "mime_types": ("application/vnd.oasis.opendocument.spreadsheet",),
+    },
+    "odp": {
+        "extensions": (".odp",),
+        "mime_types": ("application/vnd.oasis.opendocument.presentation",),
+    },
 }
 
 
@@ -136,7 +144,7 @@ def _late_bind() -> None:
     their import cost and a broken optional kernel can't kill the registry."""
     from .docxk import convert_docx
     from .epubk import convert_epub
-    from .odtk import convert_odt
+    from .odtk import convert_odp, convert_ods, convert_odt
     from .pdfk import convert_pdf
     from .pptxk import convert_pptx
     from .rtfk import convert_rtf
@@ -156,6 +164,8 @@ def _late_bind() -> None:
         "pptx": convert_pptx,
         "rtf": convert_rtf,
         "odt": convert_odt,
+        "ods": convert_ods,
+        "odp": convert_odp,
         "text": _convert_text,
         "markdown": _convert_text,
     }

@@ -229,3 +229,124 @@ def convert_odt(text: str) -> list[Segment]:
             segments.append(image(p[1], p[2]))
     flush()
     return merge_markdown(segments)
+
+
+# ---------------------------------------------------------------------------
+# ODS (spreadsheet) / ODP (presentation) — same container, sibling bodies
+# ---------------------------------------------------------------------------
+
+_NS["presentation"] = \
+    "urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+
+# ODS writers emit number-columns-repeated="16384" trailing fillers; cap
+# the expansion so a hostile repeat cannot allocate unbounded cells
+_MAX_REPEAT = 1024
+
+
+def convert_ods(text: str) -> list[Segment]:
+    """Base64 ODS payload → markdown segments: FIRST sheet through the
+    uniform pipe-table renderer — xlsx-kernel parity (excel.go:31-38
+    semantics: one sheet, cached display text).  Handles
+    ``table:number-columns-repeated`` / ``number-rows-repeated`` with a
+    hostile-repeat cap and trailing-empty trimming."""
+    data = decode_binary_payload(text)
+    try:
+        zf = open_zip(data)
+    except BadZip as exc:
+        raise ConvertError(f"failed to convert document: {exc}") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "mimetype" in names:
+            mt = zf.read("mimetype").decode("ascii", "replace")
+            if "opendocument" not in mt:
+                raise ConvertError(f"not an ODS (mimetype {mt!r})")
+        if "content.xml" not in names:
+            raise ConvertError("incorrect document (no content.xml)")
+        root = _parse_xml(zf.read("content.xml"))
+        body = root.find(_q("office", "body"))
+        sheet_body = body.find(_q("office", "spreadsheet")) \
+            if body is not None else None
+        if sheet_body is None:
+            raise ConvertError("incorrect document (no office:spreadsheet)")
+        table = sheet_body.find(_q("table", "table"))
+        if table is None:
+            return [md("")]
+        walker = _OdtWalker(zf, _text_styles(root))
+        rows: list[list[str]] = []
+        for tr in table.findall(_q("table", "table-row")):
+            row_rep = min(int(tr.get(_q("table", "number-rows-repeated"),
+                                     "1") or 1), _MAX_REPEAT)
+            cells: list[str] = []
+            for tc in tr.findall(_q("table", "table-cell")):
+                col_rep = min(int(tc.get(
+                    _q("table", "number-columns-repeated"), "1") or 1),
+                    _MAX_REPEAT)
+                cell_text = walker.inline(tc).strip()
+                cells.extend([cell_text] * col_rep)
+            while cells and not cells[-1]:
+                cells.pop()
+            if cells:
+                rows.extend([list(cells)] * row_rep)
+    return [md(to_markdown_table(rows))]
+
+
+def convert_odp(text: str) -> list[Segment]:
+    """Base64 ODP payload → markdown segments: per-slide comment markers
+    + frame text through the ODT block walker — pptx-kernel parity
+    (pptx.go:227-231 slide loop shape)."""
+    data = decode_binary_payload(text)
+    try:
+        zf = open_zip(data)
+    except BadZip as exc:
+        raise ConvertError(f"failed to convert document: {exc}") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "mimetype" in names:
+            mt = zf.read("mimetype").decode("ascii", "replace")
+            if "opendocument" not in mt:
+                raise ConvertError(f"not an ODP (mimetype {mt!r})")
+        if "content.xml" not in names:
+            raise ConvertError("incorrect document (no content.xml)")
+        root = _parse_xml(zf.read("content.xml"))
+        body = root.find(_q("office", "body"))
+        pres = body.find(_q("office", "presentation")) \
+            if body is not None else None
+        if pres is None:
+            raise ConvertError("incorrect document (no office:presentation)")
+        walker = _OdtWalker(zf, _text_styles(root))
+        slide_no = 0
+        for page in pres.findall(_q("draw", "page")):
+            slide_no += 1
+            walker.parts.append(f"<!-- Slide number: {slide_no} -->")
+            for frame in page.iter(_q("draw", "frame")):
+                is_title = frame.get(
+                    _q("presentation", "class")) == "title"
+                for box in frame.findall(_q("draw", "text-box")):
+                    for child in box:
+                        before = len(walker.parts)
+                        walker.block(child)
+                        if is_title:
+                            for k in range(before, len(walker.parts)):
+                                p = walker.parts[k]
+                                if isinstance(p, str) \
+                                        and not p.startswith("#"):
+                                    walker.parts[k] = "# " + p
+            for tbl in page.findall(_q("table", "table")):
+                walker.block(tbl)
+
+    segments: list[Segment] = []
+    text_blocks: list[str] = []
+
+    def flush() -> None:
+        if text_blocks:
+            segments.append(md("\n\n".join(text_blocks)))
+            text_blocks.clear()
+
+    for p in walker.parts:
+        if isinstance(p, str):
+            text_blocks.append(p)
+        else:
+            flush()
+            segments.append(image(p[1], p[2]))
+    flush()
+    return merge_markdown(segments)

@@ -135,3 +135,89 @@ def test_frozen_corpus_sample_matches_golden():
         assert row["status"] == "ok"
         assert hashlib.md5(row["markdown"].encode()).hexdigest() == h
         assert row["md_chars"] == n
+
+
+# --------------------------------------------------------- ODS / ODP
+
+class TestOds:
+    def test_first_sheet_uniform_table(self):
+        from marky_spark.fixtures import ods_zip
+        from marky_spark.kernels.odtk import convert_ods
+
+        blob = ods_zip([["h1", "h2"], ["a", "b"], ["p|q", "v"]])
+        out = convert_ods(b64(blob))[0][1]
+        assert out == ("| h1 | h2 |\n| --- | --- |\n"
+                       "| a | b |\n| p\\|q | v |\n")
+        assert "IGNORED" not in out     # second sheet skipped (xlsx parity)
+
+    def test_repeated_columns_and_trailing_trim(self):
+        from marky_spark.fixtures import ods_zip
+        from marky_spark.kernels.odtk import convert_ods
+
+        blob = ods_zip([["h", "h", "h"], ["a", "", ""]],
+                       repeats={(0, 0): 3, (1, 1): 2})
+        # row 0: 'h' repeated 3 + 'h','h' → width 5? header defines width
+        out = convert_ods(b64(blob))[0][1]
+        lines = out.strip().split("\n")
+        assert lines[0].count("|") == 6   # 5 header cells
+        assert lines[2].startswith("| a |")
+
+    def test_hostile_repeat_is_capped(self):
+        from marky_spark.fixtures import ods_zip
+        from marky_spark.kernels.odtk import convert_ods
+
+        blob = ods_zip([["x"]], repeats={(0, 0): 10_000_000})
+        out = convert_ods(b64(blob))[0][1]
+        assert len(out) < 100_000        # capped, not 10M cells
+
+    def test_hostile_ods_is_typed(self):
+        from marky_spark.kernels.odtk import convert_ods
+
+        with pytest.raises(ConvertError):
+            convert_ods(b64(b"junk"))
+        with pytest.raises(ConvertError, match="spreadsheet"):
+            convert_ods(b64(odt_zip("<text:p>x</text:p>")))
+
+
+class TestOdp:
+    def test_slides_titles_and_tables(self):
+        from marky_spark.fixtures import odp_zip
+        from marky_spark.kernels.odtk import convert_odp
+
+        blob = odp_zip([
+            {"title": "First", "paras": ["<text:p>hello</text:p>"],
+             "table": [["x", "y"]]},
+            {"title": None, "paras": ["<text:p>second</text:p>"]},
+        ])
+        out = convert_odp(b64(blob))[0][1]
+        assert out == ("<!-- Slide number: 1 -->\n\n# First\n\nhello\n\n"
+                       "| x | y |\n| --- | --- |\n\n"
+                       "<!-- Slide number: 2 -->\n\nsecond")
+
+    def test_hostile_odp_is_typed(self):
+        from marky_spark.kernels.odtk import convert_odp
+
+        with pytest.raises(ConvertError):
+            convert_odp(b64(b"junk"))
+        with pytest.raises(ConvertError, match="presentation"):
+            convert_odp(b64(odt_zip("<text:p>x</text:p>")))
+
+
+def test_frozen_ods_odp_samples_match_golden():
+    import hashlib
+
+    from marky_spark.convert import convert_document
+    from marky_spark.corpus import make_extra_doc
+    from marky_spark.frozen_golden import EXTRA_GOLDEN
+
+    for kind in ("ods", "odp"):
+        golden = {d: (h, n) for d, h, n in EXTRA_GOLDEN[kind]}
+        for i in (0, 5, 31, 127, 399):
+            doc = make_extra_doc(kind, i)
+            row = convert_document(doc["doc_id"], [
+                {"kind": s[0], "text": s[1], "media_ref": s[2],
+                 "offset": s[3]} for s in doc["spans"]])
+            h, n = golden[doc["doc_id"]]
+            assert row["status"] == "ok"
+            assert hashlib.md5(row["markdown"].encode()).hexdigest() == h
+            assert row["md_chars"] == n
