@@ -1209,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_odt": _q_convert_extra("odt"),
         "convert_ods": _q_convert_extra("ods"),
         "convert_odp": _q_convert_extra("odp"),
+        "convert_eml": _q_convert_extra("eml"),
+        "convert_feed": _q_convert_extra("feed"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
     }
@@ -2304,4 +2306,6 @@ def oracle_sql() -> dict[str, str]:
         "convert_odt": _extra_oracle("odt"),
         "convert_ods": _extra_oracle("ods"),
         "convert_odp": _extra_oracle("odp"),
+        "convert_eml": _extra_oracle("eml"),
+        "convert_feed": _extra_oracle("feed"),
     }

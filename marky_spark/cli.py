@@ -142,7 +142,18 @@ def sniff_kind(path: str, data: bytes) -> str | None:
     if head.startswith(b"{\\rtf"):
         return "rtf"
     if head.startswith(b"<"):
+        # feeds are XML that would otherwise sniff as html
+        from .kernels.feedk import looks_like_feed
+
+        if looks_like_feed(data[:2048].decode("utf-8", "replace")):
+            return "feed"
         return "html"
+    first = head.split(b"\n", 1)[0].lower()
+    if first.split(b":", 1)[0] in (b"from", b"received", b"return-path",
+                                   b"message-id", b"subject", b"to",
+                                   b"date", b"mime-version") \
+            and b":" in first:
+        return "eml"
     if head.startswith(b"{"):
         try:
             if "cells" in json.loads(data.decode("utf-8", "replace")):

@@ -749,7 +749,7 @@ def spark_corpus(spark: SparkSession, n_docs: int,
 # so the main corpus (and every committed golden) stays byte-identical
 # ---------------------------------------------------------------------------
 
-EXTRA_KINDS = ("rtf", "odt", "ods", "odp")
+EXTRA_KINDS = ("rtf", "odt", "ods", "odp", "eml", "feed")
 N_EXTRA = 400          # per-kind corpus size for the convert_rtf/odt queries
 
 
@@ -849,6 +849,64 @@ def extra_variant(kind: str, i: int) -> str:
                           if (v + s) % 4 == 0 else None),
             })
         return fx.b64(fx.odp_zip(pages))
+    if kind == "eml":
+        boundary = f"B{i}"
+        html_body = (f"<html><body><h1>Msg {i}</h1><p>"
+                     f"{_sentence(rng, 10)} <b>bold {v}</b></p>"
+                     f"</body></html>")
+        plain = f"Plain {_sentence(rng, 8)}"
+        lines = [
+            f"From: sender{i} <s{i}@example.com>",
+            f"To: r{i}@example.com",
+            f"Subject: Report {i} {_sentence(rng, 2)}",
+            "Date: Mon, 17 Aug 2026 10:00:00 +0000",
+            "MIME-Version: 1.0",
+        ]
+        if v % 3 == 0:      # multipart/alternative: html wins
+            lines += [
+                f"Content-Type: multipart/alternative; "
+                f"boundary={boundary}", "",
+                f"--{boundary}", "Content-Type: text/plain", "",
+                plain,
+                f"--{boundary}", "Content-Type: text/html", "",
+                html_body, f"--{boundary}--", ""]
+        elif v % 3 == 1:    # mixed with an attachment marker
+            lines += [
+                f"Content-Type: multipart/mixed; boundary={boundary}",
+                "", f"--{boundary}", "Content-Type: text/plain", "",
+                plain,
+                f"--{boundary}", "Content-Type: application/pdf",
+                f'Content-Disposition: attachment; filename=a{v}.pdf',
+                "Content-Transfer-Encoding: base64", "",
+                "JVBERi0xLjQK", f"--{boundary}--", ""]
+        else:               # plain quoted-printable body
+            lines += [
+                "Content-Type: text/plain; charset=utf-8",
+                "Content-Transfer-Encoding: quoted-printable", "",
+                f"caf=C3=A9 {plain} q{v}", ""]
+        return "\n".join(lines)
+    if kind == "feed":
+        if v % 2 == 0:      # RSS
+            items = "".join(
+                f"<item><title>Post {i}-{k}</title>"
+                f"<link>https://example.com/{i}/{k}</link>"
+                f"<pubDate>Mon, 1{k} Aug 2026 10:00:00 GMT</pubDate>"
+                f"<description>&lt;p&gt;{_sentence(rng, 6)} "
+                f"&lt;b&gt;hot {v}&lt;/b&gt;&lt;/p&gt;</description>"
+                f"</item>" for k in range(2 + v % 3))
+            return (f'<?xml version="1.0"?><rss version="2.0">'
+                    f"<channel><title>Feed {i}</title>"
+                    f"<description>{_sentence(rng, 4)}</description>"
+                    f"{items}</channel></rss>")
+        entries = "".join(
+            f'<entry><title>Entry {i}-{k}</title>'
+            f'<link rel="alternate" href="https://example.com/a/{i}/{k}"/>'
+            f'<updated>2026-08-1{k}</updated>'
+            f'<summary>{_sentence(rng, 7)}</summary></entry>'
+            for k in range(2 + v % 3))
+        return (f'<feed xmlns="http://www.w3.org/2005/Atom">'
+                f'<title>Atom {i}</title><subtitle>{_sentence(rng, 3)}'
+                f'</subtitle>{entries}</feed>')
     raise ValueError(kind)
 
 

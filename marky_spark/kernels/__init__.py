@@ -119,6 +119,14 @@ CONVERTER_META: dict[str, dict[str, tuple[str, ...]]] = {
         "extensions": (".odp",),
         "mime_types": ("application/vnd.oasis.opendocument.presentation",),
     },
+    "eml": {
+        "extensions": (".eml", ".mbox"),
+        "mime_types": ("message/rfc822",),
+    },
+    "feed": {
+        "extensions": (".rss", ".atom"),
+        "mime_types": ("application/rss+xml", "application/atom+xml"),
+    },
 }
 
 
@@ -144,6 +152,8 @@ def _late_bind() -> None:
     their import cost and a broken optional kernel can't kill the registry."""
     from .docxk import convert_docx
     from .epubk import convert_epub
+    from .emlk import convert_eml
+    from .feedk import convert_feed
     from .odtk import convert_odp, convert_ods, convert_odt
     from .pdfk import convert_pdf
     from .pptxk import convert_pptx
@@ -166,6 +176,8 @@ def _late_bind() -> None:
         "odt": convert_odt,
         "ods": convert_ods,
         "odp": convert_odp,
+        "eml": convert_eml,
+        "feed": convert_feed,
         "text": _convert_text,
         "markdown": _convert_text,
     }

@@ -51,9 +51,14 @@ def main() -> int:
     from marky_spark.ops.audio import audio_features, synth_wav_media
     from marky_spark.ops.multimodal import (
         decode_pixels,
+        frame_sample,
+        synth_apng_media,
+        synth_awebp_media,
+        synth_bmp_media,
         synth_cmyk_media,
         synth_gif_media,
         synth_png_media,
+        synth_vp8_media,
     )
     from marky_spark.pipeline import (
         SnapshotStore,
@@ -69,17 +74,23 @@ def main() -> int:
     })
     spark.sparkContext.setLogLevel("ERROR")
 
-    # corpus plan: 4 real-encoder branches over disjoint doc_id
-    # ranges (~40% png/tiff/ppm/webp rotation, ~30% gif, ~25%
-    # cmyk-jpeg, ~5% audio — audio decode is the slowest per-blob
-    # path, so it gets presence, not half the budget)
-    n_png = int(n_blobs * 0.40)
-    n_gif = int(n_blobs * 0.30)
+    # corpus plan: 7 real-encoder branches over disjoint doc_id ranges
+    # (~30% png/tiff/ppm/vp8l-webp rotation, ~20% gif, ~10% cmyk-jpeg,
+    # ~10% lossy VP8, ~10% palettized/RLE BMP, ~5%+5% animated
+    # WebP/APNG through frame_sample, ~5% audio — the slow pure-Python
+    # paths get presence, not half the budget)
+    n_png = int(n_blobs * 0.30)
+    n_gif = int(n_blobs * 0.20)
+    n_vp8 = int(n_blobs * 0.10)
+    n_bmp = int(n_blobs * 0.10)
+    n_awebp = int(n_blobs * 0.05)
+    n_apng = int(n_blobs * 0.05)
     # synth_wav_media emits TWO rows per id (w{i} wav/flac + wa{i} IMA
     # ADPCM) — halve the id range so the blob budget holds
     n_wav_ids = int(n_blobs * 0.05) // 2
     n_audio = 2 * n_wav_ids
-    n_cmyk = n_blobs - n_png - n_gif - n_audio
+    n_cmyk = (n_blobs - n_png - n_gif - n_vp8 - n_bmp
+              - n_awebp - n_apng - n_audio)
 
     def ids(n: int) -> "F.DataFrame":
         return spark.range(n).select(F.col("id").alias("doc_id"))
@@ -99,11 +110,29 @@ def main() -> int:
               .unionByName(poisoned(
                   synth_gif_media(ids(n_gif)).select(
                       "media_ref", "mime", "payload")))
-              .unionByName(poisoned(synth_cmyk_media(ids(n_cmyk)))))
+              .unionByName(poisoned(synth_cmyk_media(ids(n_cmyk))))
+              .unionByName(poisoned(synth_vp8_media(ids(n_vp8))))
+              .unionByName(poisoned(synth_bmp_media(ids(n_bmp)))))
+    # animations stay unpoisoned: a malformed animation FALLS BACK to
+    # byte-slice frames by design (no error row), so it would skew the
+    # planted-poison == error-row identity this soak asserts
+    anims = (synth_awebp_media(ids(n_awebp))
+             .unionByName(synth_apng_media(ids(n_apng))))
     audio = synth_wav_media(ids(n_wav_ids))
-    n_poison = (sum(1 for i in range(n_png) if i % POISON_EVERY == 0)
-                + sum(1 for i in range(n_gif) if i % POISON_EVERY == 0)
-                + sum(1 for i in range(n_cmyk) if i % POISON_EVERY == 0))
+    # the poison predicate keys on the media_ref's TRAILING DIGITS (the
+    # same regexp the job uses); prefixes that themselves end in digits
+    # ("v8", and "sk" does not but "v8{i}" reads as 8{i}) shift the
+    # extracted number, so count plants with the identical extraction
+    import re as _re
+
+    def _tail(ref: str) -> int:
+        return int(_re.search(r"(\d+)$", ref).group(1))
+
+    n_poison = sum(
+        sum(1 for i in range(n)
+            if _tail(f"{prefix}{i}") % POISON_EVERY == 0)
+        for prefix, n in (("p", n_png), ("a", n_gif), ("sk", n_cmyk),
+                          ("v8", n_vp8), ("bm", n_bmp)))
 
     n_buckets, waves = 32, 4
     store = SnapshotStore(out_dir)
@@ -140,6 +169,16 @@ def main() -> int:
             "media_ref", "ok",
             F.coalesce("pixel_md5", F.lit("")).alias("digest"))
 
+    def sample_anims(media):
+        # fan out to <=4 REAL composited frames per animation, then fold
+        # back to ONE row per blob so the exactly-once accounting holds
+        frames = frame_sample(media, n_frames=4)
+        return (frames.groupBy("media_ref").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.md5(F.concat_ws("", F.sort_array(
+                F.collect_list(F.md5("frame_bytes"))))).alias("digest"))
+            .select("media_ref", F.lit("ok").alias("ok"), "digest"))
+
     def decode_audio(media):
         return audio_features(media).select(
             "media_ref", "ok",
@@ -155,6 +194,35 @@ def main() -> int:
     assert crashed, "crash injection did not fire"
     run("img", images, decode_images)          # resume to completion
     img_sec = time.time() - t0
+    anim_out = out_dir + "_anim"
+    shutil.rmtree(anim_out, ignore_errors=True)
+    store_anim = SnapshotStore(anim_out)
+    t_anim = time.time()
+
+    def run_anims():
+        bucketed = with_bucket(
+            anims.withColumn("doc_id", F.regexp_extract(
+                "media_ref", r"(\d+)$", 1).cast("long")),
+            n_buckets).persist(StorageLevel.MEMORY_AND_DISK)
+        pending = [b for b in range(n_buckets)
+                   if b not in store_anim.committed_buckets()]
+        per_wave = max(1, -(-len(pending) // waves))
+        for w in range(0, len(pending), per_wave):
+            wave_buckets = pending[w:w + per_wave]
+            wave = bucketed.where(F.col("bucket").isin(wave_buckets))
+            result = with_bucket(
+                sample_anims(wave.select("media_ref", "mime", "payload"))
+                .withColumn("doc_id", F.regexp_extract(
+                    "media_ref", r"(\d+)$", 1).cast("long")),
+                n_buckets).drop("doc_id")
+            (result.withColumn("branch", F.lit("anim"))
+             .write.mode("append").partitionBy("bucket")
+             .parquet(os.path.join(anim_out, "out_spans")))
+            store_anim.commit(wave_buckets, {"tag": "anim"})
+        bucketed.unpersist()
+
+    run_anims()
+    anim_sec = time.time() - t_anim
     audio_out = out_dir + "_audio"
     shutil.rmtree(audio_out, ignore_errors=True)
     store2 = SnapshotStore(audio_out)
@@ -189,7 +257,8 @@ def main() -> int:
     # exactly-once + accounting
     img_rows = spark.read.parquet(os.path.join(out_dir, "out_spans"))
     aud_rows = spark.read.parquet(os.path.join(audio_out, "out_spans"))
-    allr = img_rows.unionByName(aud_rows)
+    anim_rows = spark.read.parquet(os.path.join(anim_out, "out_spans"))
+    allr = img_rows.unionByName(aud_rows).unionByName(anim_rows)
     agg = allr.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("media_ref").alias("d"),
@@ -206,12 +275,14 @@ def main() -> int:
         "metric": "media blobs decoded/sec (decode_pixels + "
                   "audio_features, crash+resume)",
         "n_blobs": n_blobs,
-        "n_images": n_png + n_gif + n_cmyk,
+        "n_images": n_png + n_gif + n_cmyk + n_vp8 + n_bmp,
+        "n_anims": n_awebp + n_apng,
         "n_audio": n_audio,
         "n_poison_planted": n_poison,
         "n_error_rows": int(agg["err"]),
         "exactly_once": True,
         "img_sec": round(img_sec, 1),
+        "anim_sec": round(anim_sec, 1),
         "audio_sec": round(audio_sec, 1),
         "total_sec": round(total_sec, 1),
         "blobs_per_sec": round(n_blobs / total_sec, 1),
