@@ -40,7 +40,10 @@ from pyspark.sql.types import (
 )
 
 #: kinds whose kernels expect base64 span text (zip containers + pdf)
-BINARY_KINDS = ("docx", "xlsx", "pptx", "epub", "pdf")
+# kinds whose kernels expect base64 payloads (zip/PDF containers);
+# text kinds (rtf/eml/feed/html/...) travel as their own source text
+BINARY_KINDS = ("docx", "xlsx", "pptx", "epub", "pdf",
+                "odt", "ods", "odp")
 
 #: per-file cap for the loose-document loader: a single DOCUMENT past
 #: this is almost certainly mislabeled bulk data (the archive/warc
@@ -182,8 +185,21 @@ def docs_from_dir(spark: SparkSession, path: str,
     )
 
 
+def docs_from_mbox_dir(spark: SparkSession, path: str,
+                       glob: str | None = None) -> DataFrame:
+    """Directory of mbox mail archives → INPUT_SCHEMA docs (one per
+    message, kind ``eml``), streaming with drop accounting
+    (ops/mbox)."""
+    from .ops.mbox import mbox_messages_from_dir, messages_to_docs
+
+    return messages_to_docs(
+        mbox_messages_from_dir(spark, path, glob=glob or "*.mbox*"),
+        include_drops=True)
+
+
 LOADERS = {
     "warc": docs_from_warc_dir,
     "archive": docs_from_archive_dir,
     "binary": docs_from_dir,
+    "mbox": docs_from_mbox_dir,
 }

@@ -34,9 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True,
                     help="span-table parquet dir (or Iceberg table name); "
                          "with --input-format warc/archive/binary: a "
-                         "directory of raw crawl/bundle/document files")
+                         "directory of raw crawl/bundle/document/mailbox files")
     ap.add_argument("--input-format", default="spans",
-                    choices=("spans", "warc", "archive", "binary"),
+                    choices=("spans", "warc", "archive", "binary",
+                             "mbox"),
                     help="spans (default): parquet/Iceberg span table; "
                          "warc: dir of .warc/.warc.gz crawl files "
                          "(streamed record-at-a-time); archive: dir of "

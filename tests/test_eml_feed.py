@@ -153,3 +153,54 @@ def test_sniffing_eml_and_feed():
         "f.bin", b'<feed xmlns="http://www.w3.org/2005/Atom"/>') == "feed"
     # plain html stays html
     assert sniff_kind("f.bin", b"<html><body>x</body></html>") == "html"
+
+
+# ------------------------------------------------------ mbox front door
+
+class TestMbox:
+    def test_iter_messages_and_mboxrd(self):
+        import io
+
+        from marky_spark.ops.mbox import MboxError, _iter_messages
+
+        raw = (b"From a@b.c Mon Aug 17 10:00:00 2026\n"
+               b"Subject: one\n\nbody\n>From quoted\n>>From stays\n"
+               b"From d@e.f Tue Aug 18 10:00:00 2026\n"
+               b"Subject: two\n\nsecond\n")
+        msgs = list(_iter_messages(io.BytesIO(raw)))
+        assert len(msgs) == 2
+        assert msgs[0][0].startswith("From a@b.c")
+        assert b"From quoted" in msgs[0][1]       # one '>' stripped
+        assert b">From stays" in msgs[0][1]       # '>>From' loses one '>'
+        assert b"second" in msgs[1][1]
+        with pytest.raises(MboxError, match="From line"):
+            list(_iter_messages(io.BytesIO(b"not a mailbox\n")))
+
+    def test_dir_streaming_and_drop_accounting(self, spark, tmp_path):
+        import gzip
+
+        from marky_spark.convert import convert
+        from marky_spark.ops.mbox import (
+            mbox_messages_from_dir,
+            messages_to_docs,
+        )
+
+        def msg(i):
+            return (f"From s{i}@e.c Mon Aug 17 10:00:00 2026\n"
+                    f"From: s{i}@e.c\nSubject: M{i}\n\nbody {i}\n\n")
+
+        (tmp_path / "a.mbox").write_text("".join(msg(i) for i in range(8)))
+        with gzip.open(tmp_path / "b.mbox.gz", "wt") as f:
+            f.write("".join(msg(10 + i) for i in range(5)))
+        (tmp_path / "c.mbox").write_text("garbage, not a mailbox\n")
+
+        docs = messages_to_docs(
+            mbox_messages_from_dir(spark, str(tmp_path)),
+            include_drops=True)
+        out = convert(docs).toPandas()
+        assert (out.status == "ok").sum() == 13
+        assert (out.status == "error").sum() == 1
+        drop = out[out.status == "error"].iloc[0]
+        assert drop.conv_kind == "_drop_mbox"
+        sample = out[out.doc_id.str.endswith("a.mbox#0")].iloc[0]
+        assert sample.markdown.startswith("# M0")
