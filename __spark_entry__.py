@@ -1211,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_odp": _q_convert_extra("odp"),
         "convert_eml": _q_convert_extra("eml"),
         "convert_feed": _q_convert_extra("feed"),
+        "convert_tsv": _q_convert_extra("tsv"),
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
     }
@@ -2308,4 +2309,5 @@ def oracle_sql() -> dict[str, str]:
         "convert_odp": _extra_oracle("odp"),
         "convert_eml": _extra_oracle("eml"),
         "convert_feed": _extra_oracle("feed"),
+        "convert_tsv": _extra_oracle("tsv"),
     }

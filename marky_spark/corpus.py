@@ -749,7 +749,7 @@ def spark_corpus(spark: SparkSession, n_docs: int,
 # so the main corpus (and every committed golden) stays byte-identical
 # ---------------------------------------------------------------------------
 
-EXTRA_KINDS = ("rtf", "odt", "ods", "odp", "eml", "feed")
+EXTRA_KINDS = ("rtf", "odt", "ods", "odp", "eml", "feed", "tsv")
 N_EXTRA = 400          # per-kind corpus size for the convert_rtf/odt queries
 
 
@@ -907,6 +907,16 @@ def extra_variant(kind: str, i: int) -> str:
         return (f'<feed xmlns="http://www.w3.org/2005/Atom">'
                 f'<title>Atom {i}</title><subtitle>{_sentence(rng, 3)}'
                 f'</subtitle>{entries}</feed>')
+    if kind == "tsv":
+        # quoted fields with embedded tabs/newlines on some variants
+        rows = [["name", "value", "note"]]
+        for r in range(3 + v % 5):
+            note = (f'"multi\nline {r}"' if v % 4 == 0 and r == 1
+                    else f'"tab\there"' if v % 4 == 1 and r == 0
+                    else _sentence(rng, 2))
+            rows.append([_sentence(rng, 1), str(rng.randint(0, 9999)),
+                         note])
+        return "\n".join("\t".join(row) for row in rows) + "\n"
     raise ValueError(kind)
 
 

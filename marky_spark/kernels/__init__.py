@@ -22,7 +22,7 @@ from .base import (
     merge_markdown,
     segments_text,
 )
-from .csvk import convert_csv
+from .csvk import convert_csv, convert_tsv
 from .htmlk import convert_html
 from .ipynbk import convert_ipynb
 
@@ -38,6 +38,7 @@ def _convert_text(text: str) -> list[Segment]:
 # pptx); binary kinds are appended by their modules on import below.
 REGISTRY: dict[str, Kernel] = {
     "csv": convert_csv,
+    "tsv": convert_tsv,
     "html": convert_html,
     "ipynb": convert_ipynb,
     "text": _convert_text,
@@ -127,6 +128,10 @@ CONVERTER_META: dict[str, dict[str, tuple[str, ...]]] = {
         "extensions": (".rss", ".atom"),
         "mime_types": ("application/rss+xml", "application/atom+xml"),
     },
+    "tsv": {
+        "extensions": (".tsv", ".tab"),
+        "mime_types": ("text/tab-separated-values",),
+    },
 }
 
 
@@ -178,6 +183,7 @@ def _late_bind() -> None:
         "odp": convert_odp,
         "eml": convert_eml,
         "feed": convert_feed,
+        "tsv": REGISTRY["tsv"],
         "text": _convert_text,
         "markdown": _convert_text,
     }

@@ -51,3 +51,35 @@ def parse_csv(text: str) -> list[list[str]]:
 def convert_csv(text: str) -> list[Segment]:
     """csv.go:28-34 — parse then render via the uniform table renderer."""
     return [md(to_markdown_table(parse_csv(text)))]
+
+
+def parse_tsv(text: str) -> list[list[str]]:
+    """Tab-delimited variant with the same Go-strict uniform-width
+    contract (beyond-the-reference kind: TSV is the interchange format
+    data dumps actually use; quoting follows the same RFC-4180 rules
+    with tab as the delimiter)."""
+    try:
+        reader = csv.reader(io.StringIO(text, newline=""),
+                            delimiter="\t", strict=True)
+        records: list[list[str]] = []
+        line_nums: list[int] = []
+        for rec in reader:
+            if rec:
+                records.append(rec)
+                line_nums.append(reader.line_num)
+    except csv.Error as exc:
+        raise ConvertError(f"unable to parse TSV: {exc}") from exc
+    if not records:
+        return []
+    width = len(records[0])
+    for i, rec in enumerate(records):
+        if len(rec) != width:
+            raise ConvertError(
+                f"record on line {line_nums[i]}: wrong number of fields "
+                f"(got {len(rec)}, want {width})")
+    return records
+
+
+def convert_tsv(text: str) -> list[Segment]:
+    """TSV → the same uniform pipe table the CSV kernel emits."""
+    return [md(to_markdown_table(parse_tsv(text)))]

@@ -82,3 +82,41 @@ def test_bad_quoting_errors_like_go():
 
     with pytest.raises(ConvertError):
         parse_csv('a,"b"x,c\n1,2,3')
+
+
+# ------------------------------------------------------------- TSV
+
+def test_tsv_basic_and_quoting():
+    from marky_spark.kernels.csvk import convert_tsv
+
+    out = convert_tsv('a\tb\n"x\ty"\t2\n')[0][1]
+    assert out == "| a | b |\n| --- | --- |\n| x\ty | 2 |\n"
+
+
+def test_tsv_uneven_rows_error():
+    import pytest as _pytest
+
+    from marky_spark.kernels import ConvertError
+    from marky_spark.kernels.csvk import convert_tsv
+
+    with _pytest.raises(ConvertError, match="wrong number of fields"):
+        convert_tsv("a\tb\n1\t2\t3\n")
+
+
+def test_tsv_frozen_samples():
+    import hashlib
+
+    from marky_spark.convert import convert_document
+    from marky_spark.corpus import make_extra_doc
+    from marky_spark.frozen_golden import EXTRA_GOLDEN
+
+    golden = {d: (h, n) for d, h, n in EXTRA_GOLDEN["tsv"]}
+    for i in (0, 1, 4, 33, 399):
+        doc = make_extra_doc("tsv", i)
+        row = convert_document(doc["doc_id"], [
+            {"kind": s[0], "text": s[1], "media_ref": s[2], "offset": s[3]}
+            for s in doc["spans"]])
+        h, n = golden[doc["doc_id"]]
+        assert row["status"] == "ok"
+        assert hashlib.md5(row["markdown"].encode()).hexdigest() == h
+        assert row["md_chars"] == n
