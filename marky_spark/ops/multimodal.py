@@ -78,10 +78,12 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     ``codec_unavailable`` rows."""
     from .bmpcodec import bmp_decode, looks_like_bmp
     from .gifcodec import gif_decode, looks_like_gif
+    from .icocodec import ico_decode, looks_like_ico
     from .jpegcodec import jpeg_decode, looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE, png_decode
     from .pnmcodec import looks_like_pnm, pnm_decode
     from .tiffcodec import looks_like_tiff, tiff_decode
+    from .webpcodec import looks_like_webp, webp_decode
 
     if payload.startswith(PNG_SIGNATURE):
         width, height, channels, _ = png_decode(payload)
@@ -100,6 +102,12 @@ def _real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
         return width, height, channels
     if looks_like_jpeg(payload):
         width, height, channels, _ = jpeg_decode(payload)
+        return width, height, channels
+    if looks_like_webp(payload):
+        width, height, channels, _ = webp_decode(payload)
+        return width, height, channels
+    if looks_like_ico(payload):
+        width, height, channels, _ = ico_decode(payload)
         return width, height, channels
     raise NotImplementedError(f"no in-sandbox codec for {mime or 'unknown'}")
 
@@ -121,14 +129,17 @@ def auto_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     deterministic stand-in until their codecs exist in this environment."""
     from .bmpcodec import looks_like_bmp
     from .gifcodec import looks_like_gif
+    from .icocodec import looks_like_ico
     from .jpegcodec import looks_like_jpeg
     from .pngcodec import PNG_SIGNATURE
     from .pnmcodec import looks_like_pnm
     from .tiffcodec import looks_like_tiff
+    from .webpcodec import looks_like_webp
 
     if (payload.startswith(PNG_SIGNATURE) or looks_like_bmp(payload)
             or looks_like_gif(payload) or looks_like_jpeg(payload)
-            or looks_like_tiff(payload) or looks_like_pnm(payload)):
+            or looks_like_tiff(payload) or looks_like_pnm(payload)
+            or looks_like_webp(payload) or looks_like_ico(payload)):
         return _real_decode(payload, mime)
     return fake_decode(payload, mime)
 
