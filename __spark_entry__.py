@@ -1019,76 +1019,88 @@ def _q_convert_binary_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_convert_binary(kind: str):
-    """Per-kind binary-kernel conversion query: (doc_id, md5(markdown),
-    md_chars) over the deterministic corpus slice. The DuckDB oracle is the
-    frozen literal VALUES table — SQL cannot parse zip/PDF containers, but
-    it CAN compare per-document content digests, which pins the kernels'
-    byte-exact output through the driver's hard correctness gate
-    (reference contracts: docx.go:220-604, excel.go:41-64, pptx.go:184-449,
-    epub.go:80-255, pdf.go:31-50)."""
+def _q_convert_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document binary-kernel conversion rows for ALL FIVE reference
+    kinds in one query (round-5 registry consolidation — the driver caps
+    CORRECTNESS rows at 50 and seven extension kinds joined the
+    registry; the ``conv_kind`` column keeps every row attributable):
+    (kind, doc_id, md5(markdown), md_chars) over the deterministic
+    corpus slice. The DuckDB oracle is the frozen literal VALUES table —
+    SQL cannot parse zip/PDF containers, but it CAN compare per-document
+    content digests, which pins the kernels' byte-exact output through
+    the driver's hard correctness gate (reference contracts:
+    docx.go:220-604, excel.go:41-64, pptx.go:184-449, epub.go:80-255,
+    pdf.go:31-50)."""
+    from marky_spark.convert import convert
+    from marky_spark.corpus import spark_corpus
+    from marky_spark.frozen_golden import BINARY_GOLDEN, N_CORPUS
 
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from marky_spark.convert import convert
-        from marky_spark.corpus import spark_corpus
-        from marky_spark.frozen_golden import N_CORPUS
-
-        corpus = spark_corpus(spark, N_CORPUS, partitions=8)
-        out = convert(corpus, kinds=[kind])
-        return out.where(F.col("conv_kind") == kind).select(
-            "doc_id",
-            F.md5("markdown").alias("md_md5"),
-            F.col("md_chars").cast("long").alias("md_chars"),
-        )
-
-    return q
+    kinds = list(BINARY_GOLDEN)
+    corpus = spark_corpus(spark, N_CORPUS, partitions=8)
+    out = convert(corpus, kinds=kinds)
+    return out.where(F.col("conv_kind").isin(kinds)).select(
+        F.col("conv_kind").alias("kind"),
+        "doc_id",
+        F.md5("markdown").alias("md_md5"),
+        F.col("md_chars").cast("long").alias("md_chars"),
+    )
 
 
-def _binary_oracle(kind: str) -> str:
+def _binary_docs_oracle() -> str:
     from marky_spark.frozen_golden import BINARY_GOLDEN
 
     rows = ",\n                ".join(
-        f"('{d}', '{h}', {n})" for d, h, n in BINARY_GOLDEN[kind])
+        f"('{k}', '{d}', '{h}', {n})"
+        for k, entries in BINARY_GOLDEN.items()
+        for d, h, n in entries)
     return f"""
-            SELECT doc_id, md_md5, CAST(md_chars AS BIGINT) AS md_chars
+            SELECT kind, doc_id, md_md5,
+                   CAST(md_chars AS BIGINT) AS md_chars
             FROM (VALUES
                 {rows}
-            ) AS t(doc_id, md_md5, md_chars)
+            ) AS t(kind, doc_id, md_md5, md_chars)
     """
 
 
-def _q_convert_extra(kind: str):
-    """Beyond-the-reference kernel query (rtf / odt — the formats a real
-    crawl carries that the reference's registry lacks, added through its
-    own RegisterConverter extension point, marky.go:21-23): per-document
-    (doc_id, md5(markdown), md_chars) over the kind's deterministic
-    variant corpus, pinned by the committed EXTRA_GOLDEN literals exactly
-    like the five reference binary kinds."""
+def _q_convert_extra_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-the-reference kernels, ALL SEVEN in one query (rtf / odt /
+    ods / odp / eml / feed / tsv — the formats a real crawl carries
+    that the reference's registry lacks, added through its own
+    RegisterConverter extension point, marky.go:21-23; merged to keep
+    the registry at the driver's 50-row cap): per-document
+    (kind, doc_id, md5(markdown), md_chars) over each kind's 400-doc
+    deterministic variant corpus, pinned by the committed EXTRA_GOLDEN
+    literals exactly like the five reference binary kinds."""
+    from functools import reduce
 
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from marky_spark.convert import convert
-        from marky_spark.corpus import spark_extra_corpus
+    from marky_spark.convert import convert
+    from marky_spark.corpus import EXTRA_KINDS, spark_extra_corpus
 
+    outs = []
+    for kind in EXTRA_KINDS:
         out = convert(spark_extra_corpus(spark, kind), kinds=[kind])
-        return out.where(F.col("conv_kind") == kind).select(
+        outs.append(out.where(F.col("conv_kind") == kind).select(
+            F.col("conv_kind").alias("kind"),
             "doc_id",
             F.md5("markdown").alias("md_md5"),
             F.col("md_chars").cast("long").alias("md_chars"),
-        )
+        ))
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
-    return q
 
-
-def _extra_oracle(kind: str) -> str:
+def _extra_kinds_oracle() -> str:
     from marky_spark.frozen_golden import EXTRA_GOLDEN
 
     rows = ",\n                ".join(
-        f"('{d}', '{h}', {n})" for d, h, n in EXTRA_GOLDEN[kind])
+        f"('{k}', '{d}', '{h}', {n})"
+        for k, entries in EXTRA_GOLDEN.items()
+        for d, h, n in entries)
     return f"""
-            SELECT doc_id, md_md5, CAST(md_chars AS BIGINT) AS md_chars
+            SELECT kind, doc_id, md_md5,
+                   CAST(md_chars AS BIGINT) AS md_chars
             FROM (VALUES
                 {rows}
-            ) AS t(doc_id, md_md5, md_chars)
+            ) AS t(kind, doc_id, md_md5, md_chars)
     """
 
 
@@ -1200,18 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_style": _q_tpch_q1_style,
         "orders_join": _q_orders_join,
         "convert_binary_kinds": _q_convert_binary_kinds,
-        "convert_docx": _q_convert_binary("docx"),
-        "convert_xlsx": _q_convert_binary("xlsx"),
-        "convert_pptx": _q_convert_binary("pptx"),
-        "convert_epub": _q_convert_binary("epub"),
-        "convert_pdf": _q_convert_binary("pdf"),
-        "convert_rtf": _q_convert_extra("rtf"),
-        "convert_odt": _q_convert_extra("odt"),
-        "convert_ods": _q_convert_extra("ods"),
-        "convert_odp": _q_convert_extra("odp"),
-        "convert_eml": _q_convert_extra("eml"),
-        "convert_feed": _q_convert_extra("feed"),
-        "convert_tsv": _q_convert_extra("tsv"),
+        "convert_binary_docs": _q_convert_binary_docs,
+        "convert_extra_kinds": _q_convert_extra_kinds,
         "sessionize": _q_sessionize,
         "top_nations": _q_top_nations,
     }
@@ -2298,16 +2300,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ann_oracle("ivf_topk"),
         "knn_join_ivf": _ann_oracle("knn_join_ivf"),
         "convert_binary_kinds": _binary_kinds_oracle(),
-        "convert_docx": _binary_oracle("docx"),
-        "convert_xlsx": _binary_oracle("xlsx"),
-        "convert_pptx": _binary_oracle("pptx"),
-        "convert_epub": _binary_oracle("epub"),
-        "convert_pdf": _binary_oracle("pdf"),
-        "convert_rtf": _extra_oracle("rtf"),
-        "convert_odt": _extra_oracle("odt"),
-        "convert_ods": _extra_oracle("ods"),
-        "convert_odp": _extra_oracle("odp"),
-        "convert_eml": _extra_oracle("eml"),
-        "convert_feed": _extra_oracle("feed"),
-        "convert_tsv": _extra_oracle("tsv"),
+        "convert_binary_docs": _binary_docs_oracle(),
+        "convert_extra_kinds": _extra_kinds_oracle(),
     }

@@ -227,7 +227,7 @@ def test_binary_convert_query_is_narrow_plus_single_agg(spark):
     no shuffle at all for the per-doc form."""
     import __spark_entry__ as e
 
-    plan = plan_of(e.queries()["convert_docx"](spark, SF))
+    plan = plan_of(e.queries()["convert_binary_docs"](spark, SF))
     assert "Exchange" not in plan, plan
 
 
