@@ -774,6 +774,18 @@ def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/M4A METADATA walk (ops/mp4meta, ISO 14496-12): the box
+    grammar (32/64-bit sizes), ftyp brand, mvhd v0+v1 duration math,
+    per-trak tkhd 16.16 dimensions, hdlr routing and stsd codec
+    fourccs — the decode-free video-triage first pass. Every field is
+    doc_id arithmetic, so the SQL oracle pins the box walk itself."""
+    from marky_spark.ops.mp4meta import synth_mp4_media, video_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return video_meta(synth_mp4_media(docs))
+
+
 def _q_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer statistics over REAL decoded pixels (per-channel
     sample sums + 4-bucket brightness histogram): the content-derived
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": _q_image_decode,
         "scan_decode": _q_scan_decode,
         "audio_meta": _q_audio_meta,
+        "video_meta": _q_video_meta,
         "pixel_features": _q_pixel_features,
         "embedded_media": _q_embedded_media,
         "audio_features": _q_audio_features,
@@ -1821,6 +1834,27 @@ def oracle_sql() -> dict[str, str]:
                            4 + doc_id % 13 AS w,
                            4 + doc_id % 7 AS h
                     FROM documents))
+        """,
+        "video_meta": """
+            -- MP4 box-walk triage: every field is doc_id arithmetic
+            -- (timescale 1000 → duration_ms == stored duration; dims
+            -- 16.16 fixed; codec/brand rotations; audio track on odd
+            -- ids; 64-bit moov sizes and v1 mvhd on the i%5 / i%7
+            -- strides exercise both grammars under the SAME oracle)
+            SELECT 'mv' || doc_id AS media_ref,
+                   (CASE doc_id % 3 WHEN 0 THEN 'isom'
+                        WHEN 1 THEN 'mp42' ELSE 'M4A' END) AS brand,
+                   CAST((doc_id * 37) % 100000 + 1000 AS BIGINT)
+                       AS duration_ms,
+                   CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                   (CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                        WHEN 2 THEN 'vp09' ELSE 'av01' END) AS video_codec,
+                   (CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE '' END)
+                       AS audio_codec,
+                   CAST(16 * (1 + doc_id % 40) AS INT) AS width,
+                   CAST(16 * (1 + doc_id % 23) AS INT) AS height,
+                   'ok' AS ok
+            FROM documents
         """,
         "pixel_features": """
             -- exact-integer stats over the reconstructed decoded samples:
