@@ -778,12 +778,20 @@ def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4/M4A METADATA walk (ops/mp4meta, ISO 14496-12): the box
     grammar (32/64-bit sizes), ftyp brand, mvhd v0+v1 duration math,
     per-trak tkhd 16.16 dimensions, hdlr routing and stsd codec
-    fourccs — the decode-free video-triage first pass. Every field is
-    doc_id arithmetic, so the SQL oracle pins the box walk itself."""
-    from marky_spark.ops.mp4meta import synth_mp4_media, video_meta
+    fourccs — the decode-free video-triage first pass. Branch 'mk' adds
+    Matroska/WebM through ops/mkvmeta's EBML walk (vint grammar,
+    DocType brand, TimestampScale x float Duration, TrackEntry
+    type/codec/pixel dims). Every field is doc_id arithmetic, so the
+    SQL oracle pins both container walks."""
+    from marky_spark.ops.mp4meta import (
+        synth_mkv_media,
+        synth_mp4_media,
+        video_meta,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return video_meta(synth_mp4_media(docs))
+    return video_meta(synth_mp4_media(docs)
+                      .unionByName(synth_mkv_media(docs)))
 
 
 def _q_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1850,6 +1858,24 @@ def oracle_sql() -> dict[str, str]:
                    (CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
                         WHEN 2 THEN 'vp09' ELSE 'av01' END) AS video_codec,
                    (CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE '' END)
+                       AS audio_codec,
+                   CAST(16 * (1 + doc_id % 40) AS INT) AS width,
+                   CAST(16 * (1 + doc_id % 23) AS INT) AS height,
+                   'ok' AS ok
+            FROM documents
+            UNION ALL
+            -- branch 'mk': Matroska/WebM EBML walk, same strides with
+            -- the Matroska codec/brand rotations
+            SELECT 'mk' || doc_id AS media_ref,
+                   (CASE WHEN doc_id % 2 = 1 THEN 'matroska'
+                         ELSE 'webm' END) AS brand,
+                   CAST((doc_id * 37) % 100000 + 1000 AS BIGINT)
+                       AS duration_ms,
+                   CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                   (CASE doc_id % 3 WHEN 0 THEN 'V_VP9'
+                        WHEN 1 THEN 'V_AV1' ELSE 'V_VP8' END)
+                       AS video_codec,
+                   (CASE WHEN doc_id % 2 = 1 THEN 'A_OPUS' ELSE '' END)
                        AS audio_codec,
                    CAST(16 * (1 + doc_id % 40) AS INT) AS width,
                    CAST(16 * (1 + doc_id % 23) AS INT) AS height,

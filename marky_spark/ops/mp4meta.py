@@ -188,8 +188,10 @@ VIDEO_META_SCHEMA = StructType([
 
 
 def video_meta(media: DataFrame) -> DataFrame:
-    """MP4 payloads → one triage row each (no sample decode — the
-    100 TB video-curation first pass)."""
+    """MP4 / Matroska / WebM payloads → one triage row each (no sample
+    decode — the 100 TB video-curation first pass; container dispatch
+    by magic, Matroska via ops/mkvmeta's EBML walk)."""
+    from .mkvmeta import MkvError, looks_like_mkv, mkv_meta
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -197,8 +199,11 @@ def video_meta(media: DataFrame) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 try:
-                    m = mp4_meta(blob)
-                except Mp4Error as exc:
+                    if looks_like_mkv(blob):
+                        m = mkv_meta(blob)
+                    else:
+                        m = mp4_meta(blob)
+                except (Mp4Error, MkvError) as exc:
                     rows.append((ref, None, None, None, None, None,
                                  None, None, f"error: {exc}"))
                     continue
@@ -285,6 +290,35 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
                     large_moov=i % 5 == 0,
                     mvhd_v1=i % 7 == 0)
                 rows.append((f"mv{i}", "video/mp4", blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_mkv_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WebM/Matroska media table from doc ids (codec
+    rotation V_VP9/V_AV1/V_VP8 by i%3, A_OPUS audio on odd ids, 8-byte
+    Duration floats on i%3==0, matroska doctype on odd ids, dims on the
+    same strides as the MP4 arm) — pure arithmetic for the oracle."""
+    from .mkvmeta import build_mkv
+    from .multimodal import MEDIA_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tracks = [(1, ("V_VP9", "V_AV1", "V_VP8")[i % 3],
+                           16 * (1 + i % 40), 16 * (1 + i % 23))]
+                if i % 2 == 1:
+                    tracks.append((2, "A_OPUS", 0, 0))
+                blob = build_mkv(
+                    doctype=("webm", "matroska")[i % 2],
+                    duration_units=float((i * 37) % 100000 + 1000),
+                    tracks=tracks,
+                    float8=i % 3 == 0)
+                rows.append((f"mk{i}", "video/webm", blob))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -97,3 +97,64 @@ def test_mutation_fuzz_never_crashes():
             outcomes["typed"] += 1
     assert sum(outcomes.values()) == 800
     assert outcomes["typed"] > 0
+
+
+# ---------------------------------------------------------- Matroska/WebM
+
+class TestMkv:
+    def test_roundtrip_matrix(self):
+        from marky_spark.ops.mkvmeta import build_mkv, mkv_meta
+
+        for i in range(30):
+            tracks = [(1, ("V_VP9", "V_AV1", "V_VP8")[i % 3],
+                       16 * (1 + i % 40), 16 * (1 + i % 23))]
+            if i % 2 == 1:
+                tracks.append((2, "A_OPUS", 0, 0))
+            blob = build_mkv(doctype=("webm", "matroska")[i % 2],
+                             duration_units=float((i * 37) % 100000
+                                                  + 1000),
+                             tracks=tracks, float8=i % 3 == 0)
+            m = mkv_meta(blob)
+            assert m["duration_ms"] == (i * 37) % 100000 + 1000
+            assert m["width"] == 16 * (1 + i % 40)
+            assert m["height"] == 16 * (1 + i % 23)
+            assert m["video_codec"] == ("V_VP9", "V_AV1", "V_VP8")[i % 3]
+            assert m["audio_codec"] == ("A_OPUS" if i % 2 else "")
+            assert m["brand"] == ("webm", "matroska")[i % 2]
+
+    def test_timescale_math(self):
+        from marky_spark.ops.mkvmeta import build_mkv, mkv_meta
+
+        blob = build_mkv(timescale=500_000, duration_units=10000.0,
+                         tracks=[(1, "V_VP9", 64, 48)])
+        assert mkv_meta(blob)["duration_ms"] == 5000
+
+    def test_hostile_is_typed(self):
+        from marky_spark.ops.mkvmeta import MkvError, build_mkv, mkv_meta
+
+        with pytest.raises(MkvError, match="EBML"):
+            mkv_meta(b"nope")
+        good = build_mkv(tracks=[(1, "V_VP9", 64, 48)])
+        # truncated stream: an element overruns
+        with pytest.raises(MkvError):
+            mkv_meta(good[:-6])
+        # vint longer than 8 bytes (leading zero byte as an ID)
+        bad = bytearray(good)
+        seg_at = bad.find(b"\x18\x53\x80\x67")
+        bad[seg_at] = 0
+        with pytest.raises(MkvError):
+            mkv_meta(bytes(bad))
+
+    def test_mutation_fuzz_never_crashes(self):
+        from marky_spark.ops.mkvmeta import MkvError, build_mkv, mkv_meta
+
+        rng = random.Random(2)
+        base = build_mkv(tracks=[(1, "V_VP9", 64, 48), (2, "A_OPUS", 0, 0)])
+        for _ in range(600):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                mkv_meta(bytes(b))
+            except MkvError:
+                pass
