@@ -70,6 +70,11 @@ def convert_feed(text: str) -> list[Segment]:
     """RSS/Atom XML text → markdown segments (registry kernel)."""
     if not looks_like_feed(text):
         raise ConvertError("not a feed (no <rss>/<feed> root)")
+    head = text[:4096]
+    if "<!DOCTYPE" in head or "<!ENTITY" in head:
+        # xml.etree offers no entity-expansion limits; real feeds never
+        # carry internal DTD subsets
+        raise ConvertError("feed carries a DTD (rejected)")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as exc:

@@ -63,6 +63,10 @@ def _q(prefix: str, local: str) -> str:
 
 
 def _parse_xml(data: bytes) -> ET.Element:
+    # xml.etree offers no entity-expansion limits; ODF writers never
+    # emit DTDs, so an internal subset is hostile by construction
+    if b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data[:4096]:
+        raise ConvertError("content.xml carries a DTD (rejected)")
     try:
         return ET.fromstring(data)
     except ET.ParseError as exc:
@@ -127,7 +131,8 @@ class _OdtWalker:
                 out.append(f"[{_escape(label, '[]')}]"
                            f"({_escape(href, '()')})")
             elif tag == _q("text", "s"):
-                out.append(" " * int(child.get(_q("text", "c"), "1") or 1))
+                n_sp = int(child.get(_q("text", "c"), "1") or 1)
+                out.append(" " * min(max(n_sp, 0), 4096))
             elif tag == _q("text", "tab"):
                 out.append("\t")
             elif tag == _q("text", "line-break"):

@@ -405,6 +405,9 @@ def looks_like_apng(data: bytes) -> bool:
     return False
 
 
+MAX_APNG_FRAMES = 64    # hostile-input bound (the gif/webp cap)
+
+
 def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     """APNG (acTL / fcTL / fdAT) → ``(canvas_w, canvas_h,
     [rgb_frame_bytes])`` — the composited canvas after each animation
@@ -472,6 +475,8 @@ def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     if actl[0] != len(entries):
         raise PngError(
             f"acTL declares {actl[0]} frames, found {len(entries)}")
+    if len(entries) > MAX_APNG_FRAMES:
+        entries = entries[:MAX_APNG_FRAMES]   # bounded compositing work
     w, h = struct.unpack_from(">II", ihdr, 0)
     if w * h > MAX_PIXELS:
         raise PngError("APNG canvas exceeds pixel cap")

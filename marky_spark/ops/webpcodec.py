@@ -986,6 +986,11 @@ def _encode_subimage(bw: _BitWriter, argb: list) -> None:
 
 
 # ----------------------------------------------------------- animation
+MAX_ANIM_FRAMES = 64    # hostile-input bound: compositing work and the
+                        # output list are O(frames x canvas) — same cap
+                        # as ops/gifcodec.gif_decode_frames
+
+
 def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     """Animated WebP (VP8X + ANIM + ANMF chunks) → ``(canvas_w,
     canvas_h, [rgb_frame_bytes])`` — the composited canvas after each
@@ -1044,6 +1049,8 @@ def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
         elif fourcc == b"ANMF":
             if canvas is None or not saw_anim:
                 raise WebpError("ANMF before VP8X/ANIM")
+            if len(frames_out) >= MAX_ANIM_FRAMES:
+                break    # bounded: keep the frames already composited
             if size < 16:
                 raise WebpError("short ANMF chunk")
             fx = u24(payload, 0) * 2

@@ -204,3 +204,9 @@ class TestMbox:
         assert drop.conv_kind == "_drop_mbox"
         sample = out[out.doc_id.str.endswith("a.mbox#0")].iloc[0]
         assert sample.markdown.startswith("# M0")
+
+
+def test_feed_dtd_is_rejected():
+    with pytest.raises(ConvertError, match="DTD"):
+        convert_feed('<rss version="2.0"><!DOCTYPE x [<!ENTITY a "b">]>'
+                     "<channel><title>t</title></channel></rss>")

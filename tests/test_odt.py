@@ -221,3 +221,20 @@ def test_frozen_ods_odp_samples_match_golden():
             assert row["status"] == "ok"
             assert hashlib.md5(row["markdown"].encode()).hexdigest() == h
             assert row["md_chars"] == n
+
+
+def test_text_s_expansion_is_capped():
+    out = _md('<text:p>a<text:s text:c="999999999"/>b</text:p>')
+    assert len(out) < 10_000
+
+
+def test_dtd_content_is_rejected():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml",
+                    '<!DOCTYPE x [<!ENTITY a "bbb">]><x>&a;</x>')
+    with pytest.raises(ConvertError, match="DTD"):
+        convert_odt(b64(buf.getvalue()))

@@ -484,3 +484,15 @@ class TestApng:
         blob[at + 16:at + 20] = _s.pack(">I", 9)  # frame width 9 > 4
         with pytest.raises(PngError, match="outside|CRC|crc|disagree"):
             png_decode_frames(bytes(blob))
+
+
+def test_apng_frame_count_is_capped():
+    from marky_spark.ops.pngcodec import (
+        MAX_APNG_FRAMES,
+        png_decode_frames,
+        png_encode_animated,
+    )
+
+    blob = png_encode_animated(4, 4, [bytes(48)] * 100)
+    w, h, frames = png_decode_frames(blob)
+    assert len(frames) == MAX_APNG_FRAMES

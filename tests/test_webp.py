@@ -790,3 +790,19 @@ def test_anmf_alpha_frame_composites():
     f = frames[1]
     assert f[0] == 10                      # transparent top: base shows
     assert f[(w * h - 1) * 3] == 200       # opaque bottom: new frame
+
+
+def test_animation_frame_count_is_capped():
+    """A hostile animation declaring hundreds of frames composites only
+    the first MAX_ANIM_FRAMES (O(frames x canvas) bound)."""
+    from marky_spark.ops.webpcodec import (
+        MAX_ANIM_FRAMES,
+        _webp_payload,
+        webp_decode_frames,
+        webp_encode,
+        webp_encode_anim,
+    )
+
+    f = _webp_payload(webp_encode(bytes([7]) * (4 * 4 * 3), 4, 4, 3))[:2]
+    w, h, frames = webp_decode_frames(webp_encode_anim(4, 4, [f] * 300))
+    assert len(frames) == MAX_ANIM_FRAMES
