@@ -66,9 +66,28 @@ def _open_stream(f):
     return f
 
 
+MAX_LINE_BYTES = 1 << 20        # bounded readline: a single multi-GB
+                                # physical line cannot buffer whole
+
+
+def _bounded_lines(stream) -> Iterator[tuple[bytes, bool]]:
+    """→ (fragment, at_line_start) pairs; fragments cap at
+    MAX_LINE_BYTES so one enormous line streams in pieces."""
+    at_start = True
+    while True:
+        chunk = stream.readline(MAX_LINE_BYTES)
+        if not chunk:
+            return
+        yield chunk, at_start
+        at_start = chunk.endswith(b"\n")
+
+
 def _iter_messages(stream) -> Iterator[tuple[str, bytes]]:
-    """Line-at-a-time mbox walk → (from_line, message_bytes) pairs.
-    Memory is bounded by MAX_MESSAGE_BYTES regardless of file size."""
+    """Bounded-line mbox walk → (from_line, message_bytes) pairs.
+    Memory is bounded by MAX_MESSAGE_BYTES regardless of file size;
+    the ``From `` separator and mboxrd unescape apply only at true
+    line starts (mid-line fragments of an oversized line never
+    misparse as separators)."""
     from_line: str | None = None
     buf: list[bytes] = []
     size = 0
@@ -78,8 +97,8 @@ def _iter_messages(stream) -> Iterator[tuple[str, bytes]]:
     def finish():
         return from_line or "", b"".join(buf)
 
-    for line in stream:
-        if line.startswith(b"From "):
+    for line, at_start in _bounded_lines(stream):
+        if at_start and line.startswith(b"From "):
             if from_line is not None:
                 count += 1
                 if count > MAX_MESSAGES:
@@ -95,9 +114,10 @@ def _iter_messages(stream) -> Iterator[tuple[str, bytes]]:
             continue
         # mboxrd: a body line quoted as '>From ' (any number of leading
         # '>' before 'From ') loses ONE '>'
-        stripped = line.lstrip(b">")
-        if stripped.startswith(b"From ") and line.startswith(b">"):
-            line = line[1:]
+        if at_start:
+            stripped = line.lstrip(b">")
+            if stripped.startswith(b"From ") and line.startswith(b">"):
+                line = line[1:]
         size += len(line)
         if size > MAX_MESSAGE_BYTES:
             raise MboxError(

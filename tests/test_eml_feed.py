@@ -210,3 +210,18 @@ def test_feed_dtd_is_rejected():
     with pytest.raises(ConvertError, match="DTD"):
         convert_feed('<rss version="2.0"><!DOCTYPE x [<!ENTITY a "b">]>'
                      "<channel><title>t</title></channel></rss>")
+
+
+def test_mbox_single_huge_line_is_bounded():
+    """A multi-MB physical line streams in bounded fragments — the walk
+    never buffers a whole unterminated line, and a 'From ' appearing at
+    a fragment boundary mid-line never splits the message."""
+    import io
+
+    from marky_spark.ops.mbox import _iter_messages
+
+    frag = (b"y" * ((1 << 20) - 10) + b"From not a separator"
+            + b"z" * 100 + b"\n")
+    msgs = list(_iter_messages(io.BytesIO(b"From a@b.c Mon\n\n" + frag)))
+    assert len(msgs) == 1
+    assert b"From not a separator" in msgs[0][1]
