@@ -245,8 +245,9 @@ def gif_decode_frames(data: bytes,
     frames: list[bytes] = []
     for left, top, w, h, idx, table, disposal, transparent in \
             _iter_frames(data):
-        if len(frames) >= max_frames:
-            break
+        if len(frames) >= max_frames or (
+                frames and len(frames) * len(frames[0]) >= (256 << 20)):
+            break    # frame-count AND total-output bounds
         pal = np.frombuffer(table, dtype=np.uint8).reshape(
             len(table) // 3, 3)
         grid = idx.reshape(h, w)

@@ -406,6 +406,7 @@ def looks_like_apng(data: bytes) -> bool:
 
 
 MAX_APNG_FRAMES = 64    # hostile-input bound (the gif/webp cap)
+MAX_ANIM_OUT_BYTES = 256 << 20  # total composited-output bound
 
 
 def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
@@ -480,6 +481,9 @@ def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     w, h = struct.unpack_from(">II", ihdr, 0)
     if w * h > MAX_PIXELS:
         raise PngError("APNG canvas exceeds pixel cap")
+    if len(entries) * w * h * 3 > MAX_ANIM_OUT_BYTES:
+        entries = entries[:max(
+            1, MAX_ANIM_OUT_BYTES // (w * h * 3))]  # total-output bound
 
     canvas = bytearray(w * h * 4)          # transparent RGBA
     frames_out = []

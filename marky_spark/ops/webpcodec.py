@@ -989,6 +989,8 @@ def _encode_subimage(bw: _BitWriter, argb: list) -> None:
 MAX_ANIM_FRAMES = 64    # hostile-input bound: compositing work and the
                         # output list are O(frames x canvas) — same cap
                         # as ops/gifcodec.gif_decode_frames
+MAX_ANIM_OUT_BYTES = 256 << 20  # and a total-output bound: 64 frames of
+                                # a near-cap canvas would still be GBs
 
 
 def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
@@ -1049,7 +1051,9 @@ def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
         elif fourcc == b"ANMF":
             if canvas is None or not saw_anim:
                 raise WebpError("ANMF before VP8X/ANIM")
-            if len(frames_out) >= MAX_ANIM_FRAMES:
+            if len(frames_out) >= MAX_ANIM_FRAMES or (
+                    frames_out and len(frames_out)
+                    * len(frames_out[0]) >= MAX_ANIM_OUT_BYTES):
                 break    # bounded: keep the frames already composited
             if size < 16:
                 raise WebpError("short ANMF chunk")
