@@ -794,6 +794,25 @@ def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .unionByName(synth_mkv_media(docs)))
 
 
+def _q_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass (ops/metastrip): EXIF/XMP/IPTC/comment segments
+    removed LOSSLESSLY from JPEG / PNG / WebP containers. The corpus
+    plants metadata of arithmetic size into the standard pixel-oracle
+    payloads; the check is two-sided — n_stripped must equal the
+    planted bytes (plus fixed framing) AND the stripped payload must
+    still decode to the ORIGINAL pixels through the real codecs."""
+    from marky_spark.ops.metastrip import strip_metadata, synth_tagged_media
+    from marky_spark.ops.multimodal import decode_pixels
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stripped = strip_metadata(synth_tagged_media(docs))
+    dec = decode_pixels(stripped.select("media_ref", "payload"))
+    return stripped.select("media_ref", "n_stripped").join(
+        dec.select("media_ref", "width", "height", "channels",
+                   "pixel_md5", "ok"),
+        "media_ref")
+
+
 def _q_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer statistics over REAL decoded pixels (per-channel
     sample sums + 4-bucket brightness histogram): the content-derived
@@ -1222,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_decode": _q_scan_decode,
         "audio_meta": _q_audio_meta,
         "video_meta": _q_video_meta,
+        "strip_metadata": _q_strip_metadata,
         "pixel_features": _q_pixel_features,
         "embedded_media": _q_embedded_media,
         "audio_features": _q_audio_features,
@@ -1842,6 +1862,43 @@ def oracle_sql() -> dict[str, str]:
                            4 + doc_id % 13 AS w,
                            4 + doc_id % 7 AS h
                     FROM documents))
+        """,
+        "strip_metadata": """
+            -- planted-metadata arithmetic: PNG (i%3=0) carries a tEXt of
+            -- big=(i*13)%200+30 and an eXIf of small=(i*7)%50+10 (12
+            -- bytes framing each); WebP (i%3=1) an EXIF chunk of big
+            -- (+8 framing, +1 pad when odd); JPEG (i%3=2) an APP1 of
+            -- big (+4 marker/len +6 the Exif tag header) and a COM of small
+            -- (+4). Pixels must survive the strip bit-identically:
+            -- PNG/WebP = the md5-hex ASCII raster, JPEG = the uniform
+            -- gray char.
+            WITH m AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       4 + doc_id % 7 AS h,
+                       (doc_id * 13) % 200 + 30 AS big,
+                       (doc_id * 7) % 50 + 10 AS small
+                FROM documents)
+            SELECT 'st' || doc_id AS media_ref,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 12 + big + 12 + small
+                        WHEN 1 THEN 8 + big + (big % 2)
+                        ELSE 4 + 6 + big + 4 + small END AS BIGINT)
+                       AS n_stripped,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT)
+                       AS channels,
+                   CASE WHEN doc_id % 3 = 2 THEN
+                       md5(repeat(chr(((doc_id * 7) % 95 + 32)::INT),
+                                  (w*h)::INT))
+                   ELSE
+                       md5(substr(repeat(md5(doc_id::VARCHAR),
+                                         ((w*h*3) // 32 + 1)::INT),
+                                  1, (w*h*3)::INT))
+                   END AS pixel_md5,
+                   'ok' AS ok
+            FROM m
         """,
         "video_meta": """
             -- MP4 box-walk triage: every field is doc_id arithmetic
