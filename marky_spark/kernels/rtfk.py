@@ -290,6 +290,15 @@ def convert_rtf(text: str) -> list[Segment]:
                 j += 1
             i = j
             # ---- control word semantics ----
+            if word == "bin":
+                # \binN: N RAW bytes follow (may contain braces and
+                # backslashes) — they must be skipped even inside a
+                # skipped destination, or the tokenizer desyncs
+                skip_n = max(num or 0, 0)
+                if skip_n > n - i:
+                    raise ConvertError("\\bin length overruns the input")
+                i += skip_n
+                continue
             if st.skip_dest:
                 continue
             if word in _SKIP_DESTINATIONS:

@@ -1005,7 +1005,7 @@ def _mbedge_filter(px, idx, hev_t: int, interior: int, edge: int) -> None:
 
 def _simple_filter(px, idx, edge: int) -> None:
     p1, p0, q0, q1 = _s(px[idx[2]]), _s(px[idx[3]]), _s(px[idx[4]]), _s(px[idx[5]])
-    if abs(p0 - q0) * 2 + abs(_c128(p1 - q1)) // 2 <= edge:
+    if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge:
         _common_adjust(1, px, idx[2], idx[3], idx[4], idx[5])
 
 

@@ -123,3 +123,14 @@ def test_frozen_corpus_sample_matches_golden():
         assert row["status"] == "ok"
         assert hashlib.md5(row["markdown"].encode()).hexdigest() == h
         assert row["md_chars"] == n
+
+
+def test_bin_control_skips_raw_bytes():
+    """\\binN raw bytes (which may contain braces/backslashes) must not
+    desync the group tokenizer."""
+    rtf = "{\\rtf1 a {\\pict\\bin5 }}\\{x} b\\par}"
+    #                           ^^^^^ 5 raw bytes: '}}\\{x'
+    out = convert_rtf(rtf)[0][1]
+    assert out == "a  b"   # one space each side of the pict group
+    with pytest.raises(ConvertError, match="bin"):
+        convert_rtf("{\\rtf1 \\bin99999 x}")
