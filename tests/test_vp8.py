@@ -416,3 +416,27 @@ def test_mutation_fuzz_never_crashes():
             outcomes["typed"] += 1
     assert outcomes["typed"] > 0  # mutations do get caught
     assert sum(outcomes.values()) == 600
+
+
+def test_mbedge_filter_trace():
+    """Hand trace of the normal-profile macroblock-edge filter
+    (RFC 6386 §15.3, non-hev path): a clean 100→120 step with wide
+    limits. w = clamp(clamp(p1-q1) + 3(q0-p0)) = 40; the 27/18/9
+    taps move (p2,p1,p0|q0,q1,q2) by (3,6,8|8,6,3)."""
+    from marky_spark.ops.vp8codec import _mbedge_filter
+
+    px = bytearray([100, 100, 100, 100, 120, 120, 120, 120])
+    _mbedge_filter(px, tuple(range(8)), hev_t=10, interior=63, edge=255)
+    assert list(px) == [100, 103, 106, 108, 112, 114, 117, 120]
+
+
+def test_subblock_filter_trace():
+    """Non-hev subblock filter (RFC 6386 §15.2): common_adjust WITHOUT
+    the outer tap (a = c(3(q0-p0)) = 60, F = c(64)>>3 = 8,
+    E = c(63)>>3 = 7), then the half-step a=(8+1)>>1=4 on the outer
+    pair: (p1,p0|q0,q1) = 100,100|120,120 → 104,107|112,116."""
+    from marky_spark.ops.vp8codec import _subblock_filter
+
+    px = bytearray([100, 100, 100, 100, 120, 120, 120, 120])
+    _subblock_filter(px, tuple(range(8)), hev_t=10, interior=63, edge=255)
+    assert list(px) == [100, 100, 104, 107, 112, 116, 120, 120]
