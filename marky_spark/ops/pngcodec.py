@@ -407,6 +407,9 @@ def looks_like_apng(data: bytes) -> bool:
 
 MAX_APNG_FRAMES = 64    # hostile-input bound (the gif/webp cap)
 MAX_ANIM_OUT_BYTES = 256 << 20  # total composited-output bound
+MAX_ANIM_PIXELS = 1 << 20       # animated canvases cap far below the
+                                # still cap: per-pixel Python
+                                # compositing makes this the time bound
 
 
 def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
@@ -479,7 +482,7 @@ def png_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     if len(entries) > MAX_APNG_FRAMES:
         entries = entries[:MAX_APNG_FRAMES]   # bounded compositing work
     w, h = struct.unpack_from(">II", ihdr, 0)
-    if w * h > MAX_PIXELS:
+    if w * h > MAX_ANIM_PIXELS:
         raise PngError("APNG canvas exceeds pixel cap")
     if len(entries) * w * h * 3 > MAX_ANIM_OUT_BYTES:
         entries = entries[:max(

@@ -991,6 +991,11 @@ MAX_ANIM_FRAMES = 64    # hostile-input bound: compositing work and the
                         # as ops/gifcodec.gif_decode_frames
 MAX_ANIM_OUT_BYTES = 256 << 20  # and a total-output bound: 64 frames of
                                 # a near-cap canvas would still be GBs
+MAX_ANIM_PIXELS = 1 << 20       # animated canvases cap far below the
+                                # still-image cap: compositing runs
+                                # per-pixel in Python, so this cap IS
+                                # the per-blob time bound (the vp8codec
+                                # argument); real animations are small
 
 
 def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
@@ -1036,7 +1041,7 @@ def webp_decode_frames(data: bytes) -> tuple[int, int, list[bytes]]:
                 raise WebpError("VP8X without the animation flag")
             canvas_w = u24(payload, 4) + 1
             canvas_h = u24(payload, 7) + 1
-            if canvas_w * canvas_h > MAX_WEBP_PIXELS:
+            if canvas_w * canvas_h > MAX_ANIM_PIXELS:
                 raise WebpError("animated canvas exceeds pixel cap")
             canvas = bytearray(
                 bytes(bg) * (canvas_w * canvas_h))
